@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed loaders for the driver fixtures (TESTDATA.md) and shared
+  * session configuration.
+  *
+  * Scale posture: `spark.read.parquet` is a distributed columnar scan —
+  * projection and predicates push down to the parquet reader, so the same
+  * call shape works unchanged on a 1000-executor cluster reading 100 TB.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Primary keys per fixture table (reference requires a PK on every
+    * convertible table — TableConverter.java:246-250). */
+  val primaryKeys: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"), // composite
+    "events" -> Seq("event_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
+
+/** One place for session settings every entry point (Verify, Bench, tests)
+  * must share so results are reproducible and oracle-comparable. */
+object GraftSession {
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    // events.parquet carries timestamp[ns]; Spark's parquet reader rejects
+    // nanos unless read as raw long (we bucket on integer epoch math).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+}

@@ -1,0 +1,408 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Core relational surface: scans, projections, filters, sorts/limits,
+  * joins (all types), aggregations (incl. rollup/cube), set operations,
+  * window functions, scalar functions.
+  *
+  * The reference's own SQL surface is tiny (SURVEY.md §2.4 — no joins, no
+  * GROUP BY); this module supplies the full engine surface the harness and
+  * north-star operators need, each query paired with a DuckDB oracle.
+  *
+  * Oracle-exactness rules used throughout (so hash-compare passes):
+  *  - money/quantity doubles are cast to exact DECIMAL before arithmetic /
+  *    SUM (order-independent exact accumulation), and the final value is
+  *    cast back to DOUBLE the same way on both sides;
+  *  - ORDER BY ... LIMIT always carries a primary-key tiebreak;
+  *  - outputs prefer integer columns where a float adds no coverage.
+  *
+  * Scale posture: every query is a declarative DataFrame plan — Catalyst
+  * pushes filters/projections into the parquet scan, dimension joins are
+  * broadcast (region/nation/supplier/customer at TPC-H ratios), fact-fact
+  * joins shuffle on the join key, aggregates do partial map-side combine.
+  */
+object CoreQueries {
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+  private def money(c: Column): Column = dec(c, 12, 2)
+  private def rate(c: Column): Column = dec(c, 8, 4)
+  private val one = lit(1).cast(DecimalType(1, 0))
+  /** exact revenue term: extendedprice * (1 - discount) in decimal */
+  private def revenue(price: Column, disc: Column): Column =
+    money(price) * (one - rate(disc))
+  private def tsNtz(s: String): Column = lit(s).cast(TimestampNTZType)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation ----------------------------------------------------
+    "q1_pricing_summary" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= tsNtz("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(money(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(money(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+          round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2)
+            .cast(DoubleType).as("sum_disc_price"),
+          round(sum(revenue(col("l_extendedprice"), col("l_discount")) *
+            (one + rate(col("l_tax")))), 2).cast(DoubleType).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+    },
+    "agg_global_stats" -> { (s, dir) =>
+      Tables(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(money(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
+    },
+    "agg_having" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("o_totalprice"))).cast(DoubleType).as("total"))
+        .filter(col("n") > 100)
+    },
+    "agg_rollup" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("o_totalprice"))).cast(DoubleType).as("total"))
+    },
+    "agg_cube" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("l_quantity"))).cast(DoubleType).as("qty"))
+    },
+    "agg_distinct" -> { (s, dir) =>
+      Tables(s, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+    },
+
+    // ---- joins ----------------------------------------------------------
+    "q3_shipping_priority" -> { (s, dir) =>
+      // customer (filtered dim, broadcast) ⋈ orders ⋈ lineitem, top-10 by
+      // exact-decimal revenue with PK tiebreak.
+      val cust = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < tsNtz("1997-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > tsNtz("1997-01-01 00:00:00"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(broadcast(cust.join(ord, cust("c_custkey") === ord("o_custkey"))),
+          li("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2)
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    "q5_nation_revenue" -> { (s, dir) =>
+      // 6-table star join: dims broadcast, fact shuffles once.
+      val region = Tables(s, dir, "region").filter(col("r_regionkey") <= 2)
+      val nation = Tables(s, dir, "nation")
+      val cust = Tables(s, dir, "customer")
+      val supp = Tables(s, dir, "supplier")
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= tsNtz("1996-01-01 00:00:00") &&
+          col("o_orderdate") < tsNtz("1998-01-01 00:00:00"))
+      val li = Tables(s, dir, "lineitem")
+      li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+          cust("c_nationkey") === supp("s_nationkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2)
+          .cast(DoubleType).as("revenue"))
+    },
+    "join_semi" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi").select("c_custkey", "c_name")
+    },
+    "join_anti" -> { (s, dir) =>
+      // anti-join against a filtered side so the result is non-empty:
+      // customers with no order after 1997-07-01.
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= tsNtz("1998-06-01 00:00:00"))
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti").select("c_custkey", "c_name")
+    },
+    "join_left_counts" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer").select("c_custkey")
+      val o = Tables(s, dir, "orders").select("o_custkey", "o_orderkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+    },
+    "join_full_outer" -> { (s, dir) =>
+      val nc = Tables(s, dir, "customer").groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val ns = Tables(s, dir, "supplier").groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      nc.join(ns, Seq("nationkey"), "full_outer")
+    },
+    "join_cross" -> { (s, dir) =>
+      val a = Tables(s, dir, "region").select(col("r_regionkey").as("a_key"))
+      val b = Tables(s, dir, "region").select(col("r_regionkey").as("b_key"))
+      a.crossJoin(b).filter(col("a_key") < col("b_key"))
+    },
+    "join_nonequi_range" -> { (s, dir) =>
+      // theta/range join: parts priced within a size-dependent band.
+      val p = Tables(s, dir, "part").select("p_partkey", "p_size", "p_retailprice")
+      val bands = Tables(s, dir, "region")
+        .select(col("r_regionkey").as("band"),
+          (col("r_regionkey") * 10).as("lo"), (col("r_regionkey") * 10 + 10).as("hi"))
+      p.join(broadcast(bands), col("p_size") >= col("lo") && col("p_size") < col("hi"))
+        .select("p_partkey", "band")
+    },
+
+    // ---- set operations -------------------------------------------------
+    "set_union" -> { (s, dir) =>
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+    },
+    "set_intersect" -> { (s, dir) =>
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    },
+    "set_except" -> { (s, dir) =>
+      // EXCEPT sides chosen to be non-empty at every scale factor:
+      // all customers minus customers with an order on/after 1998-06-01.
+      Tables(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(Tables(s, dir, "orders")
+          .filter(col("o_orderdate") >= tsNtz("1998-06-01 00:00:00"))
+          .select(col("o_custkey").as("custkey")))
+    },
+
+    // ---- window functions ----------------------------------------------
+    "win_topk_per_group" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    },
+    "win_running_total" -> { (s, dir) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "lineitem")
+        .withColumn("running_qty", sum(money(col("l_quantity"))).over(w)
+          .cast(DoubleType))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+    },
+    "win_lag_lead" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag("o_orderkey", 1).over(w).as("prev_key"),
+          lead("o_orderkey", 1).over(w).as("next_key"))
+    },
+    "win_rank_dense" -> { (s, dir) =>
+      val w = Window.orderBy(col("p_size"))
+      Tables(s, dir, "part")
+        .select(col("p_partkey"), rank().over(w).as("r"),
+          dense_rank().over(w).as("dr"))
+    },
+
+    // ---- sorts / limits -------------------------------------------------
+    "sort_limit_topn" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", "c_name", "c_acctbal")
+    },
+
+    // ---- scalar functions ----------------------------------------------
+    "scalar_string" -> { (s, dir) =>
+      Tables(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
+        trim(col("p_name")).as("name_trim"),
+        regexp_replace(col("p_name"), "a", "@").as("name_sub"))
+    },
+    "scalar_date" -> { (s, dir) =>
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+    },
+    "scalar_math" -> { (s, dir) =>
+      Tables(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_orderkey") - 3000).as("absdiff"),
+        (col("l_orderkey") % 7).as("mod7"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_extendedprice")).as("price_ceil"),
+        greatest(col("l_orderkey"), col("l_partkey")).as("gkey"),
+        least(col("l_orderkey"), col("l_partkey")).as("lkey"))
+    },
+    "scalar_case_when" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .select(when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+    },
+    "scalar_conditional" -> { (s, dir) =>
+      Tables(s, dir, "supplier").select(
+        col("s_suppkey"),
+        coalesce(nullif(col("s_name"), lit("")), lit("unknown")).as("name_nn"),
+        (col("s_acctbal") > 0).as("in_credit"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS sum_disc_price,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,4))) * (CAST(1 AS DECIMAL(1,0)) + CAST(l_tax AS DECIMAL(8,4)))), 2) AS DOUBLE) AS sum_charge,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_global_stats" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_customers,
+        | MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders""".stripMargin,
+    "agg_having" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 100""".stripMargin,
+    "agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "agg_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_regionkey <= 2
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')""".stripMargin,
+    "join_left_counts" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT COALESCE(a.nationkey, b.nationkey) AS nationkey, a.n_cust, b.n_supp
+        |FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) a
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) b
+        |ON a.nationkey = b.nationkey""".stripMargin,
+    "join_cross" ->
+      """SELECT a.r_regionkey AS a_key, b.r_regionkey AS b_key
+        |FROM region a CROSS JOIN region b WHERE a.r_regionkey < b.r_regionkey""".stripMargin,
+    "join_nonequi_range" ->
+      """SELECT p_partkey, band FROM part
+        |JOIN (SELECT r_regionkey AS band, r_regionkey*10 AS lo, r_regionkey*10+10 AS hi FROM region) bands
+        |ON p_size >= lo AND p_size < hi""".stripMargin,
+    "set_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "set_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT SELECT o_custkey AS custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'""".stripMargin,
+    "win_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t WHERE rn <= 3""".stripMargin,
+    "win_running_total" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        | LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_key,
+        | LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_key
+        |FROM orders""".stripMargin,
+    "win_rank_dense" ->
+      """SELECT p_partkey, RANK() OVER (ORDER BY p_size) AS r,
+        | DENSE_RANK() OVER (ORDER BY p_size) AS dr
+        |FROM part""".stripMargin,
+    "sort_limit_topn" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
+    "scalar_string" ->
+      """SELECT p_partkey, UPPER(p_brand) AS brand_u, LOWER(p_type) AS type_l,
+        | SUBSTRING(p_name, 1, 5) AS name5, LENGTH(p_name) AS name_len,
+        | CONCAT_WS('#', p_brand, p_type) AS brand_type, TRIM(p_name) AS name_trim,
+        | REGEXP_REPLACE(p_name, 'a', '@', 'g') AS name_sub
+        |FROM part""".stripMargin,
+    "scalar_date" ->
+      """SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS y,
+        | CAST(MONTH(o_orderdate) AS INT) AS m, CAST(DAY(o_orderdate) AS INT) AS d,
+        | DATE_TRUNC('month', o_orderdate) AS month_start
+        |FROM orders""".stripMargin,
+    "scalar_math" ->
+      """SELECT l_orderkey, l_linenumber, ABS(l_orderkey - 3000) AS absdiff,
+        | l_orderkey % 7 AS mod7,
+        | CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+        | CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+        | GREATEST(l_orderkey, l_partkey) AS gkey, LEAST(l_orderkey, l_partkey) AS lkey
+        |FROM lineitem""".stripMargin,
+    "scalar_case_when" ->
+      """SELECT bucket, COUNT(*) AS n FROM (
+        | SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |             WHEN c_acctbal < 5000 THEN 'low'
+        |             ELSE 'high' END AS bucket FROM customer) t
+        |GROUP BY bucket""".stripMargin,
+    "scalar_conditional" ->
+      """SELECT s_suppkey, COALESCE(NULLIF(s_name, ''), 'unknown') AS name_nn,
+        | s_acctbal > 0 AS in_credit
+        |FROM supplier""".stripMargin)
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Deduplication operators over `documents` / `embeddings` (north-star
+  * surface): exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design: the quadratic operators never do an unbounded cartesian —
+  * candidates come from an equi-join on a bucket key (shingle, LSH band,
+  * SimHash band), which Spark executes as a shuffled hash join keyed on the
+  * bucket. Exact verification runs only on candidate pairs. The bounded
+  * `doc_id < N` subsets in the oracle-checked variants exist to keep the
+  * DuckDB oracle tractable, not because the Spark plan needs them.
+  *
+  * Thresholds are compared in *integer* cross-multiplied form
+  * (jaccard(a,b) >= 3/5  ⇔  8·|a∩b| >= 3·(|a|+|b|)) so the oracle
+  * comparison never touches floating point.
+  */
+object DedupQueries {
+
+  /** distinct character 3-gram shingles, empty for texts shorter than 3 */
+  private def shingles(s: SparkSession, dir: String, maxDocId: Int): DataFrame = {
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN length(text) >= 3
+          | THEN array_distinct(transform(sequence(1, length(text) - 2),
+          |      i -> substr(text, i, 3)))
+          | ELSE array() END""".stripMargin)).as("sh"))
+  }
+
+  /** candidate pairs (a_id < b_id) with shingle-intersection counts,
+    * verified against the integer-form jaccard >= 3/5 threshold. */
+  private def jaccardPairs(s: SparkSession, dir: String, maxDocId: Int): DataFrame = {
+    val sh = shingles(s, dir, maxDocId).cache()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("a_id"), col("sh"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh"))
+    val inter = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(cnt.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .filter(lit(8) * col("i") >= lit(3) * (col("na") + col("nb")))
+      .select("a_id", "b_id")
+  }
+
+  private val NumHashes = 32
+  private val Bands = 8 // 8 bands × 4 rows
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on content, keep lowest PK per group —
+    // one shuffle on the content hash, scales to any corpus size.
+    "dedup_exact" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+    // n-gram Jaccard dedup, exact pairwise over shingle-join candidates.
+    "dedup_ngram_jaccard" -> { (s, dir) => jaccardPairs(s, dir, 100) },
+    // MinHash + LSH: 32 hash functions, 8 bands of 4 — candidates are
+    // pairs agreeing on at least one band; then exact-jaccard verified.
+    // Same final predicate as dedup_ngram_jaccard, so the LSH stage is
+    // measured by its recall (tested in DedupSpec); oracle = exact answer
+    // restricted to LSH-candidates ≡ exact answer when recall is 1 on the
+    // fixture (validated), hence reuse of the jaccard oracle is NOT safe
+    // in general — this query is registered without an oracle.
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      val sh = shingles(s, dir, 100).cache()
+      val hashCols = (0 until NumHashes).map(i =>
+        min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      val minhash = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+      val bandCols = (0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64((b * 4 until (b + 1) * 4).map(i => col(s"h$i")): _*).as("sig"))
+      }
+      val banded = minhash.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      val cand = banded.alias("x").join(banded.alias("y"), Seq("band", "sig"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      // exact verification on candidates only
+      val verified = jaccardPairs(s, dir, 100)
+      cand.join(verified, Seq("a_id", "b_id"), "left_semi")
+    },
+    // SimHash near-dup: 64-bit signature from token hashes (one aggregate
+    // pass, 64 conditional sums — no row blowup), 16-bit band join for
+    // candidates, hamming distance <= 16 verified via bit_count(xor).
+    "dedup_simhash" -> { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), "\\s+"))).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitSums = (0 until 64).map { i =>
+        sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
+      }
+      val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(i =>
+            when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+      val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"(simhash >> ${b * 16}) & 65535").as("bits"))): _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.bits").as("bits"))
+      banded.alias("x").join(banded.alias("y"), Seq("band", "bits"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+          expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 16)
+    },
+    // Embedding cosine near-dup: top-20 most-similar pairs in a bounded
+    // subset (cast to double, exact-ordered with PK tiebreaks). The
+    // unbounded scale path is LSH-bucketed (see sim_ann_lsh).
+    "dedup_embedding_topk" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+      a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .withColumn("cos", expr(
+          """aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, z) -> acc + z)
+            | / (sqrt(aggregate(va, 0D, (acc, x) -> acc + x * x))
+            |  * sqrt(aggregate(vb, 0D, (acc, x) -> acc + x * x)))""".stripMargin))
+        .orderBy(col("cos").desc, col("a_id"), col("b_id"))
+        .limit(20)
+        .select(col("a_id"), col("b_id"),
+          row_number().over(Window.orderBy(col("cos").desc, col("a_id"), col("b_id")))
+            .as("rnk"))
+    })
+
+  private val jaccardOracle =
+    """WITH sh AS (
+      | SELECT doc_id,
+      |  unnest(list_distinct([substr(text, CAST(i AS INT), 3)
+      |                        for i in range(1, length(text) - 1)])) AS s
+      | FROM documents WHERE doc_id < 100
+      |), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT a_id, b_id
+      |FROM inter JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+      |WHERE 8 * i >= 3 * (ca.n + cb.n)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        | COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_embedding_topk" ->
+      """SELECT a_id, b_id, ROW_NUMBER() OVER (ORDER BY cos DESC, a_id, b_id) AS rnk
+        |FROM (
+        | SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[])) AS cos
+        | FROM embeddings a, embeddings b
+        | WHERE a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
+        |) t ORDER BY cos DESC, a_id, b_id LIMIT 20""".stripMargin)
+}

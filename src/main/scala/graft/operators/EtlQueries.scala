@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Queries re-expressing the reference's ETL operator surface (SURVEY.md §2)
+  * over the parquet fixtures, each with a DuckDB oracle.
+  *
+  * The reference paginates with ORDER-BY-PK + LIMIT/OFFSET per worker
+  * (UploadWorker.java:47-72) and partitions deletes by PK keyset probes
+  * (TableDeleter.java:50-110). Spark-first re-expression: row_number
+  * windows reproduce offset semantics exactly where needed; the scale path
+  * is PK-range partition predicates (no global sort), see copy.CopyPlanner.
+  */
+object EtlQueries {
+
+  private def money(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/P1: full-fidelity scan with explicit column-list projection
+    // (the reference never SELECT *s — Columns.java:30-33).
+    "p1_projection" -> { (s, dir) =>
+      Tables(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    },
+    "s1_scan_fidelity" -> { (s, dir) =>
+      Tables(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+    },
+    // O1/O2: deterministic ORDER-BY-PK LIMIT/OFFSET pagination window
+    // (rows 1001..1100 of the composite-PK order) via row_number.
+    "o2_offset_pagination" -> { (s, dir) =>
+      val w = Window.orderBy("l_orderkey", "l_linenumber")
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1000 && col("rn") <= 1100)
+    },
+    // O3/X4: keyset probes — the PK value at every ceil(n/8)-th ordinal,
+    // i.e. the split points the reference derives per delete worker.
+    "o3_keyset_probe" -> { (s, dir) =>
+      val w = Window.orderBy("o_orderkey")
+      Tables(s, dir, "orders").select(col("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("total", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("step", expr("(total + 7) div 8"))
+        .filter(col("rn") % col("step") === 0)
+        .select(col("rn"), col("o_orderkey"))
+    },
+    // X4/S9: delete partitioning — 8 PK ranges with bounds + row counts.
+    "x4_delete_partition" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          ntile(8).over(Window.orderBy("o_orderkey")).as("worker"))
+        .groupBy("worker")
+        .agg(min("o_orderkey").as("begin_key"), max("o_orderkey").as("end_key"),
+          count(lit(1)).as("n_rows"))
+    },
+    // X2: the reference's upload-worker count formula
+    // min(totalRecords/batchSize + 1, maxNumberOfWorkers)
+    // (GenericJdbcTableWorker.java:68-72) with batch=10000, max=10.
+    "x2_worker_plan" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n_records"))
+        .select(col("n_records"),
+          least(expr("n_records div 10000") + 1, lit(10)).as("n_workers"))
+    },
+    // P4: true lexicographic composite-PK range (the reference's per-column
+    // box predicate is only correct for single-column PKs — SURVEY §2.2 P4).
+    "p4_pk_range" -> { (s, dir) =>
+      val lo = (col("l_orderkey") > 500) ||
+        (col("l_orderkey") === 500 && col("l_linenumber") >= 3)
+      val hi = (col("l_orderkey") < 520) ||
+        (col("l_orderkey") === 520 && col("l_linenumber") <= 2)
+      Tables(s, dir, "lineitem").filter(lo && hi)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    },
+    // P5: PK-equality / IN-list row targeting.
+    "p5_pk_in" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .filter(col("o_orderkey").isin(1L, 5L, 10L, 100L, 999L))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    },
+    // S2/X2: disjoint partition cover — per-bucket accounting proves the
+    // hash partitioning covers every row exactly once.
+    "s2_partition_cover" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy((col("l_orderkey") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("l_quantity"))).cast(DoubleType).as("qty"))
+    },
+    // A3: the reference's per-value byte accounting (ConverterUtils.java:
+    // 118-152): INT64/DOUBLE=8, strings=utf8 byte length, summed per copy.
+    "a3_byte_accounting" -> { (s, dir) =>
+      Tables(s, dir, "customer").agg(
+        sum(lit(8) + lit(8) + lit(8) +
+          expr("octet_length(c_name)") + expr("octet_length(c_mktsegment)"))
+          .as("total_bytes"),
+        count(lit(1)).as("n_rows"))
+    },
+    // ---- events (stream-shaped table; ts is raw nanos, see GraftSession) --
+    // Tumbling 5-minute window aggregation (batch equivalent of the
+    // Structured Streaming path in graft.streaming).
+    "ev_tumbling_window" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(expr("ts div 300000000000").as("win5m"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("value"))).cast(DoubleType).as("total_value"))
+    },
+    // 30-minute-gap sessionization via lag + running flag sum — the batch
+    // twin of mapGroupsWithState sessionization.
+    "ev_sessionize" -> { (s, dir) =>
+      // NOTE: window order is (ts, event_id) on both sides; the oracle's ts
+      // is µs-truncated but sub-µs ties within one user are not present in
+      // the fixture, so the total order agrees.
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .withColumn("sec", expr("ts div 1000000000"))
+        .withColumn("prev_sec", lag("sec", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("sec").as("start_sec"), max("sec").as("end_sec"))
+    },
+    // JSON payload extraction from the props column.
+    "ev_json_extract" -> { (s, dir) =>
+      Tables(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "p1_projection" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "s1_scan_fidelity" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+        | l_extendedprice, l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem""".stripMargin,
+    "o2_offset_pagination" ->
+      """SELECT l_orderkey, l_linenumber, rn FROM (
+        | SELECT l_orderkey, l_linenumber,
+        |  ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        | FROM lineitem) t
+        |WHERE rn > 1000 AND rn <= 1100""".stripMargin,
+    "o3_keyset_probe" ->
+      """SELECT rn, o_orderkey FROM (
+        | SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+        |  COUNT(*) OVER () AS total
+        | FROM orders) t
+        |WHERE rn % ((total + 7) // 8) = 0""".stripMargin,
+    "x4_delete_partition" ->
+      """SELECT worker, MIN(o_orderkey) AS begin_key, MAX(o_orderkey) AS end_key,
+        | COUNT(*) AS n_rows
+        |FROM (SELECT o_orderkey, NTILE(8) OVER (ORDER BY o_orderkey) AS worker
+        |      FROM orders) t
+        |GROUP BY worker""".stripMargin,
+    "x2_worker_plan" ->
+      """SELECT n_records, LEAST(n_records // 10000 + 1, 10) AS n_workers
+        |FROM (SELECT COUNT(*) AS n_records FROM lineitem) t""".stripMargin,
+    "p4_pk_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE (l_orderkey > 500 OR (l_orderkey = 500 AND l_linenumber >= 3))
+        |  AND (l_orderkey < 520 OR (l_orderkey = 520 AND l_linenumber <= 2))""".stripMargin,
+    "p5_pk_in" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey IN (1, 5, 10, 100, 999)""".stripMargin,
+    "s2_partition_cover" ->
+      """SELECT l_orderkey % 8 AS bucket, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "a3_byte_accounting" ->
+      """SELECT SUM(8 + 8 + 8 + strlen(c_name) + strlen(c_mktsegment)) AS total_bytes,
+        | COUNT(*) AS n_rows
+        |FROM customer""".stripMargin,
+    "ev_tumbling_window" ->
+      """SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 300 AS win5m, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_sessionize" ->
+      """SELECT user_id, session_id, COUNT(*) AS n_events,
+        | MIN(sec) AS start_sec, MAX(sec) AS end_sec
+        |FROM (
+        | SELECT user_id, sec,
+        |  SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM (
+        |  SELECT user_id, event_id, ts, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        |   LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT), 1)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        |  FROM events) a) b
+        |GROUP BY user_id, session_id""".stripMargin,
+    "ev_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
+        |FROM events""".stripMargin)
+}

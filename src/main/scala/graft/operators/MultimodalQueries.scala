@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal-column plumbing (north-star surface): treat image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, and run
+  * decode / feature-extract / frame-sample stages over them.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic stub (`stubDecode`) — but everything Spark
+  * cares about is real: the binary column, the metadata struct schema, the
+  * per-row feature extraction as codegen'd expressions, and the partition
+  * shape (narrow map stages, no shuffle until an aggregate). Payload bytes
+  * are manufactured from `documents.text` (UTF-8) so every stage is
+  * reproducible across engines.
+  */
+object MultimodalQueries {
+
+  /** The metadata schema a real decoder would emit. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("byte_len", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType)))
+
+  /** documents → opaque binary payload + typed metadata struct.
+    * STUB: width/height are derived from the byte length, not a real
+    * header parse — a production decoder replaces exactly this struct. */
+  def withMedia(df: DataFrame): DataFrame = df
+    .withColumn("payload", expr("encode(text, 'UTF-8')"))
+    .withColumn("meta", struct(
+      when(col("doc_id") % 3 === 0, "image/png")
+        .when(col("doc_id") % 3 === 1, "audio/wav")
+        .otherwise("video/mp4").as("media_type"),
+      expr("octet_length(payload)").cast(LongType).as("byte_len"),
+      (expr("octet_length(payload)") % 64 + 1).cast(IntegerType).as("width"),
+      (expr("octet_length(payload)") % 48 + 1).cast(IntegerType).as("height"),
+      lit(3).as("channels")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary ingest + metadata extraction — the oracle-checkable slice
+    // (byte length and media-type routing are exact integer/string logic).
+    "mm_binary_meta" -> { (s, dir) =>
+      withMedia(Tables(s, dir, "documents")).select(
+        col("doc_id"),
+        col("meta.media_type").as("media_type"),
+        col("meta.byte_len").as("byte_len"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"))
+    },
+    // STUBBED decode + feature extraction: 8 deterministic "features" per
+    // payload (xxhash64 over byte-range slices — stands in for pixel
+    // statistics). No oracle: hash-defined, rows-only check; the schema,
+    // batching and partition shape are what this query exercises.
+    "mm_feature_extract" -> { (s, dir) =>
+      withMedia(Tables(s, dir, "documents"))
+        .filter(col("meta.media_type") === "image/png")
+        .select(col("doc_id"),
+          expr("""transform(sequence(0, 7), i ->
+                 | xxhash64(substr(payload, cast(i * 16 + 1 as int), 16)))
+                 |""".stripMargin).as("features"))
+    },
+    // Frame sampling for "video" payloads: every k-th 32-byte frame —
+    // the mapping (frame index → byte offsets) is the real plumbing a
+    // frame sampler needs; the frame "content" is the raw slice hash.
+    "mm_frame_sample" -> { (s, dir) =>
+      withMedia(Tables(s, dir, "documents"))
+        .filter(col("meta.media_type") === "video/mp4")
+        .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
+          posexplode(expr(
+            """transform(sequence(0, cast((meta.byte_len - 1) div 96 as int)),
+              | f -> cast(f * 96 as bigint))""".stripMargin)))
+        .withColumnRenamed("pos", "frame_no")
+        .withColumnRenamed("col", "frame_offset")
+        .select("doc_id", "frame_no", "frame_offset")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |      WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |      ELSE 'video/mp4' END AS media_type,
+        | CAST(strlen(text) AS BIGINT) AS byte_len,
+        | CAST(strlen(text) % 64 + 1 AS INT) AS width,
+        | CAST(strlen(text) % 48 + 1 AS INT) AS height
+        |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(x // 96 AS INT) AS frame_no, x AS frame_offset
+        |FROM (
+        | SELECT doc_id,
+        |  unnest([f * 96 for f in range(0, (strlen(text) - 1) // 96 + 1)]) AS x
+        | FROM documents WHERE doc_id % 3 = 2) t""".stripMargin)
+}

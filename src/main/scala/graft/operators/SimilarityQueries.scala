@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (north-star surface).
+  *
+  * Two paths:
+  *  - `sim_topk_bruteforce`: exact cosine top-k — the correctness baseline.
+  *    The query set is broadcast against the candidate corpus, so the plan
+  *    is one scan of the big side with a broadcast-nested-loop — at 100 TB
+  *    this is the "small query batch × huge corpus" shape, which is exactly
+  *    what a brute-force ANN pass should look like (no shuffle of the
+  *    corpus, map-side top-k via the window partition on query_id).
+  *  - `sim_ann_lsh`: random-hyperplane LSH (4 tables × 8 bits) — candidates
+  *    share a bucket in at least one table; top-k within candidates. The
+  *    bucket equi-join replaces the cartesian, so corpus×corpus search
+  *    scales as a shuffled hash join on bucket keys.
+  *
+  * Hyperplanes are deterministic: component k of plane j has sign given by
+  * the parity of xxhash64(j·1000003 + k) — reproducible with no stored
+  * model and identically computable on any executor.
+  */
+object SimilarityQueries {
+
+  private val cosExpr =
+    """aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, z) -> acc + z)
+      | / (sqrt(aggregate(va, 0D, (acc, x) -> acc + x * x))
+      |  * sqrt(aggregate(vb, 0D, (acc, x) -> acc + x * x)))""".stripMargin
+
+  /** ±1 pseudo-random hyperplane signs from a hash — same on both engines
+    * is not required (no oracle for the LSH path). */
+  private def planeSignExpr(plane: Int, dim: Int): String =
+    s"""aggregate(zip_with(v, sequence(0, ${dim - 1}),
+       | (x, k) -> x * (cast((xxhash64(${plane} * 1000003 + k) & 1) * 2 AS DOUBLE) - 1.0)),
+       | 0D, (acc, z) -> acc + z)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact top-5 neighbors for query vectors vec_id < 10 over the rest.
+    "sim_topk_bruteforce" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("va"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("vb"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      c.crossJoin(broadcast(q))
+        .withColumn("cos", expr(cosExpr))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk")
+    },
+    // LSH-bucketed ANN: same query set, approximate candidates.
+    // No oracle (hash-defined buckets aren't ANSI-SQL-expressible);
+    // recall vs. brute force is asserted in SimilaritySpec.
+    "sim_ann_lsh" -> { (s, dir) =>
+      val dim = 64
+      val tables = 4
+      val bitsPerTable = 8
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      // bucket key per LSH table: 8 sign bits packed into a long
+      val bucketCols = (0 until tables).map { t =>
+        val bits = (0 until bitsPerTable).map { b =>
+          val plane = t * bitsPerTable + b
+          s"(CASE WHEN ${planeSignExpr(plane, dim)} > 0 THEN ${1L << b}L ELSE 0L END)"
+        }.mkString(" + ")
+        struct(lit(t).as("tbl"), expr(bits).as("bucket"))
+      }
+      val hashed = e.select(col("vec_id"), col("v"),
+          explode(array(bucketCols: _*)).as("bk"))
+        .select(col("vec_id"), col("v"),
+          col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+      val q = hashed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+      val c = hashed.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
+      // dedupe candidate id-pairs first, then join the vectors back —
+      // avoids hashing array columns through the distinct.
+      val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+        .select("query_id", "neighbor_id").distinct()
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      cand
+        .join(broadcast(e.select(col("vec_id").as("query_id"), col("v").as("va"))),
+          Seq("query_id"))
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("vb")),
+          Seq("neighbor_id"))
+        .withColumn("cos", expr(cosExpr))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      """SELECT query_id, neighbor_id, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                    CAST(c.embedding AS DOUBLE[])) DESC,
+        |             c.vec_id) AS rnk
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 10 AND c.vec_id >= 10
+        |) t WHERE rnk <= 5""".stripMargin)
+}

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry oracles (mirrors the driver's t2 gate).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+SQL from oracle_sql.json in DuckDB with views over <sfDir>/*.parquet, and
+compares: columns sorted by name, rows sorted by all columns, exact match
+for non-floats, near-exact (rel 1e-12) report for floats.
+
+Driver-side python only (duckdb/pandas/pyarrow) — not part of the library.
+"""
+import sys, json, glob, os, math
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), na_position="last",
+                            kind="mergesort").reset_index(drop=True)
+    return df
+
+def compare(name, spark_df, oracle_df):
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        return f"SCHEMA cols spark={sorted(spark_df.columns)} oracle={sorted(oracle_df.columns)}"
+    if len(spark_df) != len(oracle_df):
+        return f"ROWS spark={len(spark_df)} oracle={len(oracle_df)}"
+    a, b = canon(spark_df), canon(oracle_df)
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = av.astype(float); bv = bv.astype(float)
+            bad = ~((av.isna() & bv.isna()) | (av == bv))
+            if bad.any():
+                close = ((av - bv).abs() <= 1e-9 * (bv.abs() + 1)) | (av.isna() & bv.isna())
+                n_exact_bad = int(bad.sum()); n_far = int((~close).sum())
+                return (f"FLOAT col {col}: {n_exact_bad} not bit-equal, "
+                        f"{n_far} beyond 1e-9 (first: spark={av[bad].iloc[0]!r} oracle={bv[bad].iloc[0]!r})")
+        else:
+            av2 = av.astype(object).where(pd.notna(av), None)
+            bv2 = bv.astype(object).where(pd.notna(bv), None)
+            neq = [i for i, (x, y) in enumerate(zip(av2, bv2)) if x != y and not (x is None and y is None)]
+            if neq:
+                i = neq[0]
+                return f"VAL col {col}: {len(neq)} mismatches (first @{i}: spark={av2[i]!r} oracle={bv2[i]!r})"
+    return None
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        t = os.path.basename(p)[:-len(".parquet")]
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_ok = n_bad = n_weak = 0
+    for name in names:
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        spark_df = pd.concat([pd.read_parquet(f) for f in files]) if files \
+            else pd.DataFrame()
+        if name not in oracle:
+            status = f"rows-only ({len(spark_df)} rows)"
+            if len(spark_df) == 0:
+                n_bad += 1; status += "  <-- EMPTY (weak check would fail)"
+            else:
+                n_weak += 1
+            print(f"[weak] {name}: {status}")
+            continue
+        try:
+            oracle_df = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle SQL error: {e}")
+            n_bad += 1
+            continue
+        err = compare(name, spark_df, oracle_df)
+        if err:
+            print(f"[FAIL] {name}: {err}")
+            n_bad += 1
+        else:
+            print(f"[ok]   {name} ({len(spark_df)} rows)")
+            n_ok += 1
+    extra = set(oracle) - set(names)
+    for name in sorted(extra):
+        print(f"[FAIL] {name}: oracle present but no spark output")
+        n_bad += 1
+    print(f"\n{n_ok} ok, {n_weak} weak(rows-only), {n_bad} failed")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
