@@ -57,6 +57,15 @@ object TextQueries {
     "text_fingerprint" -> { (s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"), md5(col("text")).as("fp"))
+    },
+    // 64-bit polynomial rolling hash via a custom codegen'd Catalyst
+    // expression (graft.functions.RollingHash). No oracle: mod-2^64
+    // wraparound isn't expressible in DuckDB BIGINT arithmetic; semantics
+    // are pinned by RollingHashSpec instead.
+    "text_rollinghash" -> { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        graft.functions.RollingHash.rolling_hash(col("text")).as("rh"))
     })
 
   /** shared SQL fragment mirroring `occ` exactly */

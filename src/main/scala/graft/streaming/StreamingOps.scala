@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` stream shape
+  * (event_id, ts nanos, user_id, event_type, value, props).
+  *
+  * The reference is strictly batch (SURVEY §2.9) — this module is the
+  * north-star streaming extension: tumbling/sliding windows with
+  * watermarks and custom sessionization state via
+  * `flatMapGroupsWithState`. Every transform works identically on a
+  * batch DataFrame (Spark runs stateful ops per-group in batch mode),
+  * which is how StreamingSpec cross-checks results against the
+  * SQL-oracled batch queries.
+  *
+  * Scale posture: watermark + windowed aggregation is incremental state
+  * keyed by (window, event_type) — state size is bounded by watermark
+  * horizon, not stream length; sessionization state is one small record
+  * per active user.
+  */
+object StreamingOps {
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(sessionId: Long, lastSec: Long,
+      count: Long, startSec: Long)
+  final case class Session(user_id: Long, session_id: Long,
+      n_events: Long, start_sec: Long, end_sec: Long)
+
+  val SessionGapSeconds = 1800L
+
+  /** raw nanos column → TimestampType (µs precision) */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling 5-minute window counts/sums with a 10-minute watermark —
+    * streaming twin of the `ev_tumbling_window` batch query. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding 10-minute window every 5 minutes (overlapping windows). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("n"))
+
+  /** Built-in session windows (30-minute gap) — one row per closed
+    * session per user. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", "30 minutes")
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start_ts"),
+        col("n_events"))
+
+  /** Custom sessionization state machine via flatMapGroupsWithState —
+    * the "KeyValueGroupedDataset custom state" north-star surface.
+    * Emits one Session row per event-batch per closed/updated session;
+    * identical arithmetic to the `ev_sessionize` batch oracle (epoch
+    * seconds, 30-min gap, per-user session counter). */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val sec = e.ts / 1000000000L
+            if (st.sessionId == 0L || sec - st.lastSec > SessionGapSeconds) {
+              if (st.sessionId != 0L)
+                out += Session(userId, st.sessionId, st.count, st.startSec, st.lastSec)
+              st = SessionState(st.sessionId + 1, sec, 1L, sec)
+            } else {
+              st = st.copy(lastSec = sec, count = st.count + 1)
+            }
+          }
+          // flush the trailing open session (batch mode: end of input)
+          if (st.sessionId != 0L)
+            out += Session(userId, st.sessionId, st.count, st.startSec, st.lastSec)
+          state.update(st)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+import graft.operators.EtlQueries
+import graft.streaming.StreamingOps._
+
+class StreamingSpec extends SparkTestBase {
+
+  private def events = Tables(spark, sfDir, "events")
+
+  test("batch sessionize (flatMapGroupsWithState) matches the SQL-oracled query") {
+    import spark.implicits._
+    val ds = events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    val got = sessionize(ds)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val expect = EtlQueries.queries("ev_sessionize")(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+  }
+
+  test("streaming sessionize over MemoryStream produces the same totals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = events
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Event]
+      .collect().sortBy(_.ts)
+    val stream = MemoryStream[Event]
+    val q = sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // two micro-batches to exercise state carry-over between batches
+      val (first, second) = all.splitAt(all.length / 2)
+      stream.addData(first.toSeq); q.processAllAvailable()
+      stream.addData(second.toSeq); q.processAllAvailable()
+      // Append emits a row per state flush; the final state of each
+      // (user, session) is the row with the max n_events — aggregate to
+      // per-user totals of the *last* emission per session.
+      val rows = spark.table("sessions")
+        .groupBy("user_id", "session_id").agg(max("n_events").as("n_events"))
+      val got = rows.groupBy("user_id")
+        .agg(max("session_id").as("n_sessions"), sum("n_events").as("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val expect = EtlQueries.queries("ev_sessionize")(spark, sfDir)
+        .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expect)
+    } finally q.stop()
+  }
+
+  test("tumbling window streaming counts match the batch oracle query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(_.ts)
+    val stream = MemoryStream[Event]
+    val q = tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      stream.addData(all.toSeq); q.processAllAvailable()
+      val got = spark.table("tumbling")
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(got == events.count())
+      // per-window counts equal the batch query's
+      val gotWindows = spark.table("tumbling")
+        .select((unix_timestamp(col("win_start")) / 300).cast("long").as("win5m"),
+          col("event_type"), col("n"))
+        .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+      val expect = EtlQueries.queries("ev_tumbling_window")(spark, sfDir)
+        .select("win5m", "event_type", "n")
+        .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+      assert(gotWindows == expect)
+    } finally q.stop()
+  }
+
+  test("session_window groupBy agrees with custom sessionization on counts") {
+    val sw = sessionWindows(events)
+    assert(sw.agg(sum("n_events")).collect()(0).getLong(0) == events.count())
+    val nSessions = sw.count()
+    val expect = EtlQueries.queries("ev_sessionize")(spark, sfDir).count()
+    assert(nSessions == expect)
+  }
+}
