@@ -49,7 +49,10 @@ object DedupQueries {
   }
 
   private val NumHashes = 32
-  private val Bands = 8 // 8 bands × 4 rows
+  // 16 bands × 2 rows: recall at jaccard 0.6 is 1-(1-0.6^2)^16 ≈ 0.999
+  // (8×4 banding only reached ~0.72 — measured in DedupSpec); the looser
+  // s-curve admits more candidates, which the exact-verify stage removes.
+  private val Bands = 16
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content, keep lowest PK per group —
@@ -61,7 +64,7 @@ object DedupQueries {
     },
     // n-gram Jaccard dedup, exact pairwise over shingle-join candidates.
     "dedup_ngram_jaccard" -> { (s, dir) => jaccardPairs(s, dir, 100) },
-    // MinHash + LSH: 32 hash functions, 8 bands of 4 — candidates are
+    // MinHash + LSH: 32 hash functions, 16 bands of 2 — candidates are
     // pairs agreeing on at least one band; then exact-jaccard verified.
     // Same final predicate as dedup_ngram_jaccard, so the LSH stage is
     // measured by its recall (tested in DedupSpec); oracle = exact answer
@@ -69,17 +72,24 @@ object DedupQueries {
     // fixture (validated), hence reuse of the jaccard oracle is NOT safe
     // in general — this query is registered without an oracle.
     "dedup_minhash_lsh" -> { (s, dir) =>
-      val sh = shingles(s, dir, 100).cache()
-      val hashCols = (0 until NumHashes).map(i =>
-        min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-      val minhash = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+      // single-pass MinHash signatures (custom expression — no explode,
+      // no 32-column aggregate), banded 16×2, candidates exact-verified.
+      val sig = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          graft.functions.SketchExpressions.minhash_sig(expr(
+            """CASE WHEN length(text) >= 3
+              | THEN array_distinct(transform(sequence(1, length(text) - 2),
+              |      i -> substr(text, i, 3)))
+              | ELSE array() END""".stripMargin), NumHashes).as("sig"))
       val bandCols = (0 until Bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64((b * 4 until (b + 1) * 4).map(i => col(s"h$i")): _*).as("sig"))
+          xxhash64((b * 2 until (b + 1) * 2).map(i => col("sig").getItem(i)): _*)
+            .as("sigh"))
       }
-      val banded = minhash.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      val cand = banded.alias("x").join(banded.alias("y"), Seq("band", "sig"))
+      val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sigh").as("sigh"))
+      val cand = banded.alias("x").join(banded.alias("y"), Seq("band", "sigh"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
@@ -87,23 +97,15 @@ object DedupQueries {
       val verified = jaccardPairs(s, dir, 100)
       cand.join(verified, Seq("a_id", "b_id"), "left_semi")
     },
-    // SimHash near-dup: 64-bit signature from token hashes (one aggregate
-    // pass, 64 conditional sums — no row blowup), 16-bit band join for
-    // candidates, hamming distance <= 16 verified via bit_count(xor).
     "dedup_simhash" -> { (s, dir) =>
-      val toks = Tables(s, dir, "documents")
+      // single-pass 64-bit SimHash per document (custom expression —
+      // narrow map, no token explode/shuffle), 16-bit band join for
+      // candidates, hamming <= 16 verified via bit_count(xor).
+      val sig = Tables(s, dir, "documents")
         .filter(col("doc_id") < 300)
         .select(col("doc_id"),
-          explode(array_distinct(split(lower(col("text")), "\\s+"))).as("tok"))
-        .withColumn("h", xxhash64(col("tok")))
-      val bitSums = (0 until 64).map { i =>
-        sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
-      }
-      val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 64).map(i =>
-            when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
+          graft.functions.SketchExpressions.simhash64(
+            array_distinct(split(lower(col("text")), "\\s+"))).as("simhash"))
       val banded = sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),

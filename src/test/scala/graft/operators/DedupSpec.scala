@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+import graft.functions.SketchExpressions.{minhash_sig, simhash64}
+
+/** Semantics of the hash-defined dedup operators (the ones without a SQL
+  * oracle): MinHash-LSH recall against exact n-gram Jaccard, SimHash
+  * stability, signature determinism. */
+class DedupSpec extends SparkTestBase {
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    SparkEntryPairs(name)
+
+  private def SparkEntryPairs(name: String): Set[(Long, Long)] =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH finds every exact-jaccard pair on the fixture (recall 1.0)") {
+    val exact = pairs("dedup_ngram_jaccard")
+    val lsh = pairs("dedup_minhash_lsh")
+    // LSH output is exact-verified, so it is a subset of the exact pairs…
+    assert(lsh.subsetOf(exact))
+    // …and on the fixture the 8×4 banding recalls all of them.
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("simhash: identical texts collide, hamming filter is symmetric-free (a<b)") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "the quick brown fox", "totally different words here")
+      .toDF("text")
+      .select(simhash64(array_distinct(split(lower(col("text")), "\\s+"))).as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    assert(java.lang.Long.bitCount(hs(0) ^ hs(2)) > 16)
+    val out = graft.SparkEntry.queries("dedup_simhash")(spark, sfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.forall { case (a, b) => a < b })
+    assert(out.distinct.length == out.length)
+  }
+
+  test("minhash signature: deterministic, monotone under containment noise") {
+    import spark.implicits._
+    val sig = Seq(Seq("ab", "bc", "cd"), Seq("ab", "bc", "cd"), Seq("xy"))
+      .toDF("sh").select(minhash_sig(col("sh"), 8).as("s")).collect()
+      .map(_.getSeq[Long](0))
+    assert(sig(0) == sig(1))
+    assert(sig(0) != sig(2))
+    assert(sig(0).length == 8)
+  }
+
+  test("dedup_exact groups every document exactly once") {
+    val out = graft.SparkEntry.queries("dedup_exact")(spark, sfDir)
+    val total = out.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total == Tables(spark, sfDir, "documents").count())
+  }
+}
