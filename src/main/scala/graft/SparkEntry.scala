@@ -15,6 +15,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (CoreQueries.queries, CoreQueries.oracles),
+      (AdvancedQueries.queries, AdvancedQueries.oracles),
       (EtlQueries.queries, EtlQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Second-wave operator coverage: the SQL entry point (`spark.sql` over
+  * registered temp views), pivot, explode/lateral, as-of join, exact
+  * median, UNION ALL, grouping sets, and approximate aggregates.
+  */
+object AdvancedQueries {
+
+  private def money(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The SQL surface itself: spark.sql over temp views (TPC-H Q6 shape —
+    // exact decimal arithmetic, pushdown-friendly single-table scan).
+    "sql_q6_forecast_revenue" -> { (s, dir) =>
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+          |                       CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE)
+          |         AS revenue
+          |FROM lineitem_v
+          |WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+          |  AND l_shipdate <  TIMESTAMP_NTZ '1997-01-01 00:00:00'
+          |  AND l_discount BETWEEN 0.03 AND 0.07
+          |  AND l_quantity < 24""".stripMargin)
+    },
+    // Pivot: order counts per status × priority (Spark relational pivot;
+    // oracle via conditional aggregation — same result, engine-neutral).
+    "pivot_status_priority" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))
+    },
+    // Generator/lateral: explode document tokens → top-20 token counts.
+    "explode_token_freq" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    },
+    // As-of join: for each purchase event, the most recent prior-or-equal
+    // signup second of the same user (composed from built-ins: running
+    // last_value with ignoreNulls — no custom strategy needed).
+    "asof_last_signup" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("sec", expr("ts div 1000000000"))
+        .withColumn("signup_sec",
+          last(when(col("event_type") === "signup", col("sec")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("sec"), col("signup_sec"))
+    },
+    // Exact interpolated median over integer keys (deterministic in
+    // double: midpoint of two integers).
+    "median_order_key" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("percentile(o_orderkey, 0.5)").as("median_key"),
+          count(lit(1)).as("n"))
+    },
+    // UNION ALL (bag semantics — the distinct variant is set_union).
+    "set_union_all" -> { (s, dir) =>
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .groupBy("nationkey").agg(count(lit(1)).as("n"))
+    },
+    // GROUPING SETS with grouping_id disambiguation.
+    "grouping_sets_revenue" -> { (s, dir) =>
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          | CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    },
+    // Approximate distinct-count (HLL). No oracle: Spark's HLL++ and
+    // DuckDB's approx sketches legitimately differ; AdvancedSpec bounds
+    // the relative error against the exact count instead.
+    "approx_distinct_parts" -> { (s, dir) =>
+      Tables(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "sql_q6_forecast_revenue" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                       CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "pivot_status_priority" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        | COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "explode_token_freq" ->
+      """SELECT tok, COUNT(*) AS n FROM (
+        | SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        | FROM documents) t
+        |WHERE length(tok) > 0
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+    "asof_last_signup" ->
+      """SELECT event_id, user_id, sec, signup_sec FROM (
+        | SELECT event_id, user_id, event_type,
+        |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+        |  LAST_VALUE(CASE WHEN event_type = 'signup'
+        |             THEN CAST(FLOOR(EPOCH(ts)) AS BIGINT) END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_sec
+        | FROM events) t
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "median_order_key" ->
+      """SELECT o_orderstatus, MEDIAN(o_orderkey) AS median_key, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "set_union_all" ->
+      """SELECT nationkey, COUNT(*) AS n FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION ALL SELECT s_nationkey AS nationkey FROM supplier) t
+        |GROUP BY nationkey""".stripMargin,
+    "grouping_sets_revenue" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+}

@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+class AdvancedSpec extends SparkTestBase {
+
+  test("approx_count_distinct within 5% of exact at sf0.001") {
+    val row = SparkEntry.queries("approx_distinct_parts")(spark, sfDir).collect()(0)
+    val li = Tables(spark, sfDir, "lineitem")
+    val exactParts = li.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    val exactOrders = li.select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+    assert(math.abs(row.getLong(0) - exactParts).toDouble / exactParts < 0.05)
+    assert(math.abs(row.getLong(1) - exactOrders).toDouble / exactOrders < 0.05)
+  }
+
+  test("asof join: every purchase with a prior signup gets the latest one") {
+    val out = SparkEntry.queries("asof_last_signup")(spark, sfDir)
+    val purchases = Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(out.count() == purchases)
+    // signup_sec never exceeds the event's own second
+    assert(out.filter(col("signup_sec") > col("sec")).count() == 0)
+  }
+
+  test("pivot row-sums equal total order count") {
+    val out = SparkEntry.queries("pivot_status_priority")(spark, sfDir)
+    val total = out.agg(sum(col("n_f") + col("n_o") + col("n_p"))).collect()(0).getLong(0)
+    assert(total == Tables(spark, sfDir, "orders").count())
+  }
+}

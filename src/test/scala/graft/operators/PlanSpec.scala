@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import graft.{SparkEntry, SparkTestBase}
+
+/** Plan-shape guards for the 100 TB posture: filters reach the parquet
+  * scan, projections prune the read schema, dimension joins broadcast,
+  * aggregates have a partial (map-side) phase, and the sketch
+  * expressions stay inside whole-stage codegen. A plan regression here
+  * is a scale bug even when results stay correct. */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1: shipdate filter is pushed to the parquet scan") {
+    val plan = planOf("q1_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter:\n$plan")
+  }
+
+  test("p1_projection: read schema pruned to the 3 selected columns") {
+    val plan = planOf("p1_projection")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("c_custkey") && read.contains("c_name") &&
+      read.contains("c_acctbal") && !read.contains("c_mktsegment") &&
+      !read.contains("c_nationkey"), s"unpruned read: $read")
+  }
+
+  test("q5: dimension joins are broadcast (no shuffle of the fact table for dims)") {
+    val plan = planOf("q5_nation_revenue")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("q1: aggregation has a partial (map-side) phase before the shuffle") {
+    val plan = planOf("q1_pricing_summary")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"no partial aggregation:\n$plan")
+  }
+
+  test("semi/anti joins plan as join operators, not subquery re-scans") {
+    assert(planOf("join_semi").contains("LeftSemi"))
+    assert(planOf("join_anti").contains("LeftAnti"))
+  }
+
+  test("pk-range filter on lineitem is pushed down (composite lexicographic)") {
+    val plan = planOf("p4_pk_range")
+    // the per-column bounding box of the lexicographic range reaches parquet
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("l_orderkey"), s"no pushdown:\n$plan")
+  }
+
+  test("sort_limit_topn plans as TakeOrderedAndProject (no global sort)") {
+    val plan = planOf("sort_limit_topn")
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort used:\n$plan")
+  }
+
+  test("sim_topk_bruteforce: corpus is not shuffled — query side broadcasts") {
+    val plan = planOf("sim_topk_bruteforce")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"corpus got shuffled:\n$plan")
+  }
+}
