@@ -86,6 +86,20 @@ object AdvancedQueries {
           |FROM lineitem_v
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
     },
+    // Skew-safe two-phase aggregation: heavy-hitter keys (event_type has
+    // ~5 values over 100k+ rows) are salted into 16 sub-keys for the
+    // partial phase, then re-aggregated — at cluster scale this bounds
+    // any single reducer's input regardless of key skew. Result is
+    // identical to the plain GROUP BY (the oracle).
+    "skew_salted_agg" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"), pmod(col("event_id"), lit(16)).as("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(money(col("value"))).as("pv"))
+        .groupBy("event_type")
+        .agg(sum(col("pn")).as("n"),
+          sum(col("pv")).cast(DoubleType).as("total_value"))
+    },
     // Approximate distinct-count (HLL). No oracle: Spark's HLL++ and
     // DuckDB's approx sketches legitimately differ; AdvancedSpec bounds
     // the relative error against the exact count instead.
@@ -129,6 +143,10 @@ object AdvancedQueries {
     "median_order_key" ->
       """SELECT o_orderstatus, MEDIAN(o_orderkey) AS median_key, COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "skew_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "set_union_all" ->
       """SELECT nationkey, COUNT(*) AS n FROM (
         | SELECT c_nationkey AS nationkey FROM customer
