@@ -95,6 +95,28 @@ object SimilarityQueries {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select("query_id", "neighbor_id", "rnk")
+    },
+    // Per-label centroids: posexplode + (label, dim) aggregate — the
+    // standard distributed "mean vector per class" shape (one shuffle
+    // keyed by (label, dim); reassembly is a cheap driver-side sort or
+    // array_agg downstream). avg is rounded to 4 decimals on both
+    // engines to absorb summation-order ulps.
+    "vec_centroids" -> { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").as("dim"))
+        .agg(round(avg(col("col").cast("double")), 4).as("mean_val"),
+          count(lit(1)).as("n"))
+        .select("label", "dim", "mean_val", "n")
+    },
+    // L2 norms per vector (sequential fold inside the array — order-
+    // deterministic on both engines; rounded to 4 decimals).
+    "vec_norms" -> { (s, dir) =>
+      Tables(s, dir, "embeddings").select(
+        col("vec_id"),
+        round(sqrt(expr(
+          "aggregate(transform(embedding, x -> cast(x as double)), 0D, (a, x) -> a + x * x)")), 4)
+          .as("l2_norm"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -107,5 +129,19 @@ object SimilarityQueries {
         |             c.vec_id) AS rnk
         | FROM embeddings q, embeddings c
         | WHERE q.vec_id < 10 AND c.vec_id >= 10
-        |) t WHERE rnk <= 5""".stripMargin)
+        |) t WHERE rnk <= 5""".stripMargin,
+    "vec_centroids" ->
+      """SELECT label, dim, ROUND(AVG(v), 4) AS mean_val, COUNT(*) AS n
+        |FROM (
+        | SELECT label,
+        |  CAST(unnest(range(len(embedding))) AS INT) AS dim,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v
+        | FROM embeddings) t
+        |GROUP BY label, dim""".stripMargin,
+    "vec_norms" ->
+      """SELECT vec_id,
+        | ROUND(SQRT(list_aggregate(
+        |   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 4)
+        |  AS l2_norm
+        |FROM embeddings""".stripMargin)
 }
