@@ -1,6 +1,9 @@
 package graft.app
 
 import java.sql.{DriverManager, Types}
+import java.util.concurrent.Executors
+import scala.concurrent.duration._
+import scala.concurrent.{Await, ExecutionContext, Future}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
 import graft.{GraftSession, Tables}
@@ -74,48 +77,65 @@ object ConverterApp {
       val existing = Catalog.listTables(conn, Dialect.Derby)
         .map(_._2.toUpperCase).toSet
 
-      var totalRecords = 0L
-      var totalBytes = 0L
       val t0 = System.currentTimeMillis()
-      tables.foreach { t =>
+
+      // --- phase 1 (sequential, driver-side): DDL with mode gates (J2).
+      // The reference also runs DDL before any data moves
+      // (Converter.java:69-83).
+      final case class Plan(table: String, spec: graft.catalog.TableSpec,
+          copyData: Boolean, reason: String)
+      val plans = tables.map { t =>
         val df = Tables(spark, sfDir, t)
         val spec = specFromStruct(t, df.schema, enforceablePks(t))
-        if (!spec.hasPrimaryKey) {
-          println(s"[convert] $t: skipped (no primary key)")
-        } else {
-        // stage 1: DDL with mode gate (J2)
-        val script = DdlGenerator.script(spec, Dialect.Derby, mode,
-          existing.contains(t.toUpperCase), cfg) match {
-          case Left(err) => throw new IllegalStateException(err)
-          case Right(s) => s
-        }
-        val st = conn.createStatement()
-        script.foreach(st.executeUpdate)
-        st.close()
-        val skippedExisting = script.isEmpty && existing.contains(t.toUpperCase)
-        // stage 3: data copy (SkipExisting copies only into empty
-        // destination tables — README.md:18)
-        val destCount =
-          if (!skippedExisting) 0L
-          else {
-            val rs = conn.createStatement().executeQuery(s"SELECT COUNT(*) FROM $t")
-            rs.next(); rs.getLong(1)
+        if (!spec.hasPrimaryKey) Plan(t, spec, copyData = false, "no primary key")
+        else {
+          val script = DdlGenerator.script(spec, Dialect.Derby, mode,
+            existing.contains(t.toUpperCase), cfg) match {
+            case Left(err) => throw new IllegalStateException(err)
+            case Right(s) => s
           }
-        if (mode == ConvertMode.SkipAll ||
-            (mode == ConvertMode.SkipExisting && destCount > 0)) {
-          println(s"[convert] $t: data skipped (mode=$mode, destRows=$destCount)")
-        } else {
-          val rpc = CopyPlanner.rowsPerCommit(spec, cfg)
-          val report = DataCopier.writeJdbc(df, url, t, cfg, rpc)
-          totalRecords += report.records
-          totalBytes += report.bytes
-          println(s"[convert] $t: ${report.records} records, ${report.bytes} bytes, " +
-            s"rowsPerCommit=$rpc, ${report.elapsedMillis} ms")
-        }
+          val st = conn.createStatement()
+          script.foreach(st.executeUpdate)
+          st.close()
+          val skippedExisting = script.isEmpty && existing.contains(t.toUpperCase)
+          val destCount =
+            if (!skippedExisting) 0L
+            else {
+              val rs = conn.createStatement().executeQuery(s"SELECT COUNT(*) FROM $t")
+              rs.next(); rs.getLong(1)
+            }
+          if (mode == ConvertMode.SkipAll ||
+              (mode == ConvertMode.SkipExisting && destCount > 0))
+            Plan(t, spec, copyData = false, s"mode=$mode, destRows=$destCount")
+          else Plan(t, spec, copyData = true, "")
         }
       }
-      println(s"[convert] TOTAL: $totalRecords records, $totalBytes bytes, " +
-        s"${System.currentTimeMillis() - t0} ms")
+
+      // --- phase 2: table-level fan-out (X1) — `numberOfTableWorkers`
+      // concurrent per-table Spark jobs on a FAIR scheduler, the Spark
+      // shape of the reference's fixed table-worker pool
+      // (DataCopier.java:167-190). Failures propagate (X6 fix).
+      spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
+      val pool = Executors.newFixedThreadPool(cfg.numberOfTableWorkers)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      val futures = plans.map { p =>
+        if (!p.copyData) Future {
+          println(s"[convert] ${p.table}: data skipped (${p.reason})")
+          (0L, 0L)
+        } else Future {
+          val rpc = CopyPlanner.rowsPerCommit(p.spec, cfg)
+          val df = Tables(spark, sfDir, p.table)
+          val report = DataCopier.writeJdbc(df, url, p.table, cfg, rpc)
+          println(s"[convert] ${p.table}: ${report.records} records, " +
+            s"${report.bytes} bytes, rowsPerCommit=$rpc, ${report.elapsedMillis} ms")
+          (report.records, report.bytes)
+        }
+      }
+      val results = Await.result(Future.sequence(futures),
+        cfg.tableWorkerMaxWaitMinutes.minutes)
+      pool.shutdown()
+      println(s"[convert] TOTAL: ${results.map(_._1).sum} records, " +
+        s"${results.map(_._2).sum} bytes, ${System.currentTimeMillis() - t0} ms")
     } finally conn.close()
     spark.stop()
   }
