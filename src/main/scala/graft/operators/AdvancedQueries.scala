@@ -100,6 +100,41 @@ object AdvancedQueries {
         .agg(sum(col("pn")).as("n"),
           sum(col("pv")).cast(DoubleType).as("total_value"))
     },
+    // TPC-H Q4 shape: per-priority count of orders having at least one
+    // late lineitem in a quarter (EXISTS → left-semi join).
+    "q4_order_priority" -> { (s, dir) =>
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01 00:00:00").cast(TimestampNTZType) &&
+          col("o_orderdate") < lit("1996-10-01 00:00:00").cast(TimestampNTZType))
+      val late = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-01-01 00:00:00").cast(TimestampNTZType))
+        .select(col("l_orderkey").as("o_orderkey"))
+      ord.join(late, Seq("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+    // TPC-H Q12 shape: conditional aggregation — high/low-priority line
+    // counts per return flag.
+    "q12_priority_lines" -> { (s, dir) =>
+      val ord = Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      Tables(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("low_line_count"))
+    },
+    // Sliding windows as a batch query: 10-minute windows every 5 minutes
+    // — each event lands in exactly two windows (integer bucket algebra,
+    // fully oracle-able; the streaming twin is StreamingOps.slidingCounts).
+    "ev_sliding_window" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("b", expr("ts div 300000000000"))
+        .select(col("event_id"), explode(array(col("b"), col("b") - 1)).as("win"))
+        .groupBy("win").agg(count(lit(1)).as("n"))
+    },
     // Approximate distinct-count (HLL). No oracle: Spark's HLL++ and
     // DuckDB's approx sketches legitimately differ; AdvancedSpec bounds
     // the relative error against the exact count instead.
@@ -143,6 +178,29 @@ object AdvancedQueries {
     "median_order_key" ->
       """SELECT o_orderstatus, MEDIAN(o_orderkey) AS median_key, COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |              AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        | SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        |  AS high_line_count,
+        | SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        |  AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin,
+    "ev_sliding_window" ->
+      """SELECT win, COUNT(*) AS n FROM (
+        | SELECT event_id,
+        |  unnest([CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 300,
+        |          CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 300 - 1]) AS win
+        | FROM events) t
+        |GROUP BY win""".stripMargin,
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
