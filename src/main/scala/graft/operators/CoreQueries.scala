@@ -123,6 +123,51 @@ object CoreQueries {
         .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2)
           .cast(DoubleType).as("revenue"))
     },
+    "q10_returned_revenue" -> { (s, dir) =>
+      // top-20 customers by revenue of returned items (fact filtered,
+      // dims broadcast, top-k via TakeOrdered).
+      val cust = Tables(s, dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+      val ord = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2)
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    "q14_promo_share" -> { (s, dir) =>
+      val part = Tables(s, dir, "part").select("p_partkey", "p_type")
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= tsNtz("1996-01-01 00:00:00") &&
+          col("l_shipdate") < tsNtz("1996-07-01 00:00:00"))
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO",
+            revenue(col("l_extendedprice"), col("l_discount")))
+            .otherwise(lit(0).cast(DecimalType(1, 0)))), 2)
+            .cast(DoubleType).as("promo_revenue"),
+          round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2)
+            .cast(DoubleType).as("total_revenue"))
+    },
+    "q19_bracketed_revenue" -> { (s, dir) =>
+      // disjunctive bracketed predicates (brand × size × quantity bands)
+      val part = Tables(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val li = Tables(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 40)))
+        .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2)
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
     "join_semi" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
       val o = Tables(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
@@ -321,6 +366,32 @@ object CoreQueries {
         | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT
+        | CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,4)))
+        |   ELSE CAST(0 AS DECIMAL(1,0)) END), 2) AS DOUBLE) AS promo_revenue,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'""".stripMargin,
+    "q19_bracketed_revenue" ->
+      """SELECT
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 40)""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
