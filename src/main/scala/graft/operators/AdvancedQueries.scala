@@ -100,6 +100,41 @@ object AdvancedQueries {
         .agg(sum(col("pn")).as("n"),
           sum(col("pv")).cast(DoubleType).as("total_value"))
     },
+    // TPC-H Q2 shape: min-per-group + join back (cheapest supplier per
+    // nation by acctbal, with PK tiebreak resolved by window rank).
+    "q2_min_cost_supplier" -> { (s, dir) =>
+      val w = Window.partitionBy("s_nationkey")
+        .orderBy(col("s_acctbal"), col("s_suppkey"))
+      Tables(s, dir, "supplier")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("s_nationkey", "s_suppkey", "s_name")
+    },
+    // TPC-H Q15 shape: aggregate view + select the maximum of the
+    // aggregate (supplier(s) with the highest 1996 revenue).
+    "q15_top_supplier" -> { (s, dir) =>
+      val rev = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampNTZType) &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast(TimestampNTZType))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(round(sum(money(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(1, 0)) - col("l_discount").cast(DecimalType(8, 4)))), 2)
+          .cast(DoubleType).as("total_revenue"))
+      rev.join(broadcast(rev.agg(max("total_revenue").as("total_revenue"))),
+          Seq("total_revenue"))
+        .select("supplier_no", "total_revenue")
+    },
+    // TPC-H Q18 shape: HAVING over a grouped fact, joined back to the
+    // dimension rows (orders whose total quantity exceeds 300).
+    "q18_large_orders" -> { (s, dir) =>
+      val big = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(money(col("l_quantity"))).cast(DoubleType).as("total_qty"))
+        .filter(col("total_qty") > 300.0)
+      Tables(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "o_custkey", "total_qty")
+    },
     // TPC-H Q4 shape: per-priority count of orders having at least one
     // late lineitem in a quarter (EXISTS → left-semi join).
     "q4_order_priority" -> { (s, dir) =>
@@ -178,6 +213,31 @@ object AdvancedQueries {
     "median_order_key" ->
       """SELECT o_orderstatus, MEDIAN(o_orderkey) AS median_key, COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """SELECT s_nationkey, s_suppkey, s_name FROM (
+        | SELECT s_nationkey, s_suppkey, s_name,
+        |  ROW_NUMBER() OVER (PARTITION BY s_nationkey
+        |                     ORDER BY s_acctbal, s_suppkey) AS rn
+        | FROM supplier) t WHERE rn = 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        | SELECT l_suppkey AS supplier_no,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE)
+        |   AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        | GROUP BY l_suppkey)
+        |SELECT supplier_no, total_revenue FROM rev
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, total_qty FROM orders
+        |JOIN (SELECT l_orderkey,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 300.0) t
+        |ON o_orderkey = l_orderkey""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
         |FROM orders o

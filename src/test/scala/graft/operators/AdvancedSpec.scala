@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 import graft.{SparkEntry, SparkTestBase, Tables}
 
@@ -21,6 +22,32 @@ class AdvancedSpec extends SparkTestBase {
     assert(out.count() == purchases)
     // signup_sec never exceeds the event's own second
     assert(out.filter(col("signup_sec") > col("sec")).count() == 0)
+  }
+
+  test("typed ByteAccounting aggregator matches expression-based byte totals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val docs = Tables(spark, sfDir, "documents")
+    // typed path
+    val typed = docs.select(col("text")).as[String]
+      .select(graft.functions.ByteAccounting.toColumn).collect()(0)
+    // untyped/udaf path
+    val viaUdaf = docs.select(
+      udaf(graft.functions.ByteAccounting, Encoders.STRING)(col("text")))
+      .collect()(0).getStruct(0)
+    // expression-based reference value
+    val expect = docs.agg(
+      count(lit(1)).as("r"),
+      sum(expr("octet_length(text)")).as("b")).collect()(0)
+    assert(typed.records == expect.getLong(0) && typed.bytes == expect.getLong(1))
+    assert(viaUdaf.getLong(0) == expect.getLong(0) &&
+      viaUdaf.getLong(1) == expect.getLong(1))
+  }
+
+  test("q15: every returned supplier carries the global max revenue") {
+    val out = SparkEntry.queries("q15_top_supplier")(spark, sfDir)
+    assert(out.count() >= 1)
+    assert(out.select("total_revenue").distinct().count() == 1)
   }
 
   test("pivot row-sums equal total order count") {
