@@ -38,6 +38,18 @@ object SimilarityQueries {
        | (x, k) -> x * (cast((xxhash64(${plane} * 1000003 + k) & 1) * 2 AS DOUBLE) - 1.0)),
        | 0D, (acc, z) -> acc + z)""".stripMargin
 
+  /** label-mean centroids (4-decimal-rounded, dim-ordered arrays) with
+    * their squared norms — shared by ivf_assign / sim_ann_ivf. */
+  private def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col").cast("double")), 4).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dm"))
+      .select(col("label").as("c_label"), expr("transform(dm, s -> s.m)").as("c"))
+      .withColumn("cnorm2", expr("aggregate(c, 0D, (a, x) -> a + x * x)"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-5 neighbors for query vectors vec_id < 10 over the rest.
     "sim_topk_bruteforce" -> { (s, dir) =>
@@ -96,6 +108,44 @@ object SimilarityQueries {
         .filter(col("rnk") <= 5)
         .select("query_id", "neighbor_id", "rnk")
     },
+    // IVF assignment step: each vector → nearest centroid by L2 (argmin
+    // over |c|² − 2·v·c; |v|² is constant per vector). Centroids are the
+    // 4-decimal-rounded per-label means, so both engines score from
+    // identical inputs. This is the coarse-quantizer half of IVF-ANN:
+    // at 100 TB the corpus is bucketed by centroid once, and queries
+    // probe only their nearest bucket(s) (sim_ann_ivf).
+    "ivf_assign" -> { (s, dir) =>
+      val cent = ivfCentroids(s, dir)
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val w = Window.partitionBy("vec_id").orderBy(col("score"), col("c_label"))
+      v.crossJoin(broadcast(cent))
+        .withColumn("score", col("cnorm2") - lit(2) * expr(
+          "aggregate(zip_with(v, c, (x, y) -> x * y), 0D, (a, z) -> a + z)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_label").as("centroid"))
+    },
+    // IVF search: probe only the query's centroid bucket, exact top-3
+    // within it. Rows-only (bucket content is argmin-defined on floats);
+    // SimilaritySpec checks the IVF results against brute force.
+    "sim_ann_ivf" -> { (s, dir) =>
+      val assign = queries("ivf_assign")(s, dir)
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .join(assign, "vec_id")
+      val q = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("va"), col("centroid"))
+      val c = v.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("centroid"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      c.join(broadcast(q), Seq("centroid"))
+        .withColumn("cos", expr(cosExpr))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "rnk")
+    },
     // Per-label centroids: posexplode + (label, dim) aggregate — the
     // standard distributed "mean vector per class" shape (one shuffle
     // keyed by (label, dim); reassembly is a cheap driver-side sort or
@@ -130,6 +180,24 @@ object SimilarityQueries {
         | FROM embeddings q, embeddings c
         | WHERE q.vec_id < 10 AND c.vec_id >= 10
         |) t WHERE rnk <= 5""".stripMargin,
+    "ivf_assign" ->
+      """WITH m AS (
+        | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
+        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+        |   CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings) t GROUP BY 1, 2),
+        |cent AS (
+        | SELECT label AS c_label, list(m ORDER BY dim) AS c FROM m GROUP BY label),
+        |cent2 AS (
+        | SELECT c_label, c,
+        |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
+        | FROM cent),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id, c_label AS centroid FROM (
+        | SELECT vec_id, c_label,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
+        | FROM v, cent2) t WHERE rn = 1""".stripMargin,
     "vec_centroids" ->
       """SELECT label, dim, ROUND(AVG(v), 4) AS mean_val, COUNT(*) AS n
         |FROM (

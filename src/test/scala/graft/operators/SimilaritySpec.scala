@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+/** ANN semantics for the hash/argmin-defined paths without SQL oracles. */
+class SimilaritySpec extends SparkTestBase {
+
+  private def topk(name: String): Map[Long, Seq[Long]] =
+    SparkEntry.queries(name)(spark, sfDir)
+      .orderBy("query_id", "rnk").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSeq }
+
+  test("ivf_assign: every vector gets exactly one centroid") {
+    val out = SparkEntry.queries("ivf_assign")(spark, sfDir)
+    val n = Tables(spark, sfDir, "embeddings").count()
+    assert(out.count() == n)
+    assert(out.select("vec_id").distinct().count() == n)
+    // all 10 label-centroids are used (random data spreads assignments)
+    assert(out.select("centroid").distinct().count() > 1)
+  }
+
+  test("sim_ann_ivf returns ranked neighbors from the query's bucket only") {
+    val assign = SparkEntry.queries("ivf_assign")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sfDir).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(assign(r.getLong(0)) == assign(r.getLong(1)),
+        s"neighbor from a different bucket: $r")
+    }
+  }
+
+  test("lsh ANN candidates overlap brute-force top-5 (sanity recall)") {
+    val brute = topk("sim_topk_bruteforce")
+    val lsh = topk("sim_ann_lsh")
+    // every LSH-returned neighbor list is ordered and self-free
+    lsh.foreach { case (q, ns) =>
+      assert(!ns.contains(q))
+      assert(ns.distinct == ns)
+    }
+    // at least some queries recover a true top-5 neighbor (random data:
+    // LSH buckets are coarse; this is a sanity floor, not a quality bar)
+    val hits = lsh.count { case (q, ns) =>
+      brute.get(q).exists(b => ns.exists(b.contains))
+    }
+    assert(hits >= 1, s"no overlap at all between LSH and brute force: $lsh")
+  }
+}
