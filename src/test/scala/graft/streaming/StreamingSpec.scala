@@ -81,6 +81,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourNs = 3600L * 1000000000L
+    def ev(id: Long, tNs: Long) = Event(id, tNs, user_id = 1L,
+      event_type = "purchase", value = 1.0)
+    val stream = MemoryStream[Event]
+    val q = tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: events at t=0h and t=2h → watermark advances to 2h-10min
+      stream.addData(ev(1, 0L), ev(2, 2 * hourNs))
+      q.processAllAvailable()
+      // batch 2: a late event at t=0h (far behind the watermark) plus a
+      // fresh one at t=3h that finalizes earlier windows
+      stream.addData(ev(3, 0L), ev(4, 3 * hourNs))
+      q.processAllAvailable()
+      stream.addData(ev(5, 5 * hourNs)) // push watermark so 2h/3h windows close
+      q.processAllAvailable()
+      val counts = spark.table("late_test")
+        .select(unix_timestamp(col("win_start")).as("w"), col("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the t=0 window closed with ONLY the on-time event — the late
+      // arrival in batch 2 was dropped, not double-counted
+      assert(counts.get(0L).contains(1L), s"late event not dropped: $counts")
+    } finally q.stop()
+  }
+
   test("session_window groupBy agrees with custom sessionization on counts") {
     val sw = sessionWindows(events)
     assert(sw.agg(sum("n_events")).collect()(0).getLong(0) == events.count())
