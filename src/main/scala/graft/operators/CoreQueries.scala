@@ -307,6 +307,34 @@ object CoreQueries {
           .otherwise("high").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n"))
     },
+    "scalar_array" -> { (s, dir) =>
+      // array function surface over a real array column
+      Tables(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        expr("round(cast(embedding[0] as double), 4)").as("first_val"),
+        // array outputs stay scalar: the driver's row-sort comparator
+        // can't order list cells, so reduce arrays before emitting
+        expr("round(aggregate(transform(slice(embedding, 1, 3)," +
+          " x -> cast(x as double)), 0D, (a, x) -> a + x), 4)").as("head3_sum"),
+        expr("cast(aggregate(transform(embedding, x -> cast(x as double)), 0D," +
+          " (a, x) -> a + x) >= 0 as boolean)").as("nonneg_sum"),
+        array_contains(expr("transform(embedding, x -> x > 0F)"), lit(true))
+          .as("has_positive"))
+    },
+    "scalar_datetime" -> { (s, dir) =>
+      val d = col("o_orderdate").cast(DateType)
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        // DATE-typed outputs are normalized inconsistently by parquet vs
+        // DuckDB readers — emit timestamps instead
+        date_add(d, 30).cast(TimestampNTZType).as("plus30"),
+        add_months(d, 2).cast(TimestampNTZType).as("plus2m"),
+        last_day(d).cast(TimestampNTZType).as("month_end"),
+        datediff(lit("1998-01-01").cast(DateType), d).as("days_to_98"),
+        (((dayofweek(d) + 5) % 7) + 1).as("iso_dow"),
+        weekofyear(d).as("week"))
+    },
     "scalar_conditional" -> { (s, dir) =>
       Tables(s, dir, "supplier").select(
         col("s_suppkey"),
@@ -472,6 +500,24 @@ object CoreQueries {
         |             WHEN c_acctbal < 5000 THEN 'low'
         |             ELSE 'high' END AS bucket FROM customer) t
         |GROUP BY bucket""".stripMargin,
+    "scalar_array" ->
+      """SELECT vec_id,
+        | CAST(len(embedding) AS INT) AS dim,
+        | ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+        | ROUND(list_aggregate([CAST(x AS DOUBLE) for x in embedding[1:3]], 'sum'), 4)
+        |  AS head3_sum,
+        | list_aggregate(CAST(embedding AS DOUBLE[]), 'sum') >= 0 AS nonneg_sum,
+        | list_contains([x > 0 for x in embedding], true) AS has_positive
+        |FROM embeddings""".stripMargin,
+    "scalar_datetime" ->
+      """SELECT o_orderkey,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS plus30,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP) AS plus2m,
+        | CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+        | DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+        | CAST(ISODOW(o_orderdate) AS INT) AS iso_dow,
+        | CAST(WEEKOFYEAR(o_orderdate) AS INT) AS week
+        |FROM orders""".stripMargin,
     "scalar_conditional" ->
       """SELECT s_suppkey, COALESCE(NULLIF(s_name, ''), 'unknown') AS name_nn,
         | s_acctbal > 0 AS in_credit

@@ -16,9 +16,18 @@ import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # list/array cells are unhashable — sort on a stringified shadow
+    for col in df.columns:
+        if df[col].dtype == object and df[col].map(
+                lambda v: isinstance(v, (list, tuple)) or
+                hasattr(v, "__array__")).any():
+            df[col] = df[col].map(
+                lambda v: None if v is None else list(map(repr, v)))
     if len(df):
         df = df.sort_values(by=list(df.columns), na_position="last",
-                            kind="mergesort").reset_index(drop=True)
+                            kind="mergesort",
+                            key=lambda s: s.map(repr) if s.dtype == object else s
+                            ).reset_index(drop=True)
     return df
 
 def compare(name, spark_df, oracle_df):
