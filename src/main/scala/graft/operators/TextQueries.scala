@@ -66,6 +66,20 @@ object TextQueries {
       Tables(s, dir, "documents").select(
         col("doc_id"),
         graft.functions.RollingHash.rolling_hash(col("text")).as("rh"))
+    },
+    // Content-defined chunking (custom expression) + chunk-level exact
+    // dedup: the cross-document shared-passage detector. Rows-only:
+    // boundary rule is hash-defined; invariants pinned in ChunkSpec.
+    "text_chunk_dedup" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.ContentChunks.content_chunks(col("text")))
+            .as("chunk"))
+        .groupBy(md5(col("chunk")).as("chunk_hash"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
     })
 
   /** shared SQL fragment mirroring `occ` exactly */
