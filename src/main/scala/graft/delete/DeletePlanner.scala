@@ -54,6 +54,19 @@ object DeletePlanner {
       .toSeq
   }
 
+  /** O3 at scale: approximate split points via `approxQuantile` — one
+    * pass with bounded memory instead of a global row_number sort. Only
+    * for single-column numeric PKs (the common case the reference's
+    * offset probes serve); composite PKs fall back to exact probes.
+    * relativeError 0.01 keeps worker ranges within ~1% of even. */
+  def splitPointsApprox(df: org.apache.spark.sql.DataFrame, pkCol: String,
+      workers: Int, relativeError: Double = 0.01): Seq[Seq[Any]] = {
+    if (workers <= 1) return Seq.empty
+    val probs = (1 until workers).map(_.toDouble / workers).toArray
+    df.stat.approxQuantile(pkCol, probs, relativeError)
+      .distinct.sorted.map(q => Seq[Any](q.toLong)).toSeq
+  }
+
   /** Build the per-worker WHERE clauses from split points (half-open
     * lexicographic ranges; first/last unbounded). */
   def rangePredicates(pkCols: Seq[String], splits: Seq[Seq[Any]]): Seq[String] = {

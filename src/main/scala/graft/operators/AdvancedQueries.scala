@@ -14,6 +14,10 @@ object AdvancedQueries {
 
   private def money(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
+  /** typed-Dataset row shape for typed_dataset_balance (object scope —
+    * local case classes have no TypeTag for encoder derivation) */
+  final case class Cust(c_custkey: Long, c_acctbal: Double, c_mktsegment: String)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The SQL surface itself: spark.sql over temp views (TPC-H Q6 shape —
     // exact decimal arithmetic, pushdown-friendly single-table scan).
@@ -99,6 +103,63 @@ object AdvancedQueries {
         .groupBy("event_type")
         .agg(sum(col("pn")).as("n"),
           sum(col("pv")).cast(DoubleType).as("total_value"))
+    },
+    // Correlated scalar subquery (Catalyst decorrelates it into a join):
+    // customers whose account balance exceeds their nation's rounded
+    // average (threshold rounded to 4 decimals so both engines filter on
+    // the identical double).
+    "subq_above_nation_avg" -> { (s, dir) =>
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT c_custkey, c_nationkey FROM customer_v o
+          |WHERE c_acctbal > (
+          |  SELECT ROUND(CAST(AVG(CAST(i.c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 4)
+          |  FROM customer_v i WHERE i.c_nationkey = o.c_nationkey)""".stripMargin)
+    },
+    // IN-subquery (decorrelated to a semi join by Catalyst).
+    "subq_in_big_orders" -> { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_v")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem_sub_v")
+      s.sql(
+        """SELECT o_orderkey, o_orderstatus FROM orders_v
+          |WHERE o_orderkey IN (
+          |  SELECT l_orderkey FROM lineitem_sub_v WHERE l_quantity >= 49)""".stripMargin)
+    },
+    // RANGE-frame window: per customer, total order value within the
+    // trailing 30 days of each order (peer-inclusive → deterministic
+    // even under order-date ties).
+    "win_range_frame" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+        .rangeBetween(-30, 0)
+      Tables(s, dir, "orders")
+        .withColumn("day", datediff(col("o_orderdate").cast(DateType),
+          lit("1995-01-01").cast(DateType)))
+        .withColumn("trailing30_total",
+          sum(money(col("o_totalprice"))).over(w).cast(DoubleType))
+        .select("o_orderkey", "o_custkey", "day", "trailing30_total")
+    },
+    // Null semantics: null-safe equality (<=>) join and explicit null
+    // ordering. Nulls are manufactured with NULLIF (fixtures are
+    // null-free).
+    "null_safe_join" -> { (s, dir) =>
+      val a = Tables(s, dir, "customer")
+        .select(col("c_custkey"), expr("nullif(c_nationkey % 5, 0)").as("grp"))
+      val b = Tables(s, dir, "supplier")
+        .select(col("s_suppkey"), expr("nullif(s_nationkey % 5, 0)").as("grp"))
+      a.join(b, a("grp") <=> b("grp"))
+        .groupBy(coalesce(a("grp"), lit(-1)).as("grp_key"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    // Typed Dataset path: case-class encoder, typed filter/map, then
+    // back to a relational aggregate.
+    "typed_dataset_balance" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment").as[Cust]
+        .filter((c: Cust) => c.c_acctbal > 0.0)
+        .map((c: Cust) => (c.c_mktsegment, math.floor(c.c_acctbal / 1000).toLong))
+        .toDF("segment", "kbal")
+        .groupBy("segment", "kbal").agg(count(lit(1)).as("n"))
     },
     // TPC-H Q2 shape: min-per-group + join back (cheapest supplier per
     // nation by acctbal, with PK tiebreak resolved by window rank).
@@ -213,6 +274,36 @@ object AdvancedQueries {
     "median_order_key" ->
       """SELECT o_orderstatus, MEDIAN(o_orderkey) AS median_key, COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "subq_above_nation_avg" ->
+      """SELECT c_custkey, c_nationkey FROM customer o
+        |WHERE c_acctbal > (
+        |  SELECT ROUND(CAST(AVG(CAST(i.c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 4)
+        |  FROM customer i WHERE i.c_nationkey = o.c_nationkey)""".stripMargin,
+    "subq_in_big_orders" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)""".stripMargin,
+    "win_range_frame" ->
+      """SELECT o_orderkey, o_custkey, day,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY day
+        |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS trailing30_total
+        |FROM (
+        | SELECT o_orderkey, o_custkey, o_totalprice,
+        |  DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day
+        | FROM orders) t""".stripMargin,
+    "null_safe_join" ->
+      """SELECT COALESCE(a.grp, -1) AS grp_key, COUNT(*) AS n_pairs
+        |FROM (SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS grp FROM customer) a
+        |JOIN (SELECT s_suppkey, NULLIF(s_nationkey % 5, 0) AS grp FROM supplier) b
+        |ON a.grp IS NOT DISTINCT FROM b.grp
+        |GROUP BY COALESCE(a.grp, -1)""".stripMargin,
+    "typed_dataset_balance" ->
+      """SELECT c_mktsegment AS segment,
+        | CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS kbal, COUNT(*) AS n
+        |FROM customer WHERE c_acctbal > 0
+        |GROUP BY 1, 2""".stripMargin,
     "q2_min_cost_supplier" ->
       """SELECT s_nationkey, s_suppkey, s_name FROM (
         | SELECT s_nationkey, s_suppkey, s_name,
