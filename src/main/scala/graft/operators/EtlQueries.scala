@@ -130,6 +130,19 @@ object EtlQueries {
         .agg(count(lit(1)).as("n_events"),
           min("sec").as("start_sec"), max("sec").as("end_sec"))
     },
+    // Gap-filled 1-minute resample: every minute between the stream's
+    // bounds gets a row, empty minutes as zero — the densification step
+    // a training-data time-series pipeline needs before windowed
+    // featurization. Generator (sequence/explode) + broadcast left join.
+    "ev_resample_1min" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events").withColumn("minute", expr("ts div 60000000000"))
+      val counts = ev.groupBy("minute").agg(count(lit(1)).as("cnt"))
+      val bounds = ev.agg(min("minute").as("lo"), max("minute").as("hi"))
+      val minutes = bounds
+        .select(explode(expr("sequence(lo, hi)")).as("minute"))
+      minutes.join(counts, Seq("minute"), "left")
+        .select(col("minute"), coalesce(col("cnt"), lit(0L)).as("n"))
+    },
     // JSON payload extraction from the props column.
     "ev_json_extract" -> { (s, dir) =>
       Tables(s, dir, "events").select(
@@ -198,6 +211,13 @@ object EtlQueries {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
         |  FROM events) a) b
         |GROUP BY user_id, session_id""".stripMargin,
+    "ev_resample_1min" ->
+      """WITH m AS (SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 60 AS minute FROM events),
+        |c AS (SELECT minute, COUNT(*) AS cnt FROM m GROUP BY minute)
+        |SELECT g.minute, COALESCE(c.cnt, 0) AS n
+        |FROM (SELECT unnest(range((SELECT MIN(minute) FROM m),
+        |                          (SELECT MAX(minute) FROM m) + 1)) AS minute) g
+        |LEFT JOIN c ON g.minute = c.minute""".stripMargin,
     "ev_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events""".stripMargin)

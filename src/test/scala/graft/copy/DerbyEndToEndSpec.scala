@@ -99,6 +99,19 @@ class DerbyEndToEndSpec extends SparkTestBase {
     st.close(); c.close()
   }
 
+  test("observed copy reports records and bytes without a second scan (A2)") {
+    val src = graft.Tables(spark, sfDir, "customer")
+    val (df, obs) = DataCopier.observed(src, "copy_metrics",
+      Seq("c_name", "c_mktsegment"))
+    df.write.format("noop").mode("overwrite").save()
+    val row = obs.get
+    assert(row("records") == 150L)
+    val expectBytes = src.agg(
+      sum(expr("octet_length(c_name) + octet_length(c_mktsegment)")))
+      .collect()(0).getLong(0)
+    assert(row("bytes") == expectBytes)
+  }
+
   test("catalog set-algebra (J1/J2) with case-insensitive names") {
     val src = Seq((Option("APP"), "Customer"), (Option("APP"), "ORDERS"),
       (Option("APP"), "newtab"))
