@@ -133,7 +133,7 @@ object AdvancedQueries {
         .rangeBetween(-30, 0)
       Tables(s, dir, "orders")
         .withColumn("day", datediff(col("o_orderdate").cast(DateType),
-          lit("1995-01-01").cast(DateType)))
+          lit("1995-01-01").cast(DateType)).cast("long"))
         .withColumn("trailing30_total",
           sum(money(col("o_totalprice"))).over(w).cast(DoubleType))
         .select("o_orderkey", "o_custkey", "day", "trailing30_total")
@@ -339,10 +339,10 @@ object AdvancedQueries {
         |GROUP BY o_orderpriority""".stripMargin,
     "q12_priority_lines" ->
       """SELECT l_returnflag,
-        | SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-        |  AS high_line_count,
-        | SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-        |  AS low_line_count
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_returnflag""".stripMargin,
     "ev_sliding_window" ->

@@ -235,7 +235,7 @@ object CoreQueries {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       Tables(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "rn")
     },
@@ -258,8 +258,8 @@ object CoreQueries {
     "win_rank_dense" -> { (s, dir) =>
       val w = Window.orderBy(col("p_size"))
       Tables(s, dir, "part")
-        .select(col("p_partkey"), rank().over(w).as("r"),
-          dense_rank().over(w).as("dr"))
+        .select(col("p_partkey"), rank().over(w).cast("long").as("r"),
+          dense_rank().over(w).cast("long").as("dr"))
     },
 
     // ---- sorts / limits -------------------------------------------------
@@ -277,7 +277,7 @@ object CoreQueries {
         upper(col("p_brand")).as("brand_u"),
         lower(col("p_type")).as("type_l"),
         substring(col("p_name"), 1, 5).as("name5"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast("long").as("name_len"),
         concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
         trim(col("p_name")).as("name_trim"),
         regexp_replace(col("p_name"), "a", "@").as("name_sub"))
@@ -331,7 +331,7 @@ object CoreQueries {
         date_add(d, 30).cast(TimestampNTZType).as("plus30"),
         add_months(d, 2).cast(TimestampNTZType).as("plus2m"),
         last_day(d).cast(TimestampNTZType).as("month_end"),
-        datediff(lit("1998-01-01").cast(DateType), d).as("days_to_98"),
+        datediff(lit("1998-01-01").cast(DateType), d).cast("long").as("days_to_98"),
         (((dayofweek(d) + 5) % 7) + 1).as("iso_dow"),
         weekofyear(d).as("week"))
     },

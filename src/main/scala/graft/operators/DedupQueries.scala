@@ -136,7 +136,7 @@ object DedupQueries {
         .limit(20)
         .select(col("a_id"), col("b_id"),
           row_number().over(Window.orderBy(col("cos").desc, col("a_id"), col("b_id")))
-            .as("rnk"))
+            .cast("long").as("rnk"))
     })
 
   private val jaccardOracle =

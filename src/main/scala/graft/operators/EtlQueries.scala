@@ -37,7 +37,7 @@ object EtlQueries {
       val w = Window.orderBy("l_orderkey", "l_linenumber")
       Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") > 1000 && col("rn") <= 1100)
     },
     // O3/X4: keyset probes — the PK value at every ceil(n/8)-th ordinal,
@@ -45,7 +45,7 @@ object EtlQueries {
     "o3_keyset_probe" -> { (s, dir) =>
       val w = Window.orderBy("o_orderkey")
       Tables(s, dir, "orders").select(col("o_orderkey"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .withColumn("total", count(lit(1)).over(Window.partitionBy()))
         .withColumn("step", expr("(total + 7) div 8"))
         .filter(col("rn") % col("step") === 0)
@@ -55,7 +55,7 @@ object EtlQueries {
     "x4_delete_partition" -> { (s, dir) =>
       Tables(s, dir, "orders")
         .select(col("o_orderkey"),
-          ntile(8).over(Window.orderBy("o_orderkey")).as("worker"))
+          ntile(8).over(Window.orderBy("o_orderkey")).cast("long").as("worker"))
         .groupBy("worker")
         .agg(min("o_orderkey").as("begin_key"), max("o_orderkey").as("end_key"),
           count(lit(1)).as("n_rows"))
@@ -189,7 +189,7 @@ object EtlQueries {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY 1""".stripMargin,
     "a3_byte_accounting" ->
-      """SELECT SUM(8 + 8 + 8 + strlen(c_name) + strlen(c_mktsegment)) AS total_bytes,
+      """SELECT CAST(SUM(8 + 8 + 8 + strlen(c_name) + strlen(c_mktsegment)) AS BIGINT) AS total_bytes,
         | COUNT(*) AS n_rows
         |FROM customer""".stripMargin,
     "ev_tumbling_window" ->
@@ -202,9 +202,9 @@ object EtlQueries {
         | MIN(sec) AS start_sec, MAX(sec) AS end_sec
         |FROM (
         | SELECT user_id, sec,
-        |  SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
+        |  CAST(SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END)
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         | FROM (
         |  SELECT user_id, event_id, ts, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
         |   LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT), 1)

@@ -63,7 +63,7 @@ object SimilarityQueries {
         .orderBy(col("cos").desc, col("neighbor_id"))
       c.crossJoin(broadcast(q))
         .withColumn("cos", expr(cosExpr))
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select("query_id", "neighbor_id", "rnk")
     },
@@ -104,7 +104,7 @@ object SimilarityQueries {
         .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("vb")),
           Seq("neighbor_id"))
         .withColumn("cos", expr(cosExpr))
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select("query_id", "neighbor_id", "rnk")
     },
@@ -142,7 +142,7 @@ object SimilarityQueries {
         .orderBy(col("cos").desc, col("neighbor_id"))
       c.join(broadcast(q), Seq("centroid"))
         .withColumn("cos", expr(cosExpr))
-        .withColumn("rnk", row_number().over(w))
+        .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .select("query_id", "neighbor_id", "rnk")
     },
