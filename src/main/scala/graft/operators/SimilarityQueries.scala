@@ -159,6 +159,23 @@ object SimilarityQueries {
           count(lit(1)).as("n"))
         .select("label", "dim", "mean_val", "n")
     },
+    // int8 quantization (the storage/bandwidth scale path for ANN over
+    // 10^9+ vectors): per-vector absmax scale, symmetric round-to-127.
+    // Outputs are integer reductions of the quantized vector, so the
+    // oracle compare is exact integer math after one aligned rounding.
+    "vec_quantize_int8" -> { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("scale", expr(
+          "round(array_max(transform(v, x -> abs(x))), 6)"))
+        .withColumn("q", expr(
+          "transform(v, x -> cast(round(x / scale * 127, 0) as bigint))"))
+        .select(col("vec_id"), col("scale"),
+          expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+          expr("array_min(q)").as("q_min"),
+          expr("array_max(q)").as("q_max"),
+          expr("size(filter(q, x -> abs(x) = 127))").cast("long").as("n_saturated"))
+    },
     // L2 norms per vector (sequential fold inside the array — order-
     // deterministic on both engines; rounded to 4 decimals).
     "vec_norms" -> { (s, dir) =>
@@ -206,6 +223,20 @@ object SimilarityQueries {
         |  CAST(unnest(embedding) AS DOUBLE) AS v
         | FROM embeddings) t
         |GROUP BY label, dim""".stripMargin,
+    "vec_quantize_int8" ->
+      """SELECT vec_id, scale,
+        | list_aggregate(q, 'sum') AS q_sum,
+        | list_aggregate(q, 'min') AS q_min,
+        | list_aggregate(q, 'max') AS q_max,
+        | CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_saturated
+        |FROM (
+        | SELECT vec_id, scale,
+        |  [CAST(ROUND(x / scale * 127) AS BIGINT) for x in v] AS q
+        | FROM (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |   ROUND(list_aggregate([abs(x) for x in CAST(embedding AS DOUBLE[])], 'max'), 6)
+        |    AS scale
+        |  FROM embeddings) t1) t2""".stripMargin,
     "vec_norms" ->
       """SELECT vec_id,
         | ROUND(SQRT(list_aggregate(
