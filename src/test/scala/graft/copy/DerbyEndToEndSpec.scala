@@ -78,6 +78,15 @@ class DerbyEndToEndSpec extends SparkTestBase {
       sum(expr("crc32(c_mktsegment)")).as("mk")).collect()(0)
     assert(sig(back) == sig(src))
 
+    // JDBC source pushdown: a filter on the read-back frame must reach
+    // the database as a pushed predicate, not a post-scan Spark filter
+    // (at 100 TB the source prunes; Spark never sees filtered rows).
+    val pushedPlan = back.filter(col("c_acctbal") > 1000.0)
+      .queryExecution.executedPlan.toString
+    assert(pushedPlan.contains("PushedFilters") &&
+      pushedPlan.toUpperCase.contains("GREATERTHAN(C_ACCTBAL"),
+      s"filter not pushed to JDBC source:\n$pushedPlan")
+
     // --- delete: strategy threshold + partitioned range delete (S9/X4)
     assert(DeletePlanner.decide(n, cfg) == DeleteStrategy.SingleStatement)
     assert(DeletePlanner.decide(20000, cfg).isInstanceOf[DeleteStrategy.Partitioned])
