@@ -64,6 +64,20 @@ object MultimodalQueries {
                  | xxhash64(substr(payload, cast(i * 16 + 1 as int), 16)))
                  |""".stripMargin).as("features"))
     },
+    // Resize stage (STUB): 2:1 downsample in byte space — real resizing
+    // swaps in a codec kernel, but the metadata recomputation and the
+    // payload-size contract (ceil semantics, channel preservation) are
+    // the pipeline-visible behavior, and they're exact integer math.
+    "mm_resize_stub" -> { (s, dir) =>
+      withMedia(Tables(s, dir, "documents"))
+        .filter(col("meta.media_type") === "image/png")
+        .select(col("doc_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.byte_len").as("byte_len"))
+        .withColumn("new_width", expr("(width + 1) div 2").cast(IntegerType))
+        .withColumn("new_height", expr("(height + 1) div 2").cast(IntegerType))
+        .withColumn("resized_len", expr("(byte_len + 1) div 2"))
+    },
     // Frame sampling for "video" payloads: every k-th 32-byte frame —
     // the mapping (frame index → byte offsets) is the real plumbing a
     // frame sampler needs; the frame "content" is the raw slice hash.
@@ -89,6 +103,15 @@ object MultimodalQueries {
         | CAST(strlen(text) % 64 + 1 AS INT) AS width,
         | CAST(strlen(text) % 48 + 1 AS INT) AS height
         |FROM documents""".stripMargin,
+    "mm_resize_stub" ->
+      """SELECT doc_id,
+        | CAST(strlen(text) % 64 + 1 AS INT) AS width,
+        | CAST(strlen(text) % 48 + 1 AS INT) AS height,
+        | CAST(strlen(text) AS BIGINT) AS byte_len,
+        | CAST((strlen(text) % 64 + 1 + 1) // 2 AS INT) AS new_width,
+        | CAST((strlen(text) % 48 + 1 + 1) // 2 AS INT) AS new_height,
+        | (CAST(strlen(text) AS BIGINT) + 1) // 2 AS resized_len
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(x // 96 AS INT) AS frame_no, x AS frame_offset
         |FROM (

@@ -29,6 +29,20 @@ object TextQueries {
           .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
           .as("n_tokens"))
     },
+    // BPE-ish subword counting: greedy longest-match over the classes a
+    // byte-pair tokenizer's pre-tokenizer uses (letter runs, digit runs,
+    // single other-glyphs) — the cheap token-budget estimator for corpus
+    // accounting when the real vocab isn't in the loop.
+    "text_tokens_bpeish" -> { (s, dir) =>
+      val toks = expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_subtokens"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long")
+          .as("n_alpha_runs"),
+        size(expr("regexp_extract_all(lower(text), '[0-9]+', 0)")).cast("long")
+          .as("n_digit_runs"))
+    },
     "text_quality" -> { (s, dir) =>
       val t = col("text")
       Tables(s, dir, "documents").select(
@@ -94,6 +108,13 @@ object TextQueries {
         | CASE WHEN length(trim(text)) = 0 THEN 0
         |      ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
         | END AS n_tokens
+        |FROM documents""".stripMargin,
+    "text_tokens_bpeish" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |  AS n_subtokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha_runs,
+        | CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_digit_runs
         |FROM documents""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q,
