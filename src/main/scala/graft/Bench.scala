@@ -1,10 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every registered query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints ONE compact JSON line with total seconds
+  * plus per-query seconds for the headline set. The driver only keeps the
+  * tail of stdout, so the stdout JSON is kept small enough (~1 KB) to
+  * survive intact and parse; the full per-query breakdown goes to stderr
+  * and to target/bench_full.json for round-over-round analysis.
   * Each query is fully materialized via a noop-format write (count()
   * would let Spark skip computing projected columns). */
 object Bench {
+
+  /** representative slice across scans/joins/aggs/windows/dedup/ANN/text */
+  private val headline = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_nation_revenue",
+    "q10_returned_revenue", "q18_large_orders", "sql_q6_forecast_revenue",
+    "win_running_total", "o2_offset_pagination", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "sim_topk_bruteforce",
+    "sim_ann_lsh", "sim_ann_ivf", "text_langid", "text_chunk_dedup",
+    "vec_centroids", "mm_frame_sample")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,10 +36,23 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def json(entries: Seq[(String, Double)]): String = entries
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val head = results.filter(r => headline.contains(r._1))
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+      s""","n_queries":${results.size},"queries":${json(head)},"sf":"$sfDir"}"""
+    // full breakdown: stderr + file (NOT stdout — keeps the parsed line small)
+    System.err.println(s"[bench] full: ${json(results)}")
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("bench_full.json"),
+        s"""{"total":${fmt(total)},"queries":${json(results)},"sf":"$sfDir"}""")
+    } catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

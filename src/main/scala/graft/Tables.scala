@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.catalog.IndexSpec
 
 /** Parquet-backed loaders for the driver fixtures (TESTDATA.md) and shared
   * session configuration.
@@ -27,6 +28,19 @@ object Tables {
     "events" -> Seq("event_id"),
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
+
+  /** Secondary indexes the converter carries through its stage-2 index
+    * DDL (the reference introspects these from the source database —
+    * IndexConverter.java:95-138; the parquet fixtures have no catalog, so
+    * the FK-access-path indexes a TPC-H source would declare live here).
+    * They also count toward rows-per-commit sizing (X3/A5). */
+  val indexes: Map[String, Seq[IndexSpec]] = Map(
+    "customer" -> Seq(IndexSpec("idx_customer_nationkey",
+      Seq(("c_nationkey", true)), unique = false)),
+    "orders" -> Seq(IndexSpec("idx_orders_custkey",
+      Seq(("o_custkey", true)), unique = false)),
+    "supplier" -> Seq(IndexSpec("idx_supplier_nationkey",
+      Seq(("s_nationkey", true)), unique = false)))
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

@@ -22,9 +22,19 @@ import graft.ddl.DdlGenerator
   */
 object ConverterApp {
 
+  /** Destructive-mode gate — the reference interactively confirms before
+    * dropping objects (Converter.java:43-56,85-110); headless Spark jobs
+    * can't prompt, so DropAndRecreate requires an explicit `--yes` ack and
+    * aborts BEFORE any DDL runs otherwise. */
+  def requireDestructiveAck(mode: ConvertMode, acked: Boolean): Either[String, Unit] =
+    if (mode == ConvertMode.DropAndRecreate && !acked)
+      Left("mode=DropAndRecreate drops destination tables; re-run with --yes to confirm")
+    else Right(())
+
   /** Spark schema → TableSpec (reverse of Catalog introspection) so the
     * DDL generator can target any dialect from a DataFrame source. */
-  def specFromStruct(name: String, schema: StructType, pk: Seq[String]): TableSpec = {
+  def specFromStruct(name: String, schema: StructType, pk: Seq[String],
+      indexes: Seq[graft.catalog.IndexSpec] = Nil): TableSpec = {
     val cols = schema.fields.map { f =>
       val (jdbc, size, scale) = f.dataType match {
         case BooleanType => (Types.BOOLEAN, 0, 0)
@@ -43,13 +53,20 @@ object ConverterApp {
       }
       ColumnSpec(f.name, jdbc, size, scale, f.nullable && !pk.contains(f.name))
     }
-    TableSpec(None, None, name, cols.toIndexedSeq, pk, Nil)
+    TableSpec(None, None, name, cols.toIndexedSeq, pk, indexes)
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val url = args(1)
-    val mode = if (args.length > 2) ConvertMode.parse(args(2)) else ConvertMode.SkipExisting
+    val acked = args.contains("--yes")
+    val positional = args.filterNot(_.startsWith("--"))
+    val sfDir = positional(0)
+    val url = positional(1)
+    val mode = if (positional.length > 2) ConvertMode.parse(positional(2))
+      else ConvertMode.SkipExisting
+    requireDestructiveAck(mode, acked) match {
+      case Left(err) => System.err.println(s"[convert] ABORT: $err"); sys.exit(2)
+      case Right(()) => ()
+    }
     val cfg = ConverterConfig(tableConvertMode = mode, dataConvertMode = mode)
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -84,9 +101,15 @@ object ConverterApp {
       // (Converter.java:69-83).
       final case class Plan(table: String, spec: graft.catalog.TableSpec,
           copyData: Boolean, reason: String)
+      // tables stage + index stage 2 run from the same spec: DdlGenerator
+      // emits CREATE TABLE then CREATE INDEX per table (Converter.java:
+      // 69-83 runs IndexConverter right after TableConverter), and the
+      // carried indexes raise the per-row mutation count in rows-per-commit
+      // (X3/A5 — each secondary index is one extra mutation per row).
       val plans = tables.map { t =>
         val df = Tables(spark, sfDir, t)
-        val spec = specFromStruct(t, df.schema, enforceablePks(t))
+        val spec = specFromStruct(t, df.schema, enforceablePks(t),
+          Tables.indexes.getOrElse(t, Nil))
         if (!spec.hasPrimaryKey) Plan(t, spec, copyData = false, "no primary key")
         else {
           val script = DdlGenerator.script(spec, Dialect.Derby, mode,

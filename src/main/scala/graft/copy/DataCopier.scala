@@ -34,7 +34,14 @@ object DataCopier {
 
   /** Partitioned JDBC source read (S1/S2). Single numeric PK → Spark's
     * native range partitioning; composite PK → lexicographic-range
-    * predicate array (P4-corrected). */
+    * predicate array (P4-corrected) derived from a PK-only probe, so
+    * EVERY table with a primary key gets intra-table parallelism — the
+    * reference's universal worker split (GenericJdbcTableWorker.java:42-58).
+    *
+    * Scale posture: the probe reads only the PK columns (projection is
+    * pushed to the source), and each resulting partition is one pushed
+    * WHERE range — on a 1000-executor cluster a composite-PK fact table
+    * reads with the same parallelism as a numeric-PK one. */
   def readJdbc(spark: SparkSession, url: String, spec: TableSpec,
       props: java.util.Properties, numPartitions: Int,
       pkBounds: Option[(Long, Long)]): DataFrame = {
@@ -47,6 +54,17 @@ object DataCopier {
         opts.foldLeft(r)((acc, kv) => acc.option(kv._1, kv._2))
           .option("user", Option(props.getProperty("user")).getOrElse(""))
           .load()
+      case _ if spec.primaryKey.nonEmpty && numPartitions > 1 =>
+        // PK-only probe → split tuples → lexicographic range predicates,
+        // one per partition (each pushed down as the partition's WHERE).
+        import org.apache.spark.sql.functions.col
+        val probe = spark.read.jdbc(url, table, props)
+          .select(spec.primaryKey.map(col): _*)
+        val splits = graft.delete.DeletePlanner.splitPoints(
+          probe, spec.primaryKey, numPartitions)
+        val predicates = graft.delete.DeletePlanner.rangePredicates(
+          spec.primaryKey, splits)
+        spark.read.jdbc(url, table, predicates.toArray, props)
       case _ =>
         spark.read.jdbc(url, table, props)
     }
@@ -70,10 +88,20 @@ object DataCopier {
     }
     val maxBatch = cfg.maxStatementsInOneJdbcBatch
     val useBatching = cfg.useJdbcBatching
+    // per-task deadline — the reference bounds each upload worker with
+    // uploadWorkerMaxWaitInMinutes (ConverterConfiguration.java:217-225);
+    // a Spark task is the upload worker, so it checks the same budget at
+    // every batch flush and fails the job (X6: no swallowed hangs).
+    val uploadDeadlineMillis = cfg.uploadWorkerMaxWaitMinutes * 60000L
     val propsSeq = connProps.toSeq
     val t0 = System.currentTimeMillis()
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
+        val taskStart = System.currentTimeMillis()
+        def checkDeadline(): Unit =
+          if (System.currentTimeMillis() - taskStart >= uploadDeadlineMillis)
+            throw new java.util.concurrent.TimeoutException(
+              s"upload worker exceeded ${cfg.uploadWorkerMaxWaitMinutes} minutes for $table")
         val p = new java.util.Properties()
         propsSeq.foreach { case (k, v) => p.setProperty(k, v) }
         val conn = DriverManager.getConnection(url, p)
@@ -91,10 +119,11 @@ object DataCopier {
             else ps.executeUpdate()
             sinceCommit += 1; taskRecords += 1
             taskBytes += rowWireSize(row, schema)
-            if (inBatch >= maxBatch) { ps.executeBatch(); inBatch = 0 }
+            if (inBatch >= maxBatch) { ps.executeBatch(); inBatch = 0; checkDeadline() }
             if (sinceCommit >= rowsPerCommit) {
               if (inBatch > 0) { ps.executeBatch(); inBatch = 0 }
               conn.commit(); sinceCommit = 0
+              checkDeadline()
             }
           }
           if (inBatch > 0) ps.executeBatch()

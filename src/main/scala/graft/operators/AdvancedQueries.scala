@@ -68,11 +68,26 @@ object AdvancedQueries {
         .select(col("event_id"), col("user_id"), col("sec"), col("signup_sec"))
     },
     // Exact interpolated median over integer keys (deterministic in
-    // double: midpoint of two integers).
+    // double: midpoint of two integers). Exact `percentile` buffers every
+    // group's values — fine for 3 order statuses, OOM bait for
+    // high-cardinality groups; the scale twin is median_order_key_approx.
     "median_order_key" -> { (s, dir) =>
       Tables(s, dir, "orders")
         .groupBy("o_orderstatus")
         .agg(expr("percentile(o_orderkey, 0.5)").as("median_key"),
+          count(lit(1)).as("n"))
+    },
+    // Scale-safe order statistic: approx_percentile keeps a bounded
+    // KLL-style sketch per group (memory O(accuracy), not O(group size))
+    // and returns an actual element of the group. With accuracy well above
+    // the group sizes the sketch is exact, and the returned element is the
+    // lower median — DuckDB's QUANTILE_DISC(0.5) — so the oracle compares
+    // integer-exact while the plan shape is the one you'd run at 100 TB.
+    "median_order_key_approx" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(expr("approx_percentile(o_orderkey, 0.5, 1000000)")
+          .as("median_key_lo"),
           count(lit(1)).as("n"))
     },
     // UNION ALL (bag semantics — the distinct variant is set_union).
@@ -273,6 +288,10 @@ object AdvancedQueries {
         |WHERE event_type = 'purchase'""".stripMargin,
     "median_order_key" ->
       """SELECT o_orderstatus, MEDIAN(o_orderkey) AS median_key, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "median_order_key_approx" ->
+      """SELECT o_orderstatus, QUANTILE_DISC(o_orderkey, 0.5) AS median_key_lo,
+        | COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "subq_above_nation_avg" ->
       """SELECT c_custkey, c_nationkey FROM customer o

@@ -255,11 +255,27 @@ object CoreQueries {
           lag("o_orderkey", 1).over(w).as("prev_key"),
           lead("o_orderkey", 1).over(w).as("next_key"))
     },
+    // Global rank WITHOUT a global sort: rank(x) = 1 + #rows with key < x
+    // and dense_rank(x) = 1 + #distinct keys < x, so aggregate per-key
+    // counts first (one shuffle on the key), run the window over the
+    // DISTINCT-KEY table only (|keys| rows — ~50 p_size values no matter
+    // the corpus size), and broadcast-join the ranks back. An unpartitioned
+    // Window.orderBy over the fact table would funnel every row through
+    // one task at 100 TB; this shape never materializes a global row sort.
     "win_rank_dense" -> { (s, dir) =>
-      val w = Window.orderBy(col("p_size"))
+      val byKey = Tables(s, dir, "part")
+        .groupBy("p_size").agg(count(lit(1)).as("cnt"))
+      val wk = Window.orderBy(col("p_size"))
+      val ranks = byKey
+        .withColumn("r",
+          (coalesce(sum(col("cnt")).over(
+            wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
+            .cast("long"))
+        .withColumn("dr", row_number().over(wk).cast("long"))
+        .select("p_size", "r", "dr")
       Tables(s, dir, "part")
-        .select(col("p_partkey"), rank().over(w).cast("long").as("r"),
-          dense_rank().over(w).cast("long").as("dr"))
+        .join(broadcast(ranks), "p_size")
+        .select(col("p_partkey"), col("r"), col("dr"))
     },
 
     // ---- sorts / limits -------------------------------------------------

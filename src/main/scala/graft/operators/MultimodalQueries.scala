@@ -54,15 +54,16 @@ object MultimodalQueries {
     },
     // STUBBED decode + feature extraction: 8 deterministic "features" per
     // payload (xxhash64 over byte-range slices — stands in for pixel
-    // statistics). No oracle: hash-defined, rows-only check; the schema,
-    // batching and partition shape are what this query exercises.
+    // statistics). No oracle: hash-defined, rows-only check. Features are
+    // emitted as scalar columns f0..f7 (not an array) so the driver's
+    // row-sort comparator can order cells; the schema, batching and
+    // partition shape are what this query exercises.
     "mm_feature_extract" -> { (s, dir) =>
+      val feats = (0 to 7).map(i =>
+        expr(s"xxhash64(substr(payload, ${i * 16 + 1}, 16))").as(s"f$i"))
       withMedia(Tables(s, dir, "documents"))
         .filter(col("meta.media_type") === "image/png")
-        .select(col("doc_id"),
-          expr("""transform(sequence(0, 7), i ->
-                 | xxhash64(substr(payload, cast(i * 16 + 1 as int), 16)))
-                 |""".stripMargin).as("features"))
+        .select(col("doc_id") +: feats: _*)
     },
     // Resize stage (STUB): 2:1 downsample in byte space — real resizing
     // swaps in a codec kernel, but the metadata recomputation and the

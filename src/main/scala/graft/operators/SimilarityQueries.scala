@@ -127,8 +127,9 @@ object SimilarityQueries {
         .select(col("vec_id"), col("c_label").as("centroid"))
     },
     // IVF search: probe only the query's centroid bucket, exact top-3
-    // within it. Rows-only (bucket content is argmin-defined on floats);
-    // SimilaritySpec checks the IVF results against brute force.
+    // within it. Oracle: the full IVF pipeline (rounded centroids →
+    // argmin assignment → bucket probe → cosine top-3) is expressible in
+    // DuckDB SQL; SimilaritySpec additionally checks recall vs brute force.
     "sim_ann_ivf" -> { (s, dir) =>
       val assign = queries("ivf_assign")(s, dir)
       val v = Tables(s, dir, "embeddings")
@@ -161,15 +162,17 @@ object SimilarityQueries {
     },
     // int8 quantization (the storage/bandwidth scale path for ANN over
     // 10^9+ vectors): per-vector absmax scale, symmetric round-to-127.
-    // Outputs are integer reductions of the quantized vector, so the
-    // oracle compare is exact integer math after one aligned rounding.
+    // Quantized value is floor(x/scale*127 + 0.5) — floor is exact in
+    // IEEE double on both engines, unlike round() whose tie handling
+    // differs (Spark HALF_UP on decimal repr vs DuckDB C-library), so
+    // the oracle compare is exact integer math after one aligned step.
     "vec_quantize_int8" -> { (s, dir) =>
       Tables(s, dir, "embeddings")
         .withColumn("v", expr("transform(embedding, x -> cast(x as double))"))
         .withColumn("scale", expr(
-          "round(array_max(transform(v, x -> abs(x))), 6)"))
+          "floor(array_max(transform(v, x -> abs(x))) * 1e6 + 0.5d) / 1e6"))
         .withColumn("q", expr(
-          "transform(v, x -> cast(round(x / scale * 127, 0) as bigint))"))
+          "transform(v, x -> cast(floor(x / scale * 127 + 0.5d) as bigint))"))
         .select(col("vec_id"), col("scale"),
           expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
           expr("array_min(q)").as("q_min"),
@@ -215,6 +218,35 @@ object SimilarityQueries {
         |  ROW_NUMBER() OVER (PARTITION BY vec_id
         |    ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
         | FROM v, cent2) t WHERE rn = 1""".stripMargin,
+    "sim_ann_ivf" ->
+      """WITH m AS (
+        | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
+        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+        |   CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings) t GROUP BY 1, 2),
+        |cent AS (
+        | SELECT label AS c_label, list(m ORDER BY dim) AS c FROM m GROUP BY label),
+        |cent2 AS (
+        | SELECT c_label, c,
+        |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
+        | FROM cent),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assign AS (
+        | SELECT vec_id, c_label AS centroid FROM (
+        |  SELECT vec_id, c_label,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id
+        |     ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
+        |  FROM v, cent2) t WHERE rn = 1)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(qv.v, cv.v) DESC, c.vec_id) AS rnk
+        | FROM assign q
+        | JOIN assign c ON q.centroid = c.centroid
+        | JOIN v qv ON qv.vec_id = q.vec_id
+        | JOIN v cv ON cv.vec_id = c.vec_id
+        | WHERE q.vec_id < 10 AND c.vec_id >= 10
+        |) t WHERE rnk <= 3""".stripMargin,
     "vec_centroids" ->
       """SELECT label, dim, ROUND(AVG(v), 4) AS mean_val, COUNT(*) AS n
         |FROM (
@@ -231,11 +263,11 @@ object SimilarityQueries {
         | CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_saturated
         |FROM (
         | SELECT vec_id, scale,
-        |  [CAST(ROUND(x / scale * 127) AS BIGINT) for x in v] AS q
+        |  [CAST(FLOOR(x / scale * 127 + 0.5) AS BIGINT) for x in v] AS q
         | FROM (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |   ROUND(list_aggregate([abs(x) for x in CAST(embedding AS DOUBLE[])], 'max'), 6)
-        |    AS scale
+        |   FLOOR(list_aggregate([abs(x) for x in CAST(embedding AS DOUBLE[])], 'max')
+        |         * 1e6 + 0.5) / 1e6 AS scale
         |  FROM embeddings) t1) t2""".stripMargin,
     "vec_norms" ->
       """SELECT vec_id,

@@ -73,17 +73,21 @@ object TextQueries {
         col("doc_id"), md5(col("text")).as("fp"))
     },
     // 64-bit polynomial rolling hash via a custom codegen'd Catalyst
-    // expression (graft.functions.RollingHash). No oracle: mod-2^64
-    // wraparound isn't expressible in DuckDB BIGINT arithmetic; semantics
-    // are pinned by RollingHashSpec instead.
+    // expression (graft.functions.RollingHash). Oracle: DuckDB HUGEINT
+    // fold mod 2^64, re-signed to BIGINT (fixture text is pure ASCII so
+    // unicode(char) == the UTF-8 byte); semantics also pinned byte-level
+    // in RollingHashSpec.
     "text_rollinghash" -> { (s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"),
         graft.functions.RollingHash.rolling_hash(col("text")).as("rh"))
     },
     // Content-defined chunking (custom expression) + chunk-level exact
-    // dedup: the cross-document shared-passage detector. Rows-only:
-    // boundary rule is hash-defined; invariants pinned in ChunkSpec.
+    // dedup: the cross-document shared-passage detector. Oracle: the
+    // boundary rule only needs the window hash mod 64 (mask 0x3F), which
+    // is exact in BIGINT; the sequential min/max-chunk walk is a
+    // recursive CTE over a precomputed next-boundary table. Invariants
+    // also pinned in ChunkSpec.
     "text_chunk_dedup" -> { (s, dir) =>
       Tables(s, dir, "documents")
         .select(col("doc_id"),
@@ -140,5 +144,70 @@ object TextQueries {
          |) t1""".stripMargin
     },
     "text_fingerprint" ->
-      "SELECT doc_id, md5(text) AS fp FROM documents")
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+    // h = Σ b_i·31^(n-1-i) mod 2^64 in HUGEINT, re-signed to BIGINT.
+    // ASCII fixture ⇒ unicode(char) == UTF-8 byte.
+    "text_rollinghash" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |           THEN h - CAST('18446744073709551616' AS HUGEINT)
+        |           ELSE h END AS BIGINT) AS rh
+        |FROM (
+        | SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS HUGEINT),
+        |      [CAST(unicode(substr(text, CAST(i AS INT), 1)) AS HUGEINT)
+        |       for i in range(1, length(text) + 1)]),
+        |    (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS h
+        | FROM documents) t""".stripMargin,
+    // Content-defined chunking replayed in SQL: candidate boundaries are
+    // positions whose trailing-8-byte window hash ≡ 0 (mod 64) — the low
+    // 6 bits of the mod-2^64 hash, exact in BIGINT. next-boundary per
+    // position via a descending running MIN window, then the sequential
+    // min-16/max-256 chunk walk as a recursive CTE following that table.
+    "text_chunk_dedup" ->
+      """WITH RECURSIVE
+        |src AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |allpos AS (
+        | SELECT doc_id, text, n, CAST(unnest(range(n)) AS BIGINT) AS p
+        | FROM src),
+        |hpos AS (
+        | SELECT doc_id, n, p,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(unicode(substr(text, CAST(j AS INT) + 1, 1)) AS BIGINT)
+        |       for j in range(greatest(0, p - 7), p + 1)]),
+        |    (acc, b) -> (acc * 31 + b) % 64) AS h64
+        | FROM allpos),
+        |nexts AS (
+        | SELECT doc_id, p,
+        |  MIN(CASE WHEN h64 = 0 THEN p END) OVER (
+        |    PARTITION BY doc_id ORDER BY p DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nc
+        | FROM hpos),
+        |steps AS (
+        | SELECT a.doc_id, a.p AS start,
+        |  CASE WHEN LEAST(COALESCE(nx.nc, a.p + 255), a.p + 255) <= a.n - 1
+        |       THEN LEAST(COALESCE(nx.nc, a.p + 255), a.p + 255)
+        |       ELSE a.n - 1 END AS fin,
+        |  LEAST(COALESCE(nx.nc, a.p + 255), a.p + 255) > a.n - 1 AS is_final
+        | FROM allpos a
+        | LEFT JOIN nexts nx ON nx.doc_id = a.doc_id AND nx.p = a.p + 15),
+        |walk(doc_id, start) AS (
+        | SELECT doc_id, CAST(0 AS BIGINT) FROM src WHERE n > 0
+        | UNION ALL
+        | SELECT w.doc_id, st.fin + 1
+        | FROM walk w
+        | JOIN steps st ON st.doc_id = w.doc_id AND st.start = w.start
+        | JOIN src s ON s.doc_id = w.doc_id
+        | WHERE NOT st.is_final AND st.fin + 1 <= s.n - 1),
+        |chunks AS (
+        | SELECT w.doc_id, substr(s.text, CAST(w.start AS INT) + 1,
+        |   CAST(st.fin - w.start AS INT) + 1) AS chunk
+        | FROM walk w
+        | JOIN steps st ON st.doc_id = w.doc_id AND st.start = w.start
+        | JOIN src s ON s.doc_id = w.doc_id)
+        |SELECT md5(chunk) AS chunk_hash, COUNT(*) AS n_occurrences,
+        | COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM chunks GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin)
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.sql.Types
+import java.sql.{Connection, Types}
 import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects, JdbcType}
 import org.apache.spark.sql.types._
 
@@ -48,6 +48,40 @@ object SpannerDialect extends JdbcDialect {
     case DateType => Some(JdbcType("DATE", Types.DATE))
     case _: DecimalType => Some(JdbcType("NUMERIC", Types.NUMERIC))
     case _ => None
+  }
+
+  /** JDBC option key: pin every partition's read to one commit timestamp
+    * (RFC-3339), mirroring the reference's batchReadOnly snapshot switch
+    * (DataCopier.java:87-106) — without it, the N parallel partition
+    * reads of one table can observe N different database states under
+    * concurrent writes. Pass it as a read option/connection property:
+    * `spark.read.jdbc(url, table, predicates, props)` with
+    * `props.setProperty(SpannerDialect.ReadTimestampProperty, ts)`. */
+  val ReadTimestampProperty = "graft.readTimestamp"
+
+  /** Bounded-staleness alternative (seconds) when an exact timestamp
+    * isn't required — Spanner serves from any replica within the bound. */
+  val MaxStalenessProperty = "graft.maxStalenessSeconds"
+
+  /** Spark calls this once per partition task, on the task's own
+    * connection, before the partition query runs — exactly the per-worker
+    * hook the snapshot pin needs (every partition sees the same state). */
+  override def beforeFetch(connection: Connection,
+      properties: Map[String, String]): Unit = {
+    def prop(key: String): Option[String] = properties.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(key) => v
+    }
+    val staleness = prop(ReadTimestampProperty)
+      .map(ts => s"SET READ_ONLY_STALENESS = 'READ_TIMESTAMP $ts'")
+      .orElse(prop(MaxStalenessProperty)
+        .map(s => s"SET READ_ONLY_STALENESS = 'MAX_STALENESS ${s}s'"))
+    staleness.foreach { sql =>
+      val st = connection.createStatement()
+      try {
+        st.execute("SET READONLY = TRUE") // Spanner JDBC session statement
+        st.execute(sql)
+      } finally st.close()
+    }
   }
 
   /** Spanner has no `TRUNCATE`; the fast full-wipe is delete-all. */

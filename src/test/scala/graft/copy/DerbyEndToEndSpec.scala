@@ -121,6 +121,102 @@ class DerbyEndToEndSpec extends SparkTestBase {
     assert(row("bytes") == expectBytes)
   }
 
+  test("composite-PK table gets a partitioned JDBC read (S2 scale path)") {
+    val c = conn()
+    val st = c.createStatement()
+    st.executeUpdate(
+      """CREATE TABLE cust_seg (
+        | seg VARCHAR(16) NOT NULL, id BIGINT NOT NULL, bal DOUBLE,
+        | PRIMARY KEY (seg, id))""".stripMargin)
+    val src = Tables(spark, sfDir, "customer").select(
+      col("c_mktsegment").as("seg"), col("c_custkey").as("id"),
+      col("c_acctbal").as("bal"))
+    val spec = Catalog.introspectTable(c, Some("APP"), "CUST_SEG")
+    assert(spec.primaryKey.map(_.toUpperCase) == Seq("SEG", "ID"))
+    DataCopier.copyTable(src, spec.copy(schema = None, name = "cust_seg"), url)
+
+    // the read back through readJdbc must carry >1 input partition even
+    // though the PK is composite — each partition is one pushed
+    // lexicographic range predicate (reference gives every table
+    // intra-table parallelism regardless of PK shape).
+    val back = DataCopier.readJdbc(spark, url,
+      spec.copy(schema = None, name = "cust_seg"),
+      new java.util.Properties(), numPartitions = 4, pkBounds = None)
+    assert(back.rdd.getNumPartitions == 4,
+      s"expected 4 range partitions, got ${back.rdd.getNumPartitions}")
+    assert(back.count() == 150)
+    // fidelity: ranges must be a disjoint exact cover (no dup/lost rows)
+    def sig(df: org.apache.spark.sql.DataFrame) = df.agg(
+      sum(col("id")).as("k"),
+      sum(expr("crc32(seg)")).as("s"),
+      sum(expr("cast(bal * 100 as bigint)")).as("b")).collect()(0)
+    assert(sig(back) == sig(src))
+    st.close(); c.close()
+  }
+
+  test("index DDL runs in the pipeline and feeds rows-per-commit (stage 2)") {
+    import graft.catalog.IndexSpec
+    import graft.copy.CopyPlanner
+    val c = conn()
+    val st = c.createStatement()
+    val src = Tables(spark, sfDir, "supplier")
+    val ix = IndexSpec("idx_sup_name", Seq(("s_name", true)), unique = true)
+    val spec = graft.app.ConverterApp.specFromStruct(
+      "sup_ix", src.schema, Seq("s_suppkey"), Seq(ix))
+    // stage 1+2: table then index DDL from one script (Converter.java:69-83)
+    val script = DdlGenerator.script(spec, Dialect.Derby,
+      ConvertMode.SkipExisting, existsInDestination = false) match {
+      case Right(s) => s
+      case Left(e) => fail(e)
+    }
+    assert(script.size == 2 && script(1) ==
+      "CREATE UNIQUE INDEX idx_sup_name ON sup_ix (s_name)")
+    script.foreach(st.executeUpdate)
+    // re-introspection sees the UNIQUE index back, and the PK-backing
+    // index is still correctly skipped (J3)
+    val seen = Catalog.introspectTable(c, Some("APP"), "SUP_IX")
+    assert(seen.indexes.exists(i =>
+      i.name.equalsIgnoreCase("idx_sup_name") && i.unique &&
+        i.columns.map(_._1.toUpperCase) == Seq("S_NAME")))
+    assert(!seen.indexes.exists(_.columns.map(_._1.toUpperCase) == Seq("S_SUPPKEY")))
+    // the carried index raises mutations-per-row: fewer rows per commit
+    val without = CopyPlanner.rowsPerCommit(spec.copy(indexes = Nil),
+      graft.config.ConverterConfig(batchSizeBytes = 100000000L))
+    val withIx = CopyPlanner.rowsPerCommit(spec,
+      graft.config.ConverterConfig(batchSizeBytes = 100000000L))
+    assert(withIx < without,
+      s"index must lower rowsPerCommit (with=$withIx, without=$without)")
+    st.close(); c.close()
+  }
+
+  test("DropAndRecreate without an explicit ack aborts before any DDL") {
+    import graft.app.ConverterApp
+    assert(ConverterApp.requireDestructiveAck(
+      ConvertMode.DropAndRecreate, acked = false).isLeft)
+    assert(ConverterApp.requireDestructiveAck(
+      ConvertMode.DropAndRecreate, acked = true).isRight)
+    assert(ConverterApp.requireDestructiveAck(
+      ConvertMode.SkipExisting, acked = false).isRight)
+  }
+
+  test("upload worker deadline fails the copy instead of hanging (X6)") {
+    val c = conn()
+    c.createStatement().executeUpdate(
+      "CREATE TABLE tiny_t (k BIGINT NOT NULL, PRIMARY KEY (k))")
+    c.close()
+    val src = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey").as("k"))
+    val cfg = ConverterConfig(uploadWorkerMaxWaitMinutes = 0,
+      maxStatementsInOneJdbcBatch = 10)
+    val ex = intercept[Throwable] {
+      DataCopier.writeJdbc(src, url, "tiny_t", cfg, rowsPerCommit = 10L)
+    }
+    val messages = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("upload worker exceeded")),
+      s"no deadline failure in: $messages")
+  }
+
   test("catalog set-algebra (J1/J2) with case-insensitive names") {
     val src = Seq((Option("APP"), "Customer"), (Option("APP"), "ORDERS"),
       (Option("APP"), "newtab"))

@@ -62,4 +62,24 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"corpus got shuffled:\n$plan")
   }
+
+  test("win_rank_dense: no global row sort — ranks join back via broadcast") {
+    val plan = planOf("win_rank_dense")
+    // the window runs over the distinct-key aggregate, and the fact table
+    // receives its ranks through a broadcast join; a `Window` directly over
+    // an `Exchange SinglePartition` of the fact scan would be the
+    // 100 TB-killer shape this guards against.
+    assert(plan.contains("BroadcastHashJoin"), s"ranks not broadcast:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"window not over the aggregated key table:\n$plan")
+  }
+
+  test("dedup_ngram_jaccard: candidate join keys are df-capped (skew guard)") {
+    val plan = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    // the shingle join must be fed by the df<=cap filter, so no join key
+    // group can exceed the cap (no O(corpus) hot key)
+    assert(plan.contains("count(1)") && plan.toLowerCase.contains("array_intersect"),
+      s"skew-guarded candidate/verify shape missing:\n$plan")
+  }
 }
