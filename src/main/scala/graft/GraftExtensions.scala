@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSig, RollingHash, SimHash64}
+import graft.functions.{ContentChunks, MinHashSig, RollingHash, SimHash64}
 
 /** `SparkSessionExtensions` hook registering the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT rolling_hash(text)
@@ -35,6 +35,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         val k = children(1).eval().asInstanceOf[Number].intValue()
         MinHashSig(children.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("content_chunks"),
+      info("content_chunks",
+        "content_chunks(str[, mask]) - content-defined chunks (Rabin-style boundaries at window-hash & mask == 0)"),
+      (children: Seq[Expression]) => {
+        val mask = if (children.size > 1)
+          children(1).eval().asInstanceOf[Number].longValue() else 0x3FL
+        ContentChunks(children.head, mask)
       }))
   }
 }

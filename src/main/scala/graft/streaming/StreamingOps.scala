@@ -63,6 +63,20 @@ object StreamingOps {
       .select(col("user_id"), col("session_window.start").as("start_ts"),
         col("n_events"))
 
+  /** Streaming exact dedup — the streaming twin of the `dedup_exact`
+    * batch operator: drop payload duplicates (same content hash) as they
+    * arrive, keeping the first occurrence. `dropDuplicatesWithinWatermark`
+    * bounds the dedup state by the watermark horizon instead of the
+    * stream's full history, which is the only shape that survives an
+    * unbounded 100 TB/day ingest: exact global dedup over all time is a
+    * batch job (hash-groupBy); streaming dedup guarantees uniqueness
+    * within the late-data window. */
+  def dedupStream(docs: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("event_time", watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Custom sessionization state machine via flatMapGroupsWithState —
     * the "KeyValueGroupedDataset custom state" north-star surface.
     * Emits one Session row per event-batch per closed/updated session;

@@ -110,6 +110,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per content hash across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def doc(id: Long, text: String, sec: Long) =
+      (id, text, new java.sql.Timestamp(sec * 1000L))
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = dedupStream(stream.toDF()
+        .toDF("doc_id", "text", "event_time"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct texts + an in-batch duplicate
+      stream.addData(doc(1, "alpha body", 100), doc(2, "beta body", 101),
+        doc(3, "alpha body", 102))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate (within the watermark) + new text
+      stream.addData(doc(4, "beta body", 103), doc(5, "gamma body", 104))
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream")
+        .select("doc_id", "content_hash").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      // exactly one survivor per distinct text, and it is the first seen
+      assert(out.map(_._2).distinct.length == out.length)
+      assert(out.map(_._1).sorted.toSeq == Seq(1L, 2L, 5L),
+        s"wrong survivors: ${out.toSeq}")
+      // matches the batch dedup_exact contract: one keeper per hash
+      val batchKeepers = spark.createDataset(Seq(
+          doc(1, "alpha body", 100), doc(2, "beta body", 101),
+          doc(3, "alpha body", 102), doc(4, "beta body", 103),
+          doc(5, "gamma body", 104)))
+        .toDF("doc_id", "text", "event_time")
+        .groupBy(md5(col("text"))).agg(min("doc_id").as("keep_id"))
+        .collect().map(_.getLong(1)).sorted.toSeq
+      assert(out.map(_._1).sorted.toSeq == batchKeepers)
+    } finally q.stop()
+  }
+
   test("session_window groupBy agrees with custom sessionization on counts") {
     val sw = sessionWindows(events)
     assert(sw.agg(sum("n_events")).collect()(0).getLong(0) == events.count())
