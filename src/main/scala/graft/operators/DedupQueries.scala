@@ -45,10 +45,22 @@ object DedupQueries {
           | ELSE array() END""".stripMargin).as("shs"))
   }
 
+  /** exact verification of candidate pairs: join each side's distinct
+    * shingle set back and keep pairs passing the integer-form threshold
+    * 8·|a∩b| >= 3·(|a|+|b|) (⇔ jaccard >= 3/5), never floating point.
+    * Cost is O(candidates), whatever generated them (rare-shingle join,
+    * MinHash bands, …). */
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame =
+    cand
+      .join(docs.select(col("doc_id").as("a_id"), col("shs").as("sa")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("shs").as("sb")), Seq("b_id"))
+      .filter(lit(8) * size(array_intersect(col("sa"), col("sb"))) >=
+        lit(3) * (size(col("sa")) + size(col("sb"))))
+      .select("a_id", "b_id")
+
   /** pairs (a_id < b_id) with jaccard >= 3/5: candidates from an equi-join
     * on df-capped shingles (no hot keys → no skewed join groups), then
-    * exact verification per pair via array_intersect — the integer-form
-    * threshold 8·|a∩b| >= 3·(|a|+|b|), never floating point. */
+    * exact verification per pair. */
   private def jaccardPairs(s: SparkSession, dir: String, maxDocId: Int): DataFrame = {
     val docs = shingleSets(s, dir, maxDocId)
     val sh = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
@@ -59,12 +71,7 @@ object DedupQueries {
       .join(rareSh.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    cand
-      .join(docs.select(col("doc_id").as("a_id"), col("shs").as("sa")), Seq("a_id"))
-      .join(docs.select(col("doc_id").as("b_id"), col("shs").as("sb")), Seq("b_id"))
-      .filter(lit(8) * size(array_intersect(col("sa"), col("sb"))) >=
-        lit(3) * (size(col("sa")) + size(col("sb"))))
-      .select("a_id", "b_id")
+    verifyJaccard(cand, docs)
   }
 
   private val NumHashes = 32
@@ -114,9 +121,9 @@ object DedupQueries {
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      // exact verification on candidates only
-      val verified = jaccardPairs(s, dir, 100)
-      cand.join(verified, Seq("a_id", "b_id"), "left_semi")
+      // exact verification of the LSH candidates directly (no second
+      // candidate-generation join — bands ARE the candidate stage here)
+      verifyJaccard(cand, shingleSets(s, dir, 100))
     },
     "dedup_simhash" -> { (s, dir) =>
       // single-pass 64-bit SimHash per document (custom expression —

@@ -31,13 +31,6 @@ object SimilarityQueries {
       | / (sqrt(aggregate(va, 0D, (acc, x) -> acc + x * x))
       |  * sqrt(aggregate(vb, 0D, (acc, x) -> acc + x * x)))""".stripMargin
 
-  /** ±1 pseudo-random hyperplane signs from a hash — same on both engines
-    * is not required (no oracle for the LSH path). */
-  private def planeSignExpr(plane: Int, dim: Int): String =
-    s"""aggregate(zip_with(v, sequence(0, ${dim - 1}),
-       | (x, k) -> x * (cast((xxhash64(${plane} * 1000003 + k) & 1) * 2 AS DOUBLE) - 1.0)),
-       | 0D, (acc, z) -> acc + z)""".stripMargin
-
   /** label-mean centroids (4-decimal-rounded, dim-ordered arrays) with
     * their squared norms — shared by ivf_assign / sim_ann_ivf. */
   private def ivfCentroids(s: SparkSession, dir: String): DataFrame =
@@ -70,24 +63,21 @@ object SimilarityQueries {
     // LSH-bucketed ANN: same query set, approximate candidates.
     // No oracle (hash-defined buckets aren't ANSI-SQL-expressible);
     // recall vs. brute force is asserted in SimilaritySpec.
+    // All 4 bucket keys come from ONE pass over the vector
+    // (HyperplaneBuckets, precomputed sign table) instead of 32 separate
+    // SQL folds that each called xxhash64 per element — same buckets
+    // (identical sign derivation), ~2k fewer hash calls per row.
     "sim_ann_lsh" -> { (s, dir) =>
       val dim = 64
       val tables = 4
       val bitsPerTable = 8
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      // bucket key per LSH table: 8 sign bits packed into a long
-      val bucketCols = (0 until tables).map { t =>
-        val bits = (0 until bitsPerTable).map { b =>
-          val plane = t * bitsPerTable + b
-          s"(CASE WHEN ${planeSignExpr(plane, dim)} > 0 THEN ${1L << b}L ELSE 0L END)"
-        }.mkString(" + ")
-        struct(lit(t).as("tbl"), expr(bits).as("bucket"))
-      }
       val hashed = e.select(col("vec_id"), col("v"),
-          explode(array(bucketCols: _*)).as("bk"))
+          posexplode(graft.functions.SketchExpressions.hyperplane_buckets(
+            col("v"), tables, bitsPerTable, dim)))
         .select(col("vec_id"), col("v"),
-          col("bk.tbl").as("tbl"), col("bk.bucket").as("bucket"))
+          col("pos").as("tbl"), col("col").as("bucket"))
       val q = hashed.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
       val c = hashed.filter(col("vec_id") >= 10)
