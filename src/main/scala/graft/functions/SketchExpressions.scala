@@ -97,6 +97,27 @@ object SketchImpl {
     new GenericArrayData(out)
   }
 
+  /** Fused cosine similarity: dot, |a|², |b|² in one pass, each a strict
+    * left-fold in element order — bit-identical to the
+    * aggregate(zip_with(...)) SQL form and DuckDB's
+    * list_cosine_similarity. */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (a.isNullAt(i)) 0.0 else a.getDouble(i)
+      val y = if (b.isNullAt(i)) 0.0 else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** k-permutation MinHash signature: element j is the minimum over the
     * set of xxhash64(token, seed = j). Empty/all-null input → MaxValue
     * sentinels (callers treat such docs as having no signature). */
@@ -153,6 +174,35 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** cosine_sim(array<double>, array<double>) → double.
+  *
+  * One fused pass accumulating dot product and both squared norms —
+  * replaces three `aggregate(zip_with(...))` SQL folds that each
+  * materialize an intermediate array per pair. The accumulation order is
+  * the same left-fold the SQL form uses (and DuckDB's
+  * `list_cosine_similarity`), so results stay bit-identical for the
+  * oracle compare. Pairs shorter side wins on length mismatch; null
+  * elements contribute nothing (fixtures have none). */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires two ARRAY<DOUBLE>, got $other")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchImpl.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchImpl.cosineSim($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** hyperplane_buckets(array<double>, tables, bits, dim) → array<long>
   * (one bucket key per LSH table), codegen via static call. */
 case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int, dim: Int)
@@ -179,4 +229,6 @@ object SketchExpressions {
     Bridge.column(MinHashSig(Bridge.expression(c), k))
   def hyperplane_buckets(c: Column, tables: Int, bits: Int, dim: Int): Column =
     Bridge.column(HyperplaneBuckets(Bridge.expression(c), tables, bits, dim))
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -156,10 +156,8 @@ object DedupQueries {
       val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
       val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
       a.crossJoin(b).filter(col("a_id") < col("b_id"))
-        .withColumn("cos", expr(
-          """aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, z) -> acc + z)
-            | / (sqrt(aggregate(va, 0D, (acc, x) -> acc + x * x))
-            |  * sqrt(aggregate(vb, 0D, (acc, x) -> acc + x * x)))""".stripMargin))
+        .withColumn("cos", graft.functions.SketchExpressions.cosine_sim(
+          col("va"), col("vb")))
         .orderBy(col("cos").desc, col("a_id"), col("b_id"))
         .limit(20)
         .select(col("a_id"), col("b_id"),

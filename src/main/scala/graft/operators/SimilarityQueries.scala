@@ -26,10 +26,11 @@ import graft.Tables
   */
 object SimilarityQueries {
 
-  private val cosExpr =
-    """aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, z) -> acc + z)
-      | / (sqrt(aggregate(va, 0D, (acc, x) -> acc + x * x))
-      |  * sqrt(aggregate(vb, 0D, (acc, x) -> acc + x * x)))""".stripMargin
+  /** fused one-pass cosine (CosineSim expression) — same left-fold
+    * accumulation order as the aggregate(zip_with(...)) SQL form and
+    * DuckDB's list_cosine_similarity, so oracle compares stay bit-exact. */
+  private def cosCol: Column =
+    graft.functions.SketchExpressions.cosine_sim(col("va"), col("vb"))
 
   /** label-mean centroids (4-decimal-rounded, dim-ordered arrays) with
     * their squared norms — shared by ivf_assign / sim_ann_ivf. */
@@ -55,7 +56,7 @@ object SimilarityQueries {
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("neighbor_id"))
       c.crossJoin(broadcast(q))
-        .withColumn("cos", expr(cosExpr))
+        .withColumn("cos", cosCol)
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select("query_id", "neighbor_id", "rnk")
@@ -93,7 +94,7 @@ object SimilarityQueries {
           Seq("query_id"))
         .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("vb")),
           Seq("neighbor_id"))
-        .withColumn("cos", expr(cosExpr))
+        .withColumn("cos", cosCol)
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .select("query_id", "neighbor_id", "rnk")
@@ -132,7 +133,7 @@ object SimilarityQueries {
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col("neighbor_id"))
       c.join(broadcast(q), Seq("centroid"))
-        .withColumn("cos", expr(cosExpr))
+        .withColumn("cos", cosCol)
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .select("query_id", "neighbor_id", "rnk")
