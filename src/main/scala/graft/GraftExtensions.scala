@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ContentChunks, MinHashSig, RollingHash, SimHash64}
+import graft.functions.{ContentChunks, CosineSim, DotProduct, MinHashSig, RollingHash, Shingles, SimHash64}
 
 /** `SparkSessionExtensions` hook registering the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT rolling_hash(text)
@@ -44,6 +44,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val mask = if (children.size > 1)
           children(1).eval().asInstanceOf[Number].longValue() else 0x3FL
         ContentChunks(children.head, mask)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(array<double>, array<double>) - fused one-pass cosine similarity"),
+      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(array<double>, array<double>) - fused one-pass dot product"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("char_shingles"),
+      info("char_shingles", "char_shingles(str, n) - distinct character n-grams in first-occurrence order"),
+      (children: Seq[Expression]) => {
+        val n = children(1).eval().asInstanceOf[Number].intValue()
+        Shingles(children.head, n)
       }))
   }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Single-pass sketch kernels for the dedup operators.
   *
@@ -118,6 +119,54 @@ object SketchImpl {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Fused dot product: one strict left-fold in element order —
+    * bit-identical to `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, ...)`
+    * and DuckDB's list_dot_product. */
+  def dotProduct(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) dot += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  /** Distinct character n-gram shingles in first-occurrence order —
+    * bit-identical to
+    * `array_distinct(transform(sequence(1, length(s)-n+1), i -> substr(s, i, n)))`
+    * (empty array when the text is shorter than n), but one O(len·n) pass
+    * over the UTF-8 bytes instead of `length` substr calls that each
+    * re-scan from the start of the string (O(len²) per document — the
+    * dominant per-row cost of shingle-based dedup on real corpora). */
+  def charShingles(str: UTF8String, n: Int): ArrayData = {
+    val numChars = str.numChars()
+    if (numChars < n) return new GenericArrayData(Array.empty[Any])
+    val bytes = str.getBytes
+    // byte offset of each character (+ end sentinel), one forward walk
+    val offsets = new Array[Int](numChars + 1)
+    var bi = 0
+    var ci = 0
+    while (bi < bytes.length) {
+      offsets(ci) = bi
+      ci += 1
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+    }
+    offsets(numChars) = bytes.length
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var k = 0
+    while (k <= numChars - n) {
+      seen.add(UTF8String.fromBytes(bytes, offsets(k), offsets(k + n) - offsets(k)))
+      k += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** k-permutation MinHash signature: element j is the minimum over the
     * set of xxhash64(token, seed = j). Empty/all-null input → MaxValue
     * sentinels (callers treat such docs as having no signature). */
@@ -203,6 +252,49 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** dot_product(array<double>, array<double>) → double.
+  * Same left-fold order as the `aggregate(zip_with(...))` SQL fold and
+  * DuckDB's `list_dot_product`, so oracle compares stay bit-exact. */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"dot_product requires two ARRAY<DOUBLE>, got $other")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SketchImpl.dotProduct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SketchImpl.dotProduct($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** char_shingles(string, n) → array<string>: distinct character n-grams
+  * in first-occurrence order (empty for texts shorter than n) — the
+  * single-pass form of
+  * `array_distinct(transform(sequence(1, length(s)-n+1), i -> substr(s,i,n)))`. */
+case class Shingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0 && n <= 32)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_shingles requires STRING, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SketchImpl.charShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SketchImpl.charShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
 /** hyperplane_buckets(array<double>, tables, bits, dim) → array<long>
   * (one bucket key per LSH table), codegen via static call. */
 case class HyperplaneBuckets(child: Expression, tables: Int, bits: Int, dim: Int)
@@ -231,4 +323,8 @@ object SketchExpressions {
     Bridge.column(HyperplaneBuckets(Bridge.expression(c), tables, bits, dim))
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def char_shingles(c: Column, n: Int): Column =
+    Bridge.column(Shingles(Bridge.expression(c), n))
 }

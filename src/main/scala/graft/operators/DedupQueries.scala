@@ -38,11 +38,8 @@ object DedupQueries {
   private def shingleSets(s: SparkSession, dir: String, maxDocId: Int): DataFrame = {
     Tables(s, dir, "documents")
       .filter(col("doc_id") < maxDocId)
-      .select(col("doc_id"), expr(
-        """CASE WHEN length(text) >= 3
-          | THEN array_distinct(transform(sequence(1, length(text) - 2),
-          |      i -> substr(text, i, 3)))
-          | ELSE array() END""".stripMargin).as("shs"))
+      .select(col("doc_id"),
+        graft.functions.SketchExpressions.char_shingles(col("text"), 3).as("shs"))
   }
 
   /** exact verification of candidate pairs: join each side's distinct
@@ -105,11 +102,9 @@ object DedupQueries {
       val sig = Tables(s, dir, "documents")
         .filter(col("doc_id") < 100)
         .select(col("doc_id"),
-          graft.functions.SketchExpressions.minhash_sig(expr(
-            """CASE WHEN length(text) >= 3
-              | THEN array_distinct(transform(sequence(1, length(text) - 2),
-              |      i -> substr(text, i, 3)))
-              | ELSE array() END""".stripMargin), NumHashes).as("sig"))
+          graft.functions.SketchExpressions.minhash_sig(
+            graft.functions.SketchExpressions.char_shingles(col("text"), 3),
+            NumHashes).as("sig"))
       val bandCols = (0 until Bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64((b * 2 until (b + 1) * 2).map(i => col("sig").getItem(i)): _*)

@@ -111,8 +111,8 @@ object SimilarityQueries {
         .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       val w = Window.partitionBy("vec_id").orderBy(col("score"), col("c_label"))
       v.crossJoin(broadcast(cent))
-        .withColumn("score", col("cnorm2") - lit(2) * expr(
-          "aggregate(zip_with(v, c, (x, y) -> x * y), 0D, (a, z) -> a + z)"))
+        .withColumn("score", col("cnorm2") - lit(2) *
+          graft.functions.SketchExpressions.dot_product(col("v"), col("c")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("c_label").as("centroid"))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ContentChunks, MinHashSig, RollingHash, SimHash64}
+import graft.functions.{ContentChunks, CosineSim, DotProduct, MinHashSig, RollingHash, Shingles, SimHash64}
 
 /** The SQL registration path. A shared test JVM can't rebuild the session
   * with `withExtensions` (getOrCreate reuses the existing one), so this
@@ -10,7 +10,7 @@ import graft.functions.{ContentChunks, MinHashSig, RollingHash, SimHash64}
   * and calls them from SQL text. */
 class GraftExtensionsSpec extends SparkTestBase {
 
-  test("GraftExtensions injects four functions") {
+  test("GraftExtensions injects seven functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders validated below
   }
@@ -28,14 +28,27 @@ class GraftExtensionsSpec extends SparkTestBase {
       exprs => ContentChunks(exprs.head,
         if (exprs.size > 1) exprs(1).eval().asInstanceOf[Number].longValue()
         else 0x3FL), "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSim(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("char_shingles",
+      exprs => Shingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     val r = spark.sql(
       """SELECT rolling_hash('abc') AS rh,
         | simhash64(array('a','b')) AS sh,
         | minhash_sig(array('a','b'), 4) AS mh,
-        | content_chunks(repeat('xy', 40)) AS cc""".stripMargin).collect()(0)
+        | content_chunks(repeat('xy', 40)) AS cc,
+        | cosine_sim(array(1D, 2D), array(2D, 4D)) AS cs,
+        | dot_product(array(1D, 2D), array(3D, 4D)) AS dp,
+        | char_shingles('abab', 3) AS sg""".stripMargin).collect()(0)
     assert(r.getLong(0) == RollingHash.hash("abc"))
     assert(r.getSeq[Long](2).length == 4)
     // chunks reassemble to the input (lossless cover)
     assert(r.getSeq[String](3).mkString == "xy" * 40)
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12) // parallel vectors
+    assert(r.getDouble(5) == 11.0)
+    assert(r.getSeq[String](6) == Seq("aba", "bab"))
   }
 }
