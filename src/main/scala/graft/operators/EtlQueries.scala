@@ -148,6 +148,25 @@ object EtlQueries {
       Tables(s, dir, "events").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+    },
+    // Purchase→click attribution: every (purchase, click) pair by the
+    // same user with the click in the 4 h up to the purchase — the batch
+    // twin of StreamingOps.clickAttribution's watermarked stream-stream
+    // interval join (StreamingSpec proves streaming ≡ this). µs-truncated
+    // arithmetic on both engines (ts div 1000 ↔ epoch_ns // 1000) so the
+    // boundary comparisons are identical integers.
+    "ev_click_attribution" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("us").as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+          col("us").as("c_us"))
+      p.join(c, col("user_id") === col("c_user_id") &&
+          col("c_us") >= col("p_us") - lit(14400000000L) &&
+          col("c_us") <= col("p_us"))
+        .select("user_id", "purchase_id", "click_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -220,5 +239,15 @@ object EtlQueries {
         |LEFT JOIN c ON g.minute = c.minute""".stripMargin,
     "ev_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "ev_click_attribution" ->
+      """SELECT p.user_id, p.purchase_id, c.click_id
+        |FROM (SELECT user_id, event_id AS purchase_id,
+        |       epoch_ns(ts) // 1000 AS p_us
+        |      FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id AS c_user_id, event_id AS click_id,
+        |       epoch_ns(ts) // 1000 AS c_us
+        |      FROM events WHERE event_type = 'click') c
+        | ON p.user_id = c.c_user_id
+        |  AND c.c_us BETWEEN p.p_us - 14400000000 AND p.p_us""".stripMargin)
 }

@@ -77,6 +77,32 @@ object StreamingOps {
       .withWatermark("event_time", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream interval join — purchase→click attribution: every
+    * (purchase, click) pair by the same user where the click happened in
+    * the 4 hours up to the purchase. Both sides carry watermarks, so the
+    * join's click-side state is evicted as soon as a click is provably
+    * unmatchable (click_time < watermark − 4 h) — bounded state on an
+    * unbounded stream, the only stream-stream join shape that survives
+    * at ingest scale. Works identically on a batch DataFrame (watermark
+    * is a no-op there), which is how the batch oracle twin
+    * `ev_click_attribution` cross-checks it. */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val e = withEventTime(events)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", "1 hour")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("click_time") >= col("purchase_time") - expr("INTERVAL 4 HOURS") &&
+        col("click_time") <= col("purchase_time"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   /** Custom sessionization state machine via flatMapGroupsWithState —
     * the "KeyValueGroupedDataset custom state" north-star surface.
     * Emits one Session row per event-batch per closed/updated session;

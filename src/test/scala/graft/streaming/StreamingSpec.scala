@@ -147,6 +147,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join (click attribution) matches the batch oracle query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch form of the same function ≡ the oracled batch query
+    val batchGot = clickAttribution(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = EtlQueries.queries("ev_click_attribution")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchGot == expect)
+    assert(expect.nonEmpty)
+    // streaming over two chronological micro-batches: cross-batch pairs
+    // (purchase in batch 2, click in batch 1) must come from join state
+    val all = events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts, e.event_id))
+    val stream = MemoryStream[Event]
+    val q = clickAttribution(stream.toDF())
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    try {
+      val (first, second) = all.splitAt(all.length / 2)
+      stream.addData(first.toSeq); q.processAllAvailable()
+      stream.addData(second.toSeq); q.processAllAvailable()
+      val streamGot = spark.table("attribution")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamGot == expect)
+    } finally q.stop()
+  }
+
   test("session_window groupBy agrees with custom sessionization on counts") {
     val sw = sessionWindows(events)
     assert(sw.agg(sum("n_events")).collect()(0).getLong(0) == events.count())
