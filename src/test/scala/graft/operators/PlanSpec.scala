@@ -82,4 +82,20 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("count(1)") && plan.toLowerCase.contains("array_intersect"),
       s"skew-guarded candidate/verify shape missing:\n$plan")
   }
+
+  test("dedup LSH band joins: over-cap bucket filter is a broadcast anti join") {
+    for (q <- Seq("dedup_minhash_lsh", "dedup_simhash")) {
+      val plan = planOf(q)
+      // the banded table must not shuffle for the skew filter: the tiny
+      // over-cap bucket set broadcasts and the filter is a LeftAnti on it
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"$q: band-cap filter is not a broadcast anti join:\n$plan")
+    }
+  }
+
+  test("ev_click_attribution: the smaller event slice broadcasts (no sort-merge)") {
+    val plan = planOf("ev_click_attribution")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"attribution join shuffles both sides:\n$plan")
+  }
 }
