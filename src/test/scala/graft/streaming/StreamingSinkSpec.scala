@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.DriverManager
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkTestBase
+
+/** The idempotent foreachBatch JDBC sink against embedded Derby:
+  * normal multi-batch flow, restart replay (same batchId twice), and
+  * partial-write recovery (crashed attempt leaves rows, rewrite must not
+  * duplicate). */
+class StreamingSinkSpec extends SparkTestBase {
+
+  private val url = "jdbc:derby:memory:graftStreamSink;create=true"
+  private def conn() = DriverManager.getConnection(url)
+
+  private def count(sql: String): Long = {
+    val c = conn()
+    try {
+      val rs = c.createStatement().executeQuery(sql)
+      rs.next(); rs.getLong(1)
+    } finally c.close()
+  }
+
+  test("foreachBatch sink: multi-batch write, replay skip, partial-write recovery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val c = conn()
+    c.createStatement().executeUpdate(
+      """CREATE TABLE sink_events (
+        | event_id BIGINT NOT NULL, user_id BIGINT, batch_id BIGINT)""".stripMargin)
+    c.close()
+
+    val stream = MemoryStream[(Long, Long)]
+    val q = stream.toDF().toDF("event_id", "user_id")
+      .writeStream
+      .foreachBatch(StreamingJdbcSink.sink(url, "sink_events"))
+      .start()
+    try {
+      stream.addData((1L, 10L), (2L, 20L)); q.processAllAvailable()
+      stream.addData((3L, 30L)); q.processAllAvailable()
+    } finally q.stop()
+    assert(count("SELECT COUNT(*) FROM sink_events") == 3)
+    assert(count("SELECT COUNT(*) FROM sink_events_ledger") == 2)
+
+    // restart replay: same batchId again → skipped, no duplicates
+    val replay = Seq((1L, 10L), (2L, 20L)).toDF("event_id", "user_id")
+    val wrote = StreamingJdbcSink.writeBatch(replay, 0L, url, "sink_events")
+    assert(!wrote)
+    assert(count("SELECT COUNT(*) FROM sink_events") == 3)
+
+    // partial-write recovery: a crashed attempt of batch 7 left one row
+    // but no ledger entry — the retry must clear it and land exactly once
+    val c2 = conn()
+    c2.createStatement().executeUpdate(
+      "INSERT INTO sink_events VALUES (99, 99, 7)")
+    c2.close()
+    val batch7 = Seq((7L, 70L), (8L, 80L)).toDF("event_id", "user_id")
+    assert(StreamingJdbcSink.writeBatch(batch7, 7L, url, "sink_events"))
+    assert(count("SELECT COUNT(*) FROM sink_events WHERE batch_id = 7") == 2)
+    assert(count("SELECT COUNT(*) FROM sink_events WHERE event_id = 99") == 0)
+    assert(count("SELECT COUNT(*) FROM sink_events") == 5)
+
+    // and a second retry of the now-committed batch is a no-op
+    assert(!StreamingJdbcSink.writeBatch(batch7, 7L, url, "sink_events"))
+    assert(count("SELECT COUNT(*) FROM sink_events") == 5)
+  }
+}
