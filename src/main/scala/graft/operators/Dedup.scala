@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.SketchExpressions
+
+/** User-facing deduplication library: DataFrame in → DataFrame out, no
+  * fixture coupling. The registered `DedupQueries` entries are thin
+  * wrappers over these with the driver fixture's parameters, so every
+  * function here is exercised by the DuckDB oracle gate.
+  *
+  * Scale design (see PERF.md): candidates always come from an equi-join
+  * on a bucket key — never an unbounded cartesian — with two skew guards:
+  * a document-frequency cap on shingle keys and a size cap on LSH band
+  * buckets (broadcast anti join against the tiny over-cap set). Exact
+  * verification runs per candidate pair. Thresholds compare in integer
+  * cross-multiplied form so no floating point is involved.
+  */
+object Dedup {
+
+  /** Exact content dedup: one shuffle on the content hash; keeps the
+    * lowest id per group. Output: (content_hash, keep_id, n_copies). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct character n-gram shingle sets per document (single-pass
+    * `Shingles` kernel; empty array for texts shorter than n). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      SketchExpressions.char_shingles(col(textCol), n).as("shs"))
+
+  /** Exact Jaccard verification of candidate (a_id, b_id) pairs against
+    * shingle sets, in integer form: keep pairs with
+    * den·|a∩b| >= num·(|a|+|b|)  ⇔  jaccard >= num/(den−num) scaled —
+    * callers pass e.g. (3, 8) for jaccard ≥ 3/5. Cost is O(candidates). */
+  def verifyJaccard(cand: DataFrame, shingles: DataFrame,
+      num: Int = 3, den: Int = 8): DataFrame =
+    cand
+      .join(shingles.select(col("doc_id").as("a_id"), col("shs").as("sa")), Seq("a_id"))
+      .join(shingles.select(col("doc_id").as("b_id"), col("shs").as("sb")), Seq("b_id"))
+      .filter(lit(den) * size(array_intersect(col("sa"), col("sb"))) >=
+        lit(num) * (size(col("sa")) + size(col("sb"))))
+      .select("a_id", "b_id")
+
+  /** n-gram Jaccard near-dup pairs (a_id < b_id): candidates from an
+    * equi-join on shingles whose document frequency is ≤ dfCap (hot
+    * shingles like " th" would contribute O(df²) pairs), then exact
+    * verification. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, dfCap: Int = 40, num: Int = 3, den: Int = 8): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val sh = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("sh")
+    val rareSh = sh.join(rare, "sh")
+    val cand = rareSh.select(col("doc_id").as("a_id"), col("sh"))
+      .join(rareSh.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    verifyJaccard(cand, sets, num, den)
+  }
+
+  /** Drop rows whose bucket (key columns) holds more than cap documents.
+    * The over-cap set is ≤ corpus/cap rows by construction, so it always
+    * broadcasts and the banded table never shuffles for this filter. */
+  def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val hot = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+      .drop("bucket_n")
+    banded.join(broadcast(hot), keys, "left_anti")
+  }
+
+  /** MinHash + LSH near-dup pairs: k-permutation signatures (single-pass
+    * `MinHashSig`), banded rows-per-band = k/bands, candidates agree on
+    * ≥ 1 band, exact-Jaccard verified. Recall at the threshold follows
+    * the banding s-curve (16×2 ≈ 0.999 at jaccard 0.6). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      bucketCap: Int = 1000, num: Int = 3, den: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val sig = docs.select(col(idCol).as("doc_id"),
+      SketchExpressions.minhash_sig(
+        SketchExpressions.char_shingles(col(textCol), n), numHashes).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rows until (b + 1) * rows).map(i => col("sig").getItem(i)): _*)
+          .as("sigh"))
+    }
+    val banded = capBuckets(
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sigh").as("sigh")),
+      Seq("band", "sigh"), bucketCap)
+    val cand = banded.alias("x").join(banded.alias("y"), Seq("band", "sigh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    verifyJaccard(cand, shingleSets(docs, idCol, textCol, n), num, den)
+  }
+
+  /** SimHash near-dup pairs: 64-bit token-vote fingerprint (single-pass
+    * `SimHash64`), candidates share one 16-bit band, verified by
+    * bit_count(xor) ≤ maxHamming. Output: (a_id, b_id, hamming). */
+  def simhashPairs(docs: DataFrame, idCol: String, tokens: Column,
+      maxHamming: Int = 16, bucketCap: Int = 1000): DataFrame = {
+    val sig = docs.select(col(idCol).as("doc_id"),
+      SketchExpressions.simhash64(tokens).as("simhash"))
+    val banded = capBuckets(
+      sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            expr(s"(simhash >> ${b * 16}) & 65535").as("bits"))): _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.bits").as("bits")),
+      Seq("band", "bits"), bucketCap)
+    banded.alias("x").join(banded.alias("y"), Seq("band", "bits"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

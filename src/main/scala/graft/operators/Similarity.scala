@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.SketchExpressions._
+
+/** User-facing similarity-search library: DataFrame in → DataFrame out,
+  * no fixture coupling. Column contract (documented rather than
+  * parameterized so the call sites stay readable): query sides carry
+  * `(query_id, va)`, corpus sides `(neighbor_id, vb)` with the vector
+  * columns as `array<double>`. All cosine/dot arithmetic runs through
+  * the fused codegen kernels (`CosineSim` / `DotProduct`), bit-identical
+  * to the SQL folds the DuckDB oracles use.
+  *
+  * Scale design: the exact path broadcasts the (small) query batch so
+  * the corpus is scanned once and never shuffled; the approximate paths
+  * replace the cartesian with bucket equi-joins (hyperplane LSH tables,
+  * IVF centroid buckets). The registered `SimilarityQueries` entries are
+  * thin wrappers over these with the driver fixture's parameters. */
+object Similarity {
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("cos", cosine_sim(col("va"), col("vb")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** Exact cosine top-k: broadcast the query batch across the corpus
+    * scan, rank per query. The corpus side is never shuffled — the
+    * brute-force shape that holds at "small query batch × huge corpus". */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    topK(corpus.crossJoin(broadcast(queries)), k)
+
+  /** Random-hyperplane LSH top-k: `tables` hash tables of `bits` sign
+    * bits each (one-pass `HyperplaneBuckets`, deterministic sign table);
+    * candidates share a bucket in ≥ 1 table, then exact cosine ranks the
+    * candidates. Recall depends on the table/bit trade; the bucket
+    * equi-join replaces the corpus×corpus cartesian. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+      tables: Int, bits: Int, dim: Int, k: Int): DataFrame = {
+    def buckets(df: DataFrame, id: String, vec: String) =
+      df.select(col(id), posexplode(hyperplane_buckets(col(vec), tables, bits, dim)))
+        .select(col(id), col("pos").as("tbl"), col("col").as("bucket"))
+    val q = buckets(queries, "query_id", "va")
+    val c = buckets(corpus, "neighbor_id", "vb")
+    // dedupe candidate id-pairs first, then join the vectors back —
+    // avoids hashing array columns through the distinct.
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .select("query_id", "neighbor_id").distinct()
+    topK(cand
+      .join(broadcast(queries), Seq("query_id"))
+      .join(corpus, Seq("neighbor_id")), k)
+  }
+
+  /** Mean centroid per label with squared norms, `decimals`-rounded so
+    * both engines score from identical inputs. Input `(label, v)`;
+    * output `(c_label, c, cnorm2)`. */
+  def meanCentroids(vectors: DataFrame, decimals: Int = 4): DataFrame =
+    vectors
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("col")), decimals).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dm"))
+      .select(col("label").as("c_label"), expr("transform(dm, s -> s.m)").as("c"))
+      .withColumn("cnorm2", expr("aggregate(c, 0D, (a, x) -> a + x * x)"))
+
+  /** IVF coarse quantizer: each vector `(vec_id, v)` → nearest centroid
+    * by L2 (argmin over |c|² − 2·v·c; |v|² is constant per vector).
+    * Centroids broadcast (small). Output `(vec_id, centroid)`. */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("score"), col("c_label"))
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("score", col("cnorm2") - lit(2) *
+        dot_product(col("v"), col("c")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_label").as("centroid"))
+  }
+
+  /** IVF search: probe only the query's centroid bucket, exact top-k
+    * within it. Query side `(query_id, va, centroid)`, corpus side
+    * `(neighbor_id, vb, centroid)` — both pre-assigned via [[ivfAssign]]. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    topK(corpus.join(broadcast(queries), Seq("centroid")), k)
+}

@@ -26,96 +26,42 @@ import graft.Tables
   */
 object SimilarityQueries {
 
-  /** fused one-pass cosine (CosineSim expression) — same left-fold
-    * accumulation order as the aggregate(zip_with(...)) SQL form and
-    * DuckDB's list_cosine_similarity, so oracle compares stay bit-exact. */
-  private def cosCol: Column =
-    graft.functions.SketchExpressions.cosine_sim(col("va"), col("vb"))
-
-  /** label-mean centroids (4-decimal-rounded, dim-ordered arrays) with
-    * their squared norms — shared by ivf_assign / sim_ann_ivf. */
-  private def ivfCentroids(s: SparkSession, dir: String): DataFrame =
+  /** embeddings as `(vec_id, v: array<double>)` */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("col").cast("double")), 4).as("m"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dm"))
-      .select(col("label").as("c_label"), expr("transform(dm, s -> s.m)").as("c"))
-      .withColumn("cnorm2", expr("aggregate(c, 0D, (a, x) -> a + x * x)"))
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+
+  private def querySide(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+  private def corpusSide(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vb"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-5 neighbors for query vectors vec_id < 10 over the rest.
     "sim_topk_bruteforce" -> { (s, dir) =>
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("v").as("va"))
-      val c = e.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("neighbor_id"), col("v").as("vb"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      c.crossJoin(broadcast(q))
-        .withColumn("cos", cosCol)
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select("query_id", "neighbor_id", "rnk")
+      val e = vecs(s, dir)
+      Similarity.bruteForceTopK(querySide(e), corpusSide(e), k = 5)
     },
     // LSH-bucketed ANN: same query set, approximate candidates.
     // No oracle (hash-defined buckets aren't ANSI-SQL-expressible);
     // recall vs. brute force is asserted in SimilaritySpec.
-    // All 4 bucket keys come from ONE pass over the vector
-    // (HyperplaneBuckets, precomputed sign table) instead of 32 separate
-    // SQL folds that each called xxhash64 per element — same buckets
-    // (identical sign derivation), ~2k fewer hash calls per row.
     "sim_ann_lsh" -> { (s, dir) =>
-      val dim = 64
-      val tables = 4
-      val bitsPerTable = 8
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val hashed = e.select(col("vec_id"), col("v"),
-          posexplode(graft.functions.SketchExpressions.hyperplane_buckets(
-            col("v"), tables, bitsPerTable, dim)))
-        .select(col("vec_id"), col("v"),
-          col("pos").as("tbl"), col("col").as("bucket"))
-      val q = hashed.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
-      val c = hashed.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("neighbor_id"), col("tbl"), col("bucket"))
-      // dedupe candidate id-pairs first, then join the vectors back —
-      // avoids hashing array columns through the distinct.
-      val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
-        .select("query_id", "neighbor_id").distinct()
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      cand
-        .join(broadcast(e.select(col("vec_id").as("query_id"), col("v").as("va"))),
-          Seq("query_id"))
-        .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("vb")),
-          Seq("neighbor_id"))
-        .withColumn("cos", cosCol)
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select("query_id", "neighbor_id", "rnk")
+      val e = vecs(s, dir)
+      Similarity.lshTopK(querySide(e), corpusSide(e),
+        tables = 4, bits = 8, dim = 64, k = 5)
     },
-    // IVF assignment step: each vector → nearest centroid by L2 (argmin
-    // over |c|² − 2·v·c; |v|² is constant per vector). Centroids are the
-    // 4-decimal-rounded per-label means, so both engines score from
-    // identical inputs. This is the coarse-quantizer half of IVF-ANN:
-    // at 100 TB the corpus is bucketed by centroid once, and queries
-    // probe only their nearest bucket(s) (sim_ann_ivf).
+    // IVF assignment step: coarse quantizer over 4-decimal-rounded
+    // per-label mean centroids, so both engines score from identical
+    // inputs. At 100 TB the corpus is bucketed by centroid once, and
+    // queries probe only their nearest bucket(s) (sim_ann_ivf).
     "ivf_assign" -> { (s, dir) =>
-      val cent = ivfCentroids(s, dir)
-      val v = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val w = Window.partitionBy("vec_id").orderBy(col("score"), col("c_label"))
-      v.crossJoin(broadcast(cent))
-        .withColumn("score", col("cnorm2") - lit(2) *
-          graft.functions.SketchExpressions.dot_product(col("v"), col("c")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("c_label").as("centroid"))
+      val e = vecs(s, dir)
+      val cent = Similarity.meanCentroids(
+        Tables(s, dir, "embeddings")
+          .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v")))
+      Similarity.ivfAssign(e, cent)
     },
     // IVF search: probe only the query's centroid bucket, exact top-3
     // within it. Oracle: the full IVF pipeline (rounded centroids →
@@ -123,20 +69,12 @@ object SimilarityQueries {
     // DuckDB SQL; SimilaritySpec additionally checks recall vs brute force.
     "sim_ann_ivf" -> { (s, dir) =>
       val assign = queries("ivf_assign")(s, dir)
-      val v = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-        .join(assign, "vec_id")
+      val v = vecs(s, dir).join(assign, "vec_id")
       val q = v.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("va"), col("centroid"))
       val c = v.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("centroid"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      c.join(broadcast(q), Seq("centroid"))
-        .withColumn("cos", cosCol)
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .select("query_id", "neighbor_id", "rnk")
+      Similarity.ivfTopK(q, c, k = 3)
     },
     // Per-label centroids: posexplode + (label, dim) aggregate — the
     // standard distributed "mean vector per class" shape (one shuffle
