@@ -67,6 +67,20 @@ object AdvancedQueries {
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("sec"), col("signup_sec"))
     },
+    // The generic two-table form of the same semantics via AsOf.join
+    // (union + per-key carry-forward window — no range-join pair
+    // blow-up). Oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the
+    // composition is checked against an independent implementation.
+    "asof_join_generic" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .withColumn("sec", expr("ts div 1000000000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("sec"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("sec").as("signup_sec"), col("ts"))
+      AsOf.join(purchases, signups, Seq("user_id"), "ts", "ts", Seq("signup_sec"))
+        .select("event_id", "user_id", "sec", "signup_sec")
+    },
     // Exact interpolated median over integer keys (deterministic in
     // double: midpoint of two integers). Exact `percentile` buffers every
     // group's values — fine for 3 order statuses, OOM bait for
@@ -286,6 +300,13 @@ object AdvancedQueries {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_sec
         | FROM events) t
         |WHERE event_type = 'purchase'""".stripMargin,
+    "asof_join_generic" ->
+      """SELECT p.event_id, p.user_id,
+        | CAST(FLOOR(EPOCH(p.ts)) AS BIGINT) AS sec,
+        | CAST(FLOOR(EPOCH(s.ts)) AS BIGINT) AS signup_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts""".stripMargin,
     "median_order_key" ->
       """SELECT o_orderstatus, MEDIAN(o_orderkey) AS median_key, COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,

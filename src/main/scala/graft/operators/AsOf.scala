@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic as-of (point-in-time) join — for every left row, attach the
+  * most recent right-side values at or before the left row's time,
+  * per key.
+  *
+  * Spark has no native as-of join; the naive range join
+  * (`l.key = r.key AND r.t <= l.t` + max-per-row) explodes to
+  * O(|matches|) pairs before reducing. This composition is the
+  * scale-correct form: union both sides tagged with a marker, one
+  * shuffle keyed on the join keys, and a per-key ordered window carrying
+  * the right values forward (`last(..., ignoreNulls)`), then keep the
+  * left rows. Cost is one shuffle + one sort per key group — the same
+  * shape as any windowed aggregation, with no pair blow-up.
+  *
+  * Ordering contract: right rows sort before left rows at equal
+  * timestamps (a right value AT the left time is visible — "at or
+  * before"). Ties among multiple right rows at the same (key, time) are
+  * resolved by whichever sorts last; pass a strictly-ordering time
+  * column if that matters.
+  *
+  * Column contract: `left` and `right` share only the key columns;
+  * `rightVals` names the right-side columns to carry (they must not
+  * collide with left column names). Output = every left column +
+  * `rightVals`. */
+object AsOf {
+
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+    val leftOnly = left.columns.filterNot(keys.contains).toSeq
+    val l = left
+      .withColumn("_t", col(leftTime)).withColumn("_m", lit(1))
+      .select(keys.map(col) ++ Seq(col("_t"), col("_m")) ++
+        leftOnly.map(col) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("_t", col(rightTime)).withColumn("_m", lit(0))
+      .select(keys.map(col) ++ Seq(col("_t"), col("_m")) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightVals
+      .foldLeft(l.unionByName(r)) { (df, c) =>
+        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+      .filter(col("_m") === 1)
+      .drop("_m", "_t")
+  }
+}
