@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** The reusable pipeline APIs (Dedup / Similarity / AsOf) on synthetic,
+  * non-fixture data with arbitrary column names — the "a user points
+  * this at their own tables" contract, independent of the oracle gate. */
+class LibraryApiSpec extends SparkTestBase {
+
+  test("AsOf.join: equal-ts right row visible, carry-forward, null when none") {
+    import spark.implicits._
+    val purchases = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 10L, "c"))
+      .toDF("k", "t", "tag")
+    val quotes = Seq((1L, 10L, 100.0), (1L, 1L, 50.0), (3L, 2L, 7.0))
+      .toDF("k", "qt", "price")
+    val got = AsOf.join(purchases, quotes, Seq("k"), "t", "qt", Seq("price"))
+      .select("tag", "price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map(
+      "a" -> Some(100.0), // quote AT the purchase time is visible
+      "b" -> Some(50.0),  // carry-forward from t=1
+      "c" -> None))       // key 2 has no quotes at all
+  }
+
+  test("Dedup.exact and jaccardPairs on arbitrary columns") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog"), // exact dup of 10
+      (12L, "the quick brown fox jumps over the lazy cat"), // near dup
+      (13L, "completely different content here")
+    ).toDF("rid", "body")
+    val exact = Dedup.exact(docs, "rid", "body")
+    assert(exact.count() == 3)
+    assert(exact.filter(col("n_copies") === 2).select("keep_id")
+      .collect()(0).getLong(0) == 10L)
+    val pairs = Dedup.jaccardPairs(docs, "rid", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 11L)) && pairs.contains((10L, 12L)) &&
+      pairs.contains((11L, 12L)))
+    assert(!pairs.exists(p => p._1 == 13L || p._2 == 13L))
+  }
+
+  test("Similarity.bruteForceTopK ranks by cosine with id tiebreak") {
+    import spark.implicits._
+    val q = Seq((0L, Seq(1.0, 0.0))).toDF("query_id", "va")
+    val c = Seq(
+      (1L, Seq(1.0, 0.0)),   // cos 1.0
+      (2L, Seq(1.0, 1.0)),   // cos ~0.707
+      (3L, Seq(0.0, 1.0)),   // cos 0.0
+      (4L, Seq(2.0, 0.0))    // cos 1.0 — ties with 1, id breaks
+    ).toDF("neighbor_id", "vb")
+    val got = Similarity.bruteForceTopK(q, c, k = 3)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 4L, 2L))
+  }
+
+  test("Similarity.ivfAssign picks the nearest centroid by L2") {
+    import spark.implicits._
+    val vectors = Seq(
+      (1L, Seq(0.1, 0.0)), (2L, Seq(0.9, 1.1)), (3L, Seq(0.0, 0.2)))
+      .toDF("vec_id", "v")
+    val centroids = Seq(("lo", Seq(0.0, 0.0)), ("hi", Seq(1.0, 1.0)))
+      .toDF("c_label", "c")
+      .withColumn("cnorm2", expr("aggregate(c, 0D, (a, x) -> a + x * x)"))
+    val got = Similarity.ivfAssign(vectors, centroids)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "lo", 2L -> "hi", 3L -> "lo"))
+  }
+}
