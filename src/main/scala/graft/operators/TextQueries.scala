@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Text-analysis operators over the `documents` table (north-star surface:
-  * token counting, quality scoring, language-ID, fingerprinting).
+/** Fixture-bound query registrations for the text surface — thin
+  * wrappers over the user-facing [[TextAnalysis]] column-function
+  * library (token counting, quality scoring, language-ID,
+  * fingerprinting, chunk dedup).
   *
   * Every computation is a codegen'd column expression (no UDFs), so the
   * same plan scales linearly over 100 TB of documents: narrow per-row
@@ -14,51 +16,38 @@ import graft.Tables
   */
 object TextQueries {
 
-  /** whole-word occurrence count via replace-length arithmetic; identical
-    * algorithm on the DuckDB side for exact parity. */
-  private def occ(padded: Column, w: String): Column = {
-    val token = s" $w "
-    (length(padded) - length(regexp_replace(padded, token, ""))) / token.length
-  }.cast("long")
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> { (s, dir) =>
       Tables(s, dir, "documents").select(
-        col("doc_id"),
-        when(length(trim(col("text"))) === 0, 0L)
-          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
-          .as("n_tokens"))
+        col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     },
     // BPE-ish subword counting: greedy longest-match over the classes a
     // byte-pair tokenizer's pre-tokenizer uses (letter runs, digit runs,
     // single other-glyphs) — the cheap token-budget estimator for corpus
     // accounting when the real vocab isn't in the loop.
     "text_tokens_bpeish" -> { (s, dir) =>
-      val toks = expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
       Tables(s, dir, "documents").select(
         col("doc_id"),
-        size(toks).cast("long").as("n_subtokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_subtokens"),
         size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long")
           .as("n_alpha_runs"),
         size(expr("regexp_extract_all(lower(text), '[0-9]+', 0)")).cast("long")
           .as("n_digit_runs"))
     },
     "text_quality" -> { (s, dir) =>
-      val t = col("text")
+      val q = TextAnalysis.qualityCounts(col("text"))
       Tables(s, dir, "documents").select(
         col("doc_id"),
-        length(t).cast("long").as("n_chars_q"),
-        (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("long").as("n_punct"),
-        (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("long").as("n_digits"),
-        (length(t) - length(regexp_replace(t, "[A-Z]", ""))).cast("long").as("n_upper"),
-        (length(t) - length(regexp_replace(t, " ", ""))).cast("long").as("n_spaces"))
+        q.getField("n_chars").as("n_chars_q"),
+        q.getField("n_punct").as("n_punct"),
+        q.getField("n_digits").as("n_digits"),
+        q.getField("n_upper").as("n_upper"),
+        q.getField("n_spaces").as("n_spaces"))
     },
     "text_langid" -> { (s, dir) =>
       val padded = concat(lit(" "), lower(col("text")), lit(" "))
-      val sEn = occ(padded, "the") + occ(padded, "and") + occ(padded, "of")
-      val sEs = occ(padded, "el") + occ(padded, "la") + occ(padded, "los")
-      val sDe = occ(padded, "der") + occ(padded, "und") + occ(padded, "die")
-      val sFr = occ(padded, "le") + occ(padded, "les") + occ(padded, "des")
+      val Seq(sEn, sEs, sDe, sFr) = TextAnalysis.DefaultProfiles
+        .map { case (_, words) => TextAnalysis.languageScore(padded, words) }
       Tables(s, dir, "documents").select(
         col("doc_id"),
         sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"), sFr.as("s_fr"),
@@ -70,7 +59,7 @@ object TextQueries {
     },
     "text_fingerprint" -> { (s, dir) =>
       Tables(s, dir, "documents").select(
-        col("doc_id"), md5(col("text")).as("fp"))
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
     },
     // 64-bit polynomial rolling hash via a custom codegen'd Catalyst
     // expression (graft.functions.RollingHash). Oracle: DuckDB HUGEINT
@@ -89,15 +78,7 @@ object TextQueries {
     // recursive CTE over a precomputed next-boundary table. Invariants
     // also pinned in ChunkSpec.
     "text_chunk_dedup" -> { (s, dir) =>
-      Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(graft.functions.ContentChunks.content_chunks(col("text")))
-            .as("chunk"))
-        .groupBy(md5(col("chunk")).as("chunk_hash"))
-        .agg(count(lit(1)).as("n_occurrences"),
-          countDistinct(col("doc_id")).as("n_docs"),
-          min(col("doc_id")).as("first_doc"))
-        .filter(col("n_docs") > 1)
+      TextAnalysis.chunkDedup(Tables(s, dir, "documents"), "doc_id", "text")
     })
 
   /** shared SQL fragment mirroring `occ` exactly */
