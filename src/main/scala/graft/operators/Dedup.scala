@@ -81,9 +81,9 @@ object Dedup {
       n: Int = 3, numHashes: Int = 32, bands: Int = 16,
       bucketCap: Int = 1000, num: Int = 3, den: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val sig = docs.select(col(idCol).as("doc_id"),
-      SketchExpressions.minhash_sig(
-        SketchExpressions.char_shingles(col(textCol), n), numHashes).as("sig"))
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val sig = sets.select(col("doc_id"),
+      SketchExpressions.minhash_sig(col("shs"), numHashes).as("sig"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * rows until (b + 1) * rows).map(i => col("sig").getItem(i)): _*)
@@ -97,7 +97,7 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    verifyJaccard(cand, shingleSets(docs, idCol, textCol, n), num, den)
+    verifyJaccard(cand, sets, num, den)
   }
 
   /** SimHash near-dup pairs: 64-bit token-vote fingerprint (single-pass
