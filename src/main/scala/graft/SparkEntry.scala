@@ -20,7 +20,8 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
-      (MultimodalQueries.queries, MultimodalQueries.oracles))
+      (MultimodalQueries.queries, MultimodalQueries.oracles),
+      (CurationQueries.queries, CurationQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Fixture-bound query registrations for the [[Curation]] library:
+  * deterministic hash splits, quality gating, per-source quotas. */
+object CurationQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic train/val/test split by content hash: per-split
+    // document counts and id bounds. Identical texts share a bucket, so
+    // exact duplicates cannot straddle the train/test boundary.
+    "cur_hash_split" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("split", Curation.split(col("text")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+    },
+    // C4-style quality gate with the default thresholds; emits passing
+    // docs with their signals.
+    "cur_quality_filter" -> { (s, dir) =>
+      Curation.qualityFilter(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+    // Source balancing: the 5 lowest-id docs per source.
+    "cur_source_quota" -> { (s, dir) =>
+      Curation.groupQuota(Tables(s, dir, "documents"), "doc_id", "source", 5)
+        .select("source", "doc_id", "rn")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "cur_hash_split" ->
+      """SELECT split, COUNT(*) AS n_docs,
+        | MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM (
+        | SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train'
+        |       WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM (
+        |  SELECT doc_id,
+        |   ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
+        |  FROM documents) t0) t1
+        |GROUP BY split""".stripMargin,
+    "cur_quality_filter" ->
+      """SELECT doc_id, n_chars_f, n_tokens, n_punct FROM (
+        | SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_f,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |  END AS n_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |       AS BIGINT) AS n_punct
+        | FROM documents) t
+        |WHERE n_chars_f >= 300 AND n_tokens >= 30
+        |  AND n_punct * 1000 <= n_chars_f * 50""".stripMargin,
+    "cur_source_quota" ->
+      """SELECT source, doc_id, rn FROM (
+        | SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        | FROM documents) t
+        |WHERE rn <= 5""".stripMargin)
+}
