@@ -53,4 +53,25 @@ object Curation {
     docs.withColumn("rn", row_number().over(
         Window.partitionBy(groupCol).orderBy(col(idCol))).cast("long"))
       .filter(col("rn") <= k)
+
+  /** Token-budget shard packing: assign each doc to a shard of
+    * ~`tokensPerShard` whitespace tokens, per group, in id order — the
+    * shard-building step before sequence packing / tokenization. A doc's
+    * shard is its group's running token count *before* it, divided by
+    * the budget, so shards fill to the budget then roll over. Windows
+    * are per-group (one shuffle on the group key), never global — the
+    * scale-safe form of "cut the corpus into ~N-token files". */
+  def tokenShards(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, tokensPerShard: Long): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(groupCol), col(idCol).as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      // integer `div`, not `/`: double division would round where the
+      // oracle's BIGINT floor-division truncates
+      .withColumn("shard",
+        expr(s"(cum_tokens - n_tokens) div $tokensPerShard"))
+  }
 }

@@ -28,6 +28,12 @@ object CurationQueries {
     "cur_source_quota" -> { (s, dir) =>
       Curation.groupQuota(Tables(s, dir, "documents"), "doc_id", "source", 5)
         .select("source", "doc_id", "rn")
+    },
+    // Shard packing: ~500-token shards per source in doc_id order.
+    "cur_token_shards" -> { (s, dir) =>
+      Curation.tokenShards(Tables(s, dir, "documents"),
+        "doc_id", "text", "source", 500L)
+        .select("source", "doc_id", "n_tokens", "cum_tokens", "shard")
     })
 
   val oracles: Map[String, String] = Map(
@@ -61,5 +67,18 @@ object CurationQueries {
         | SELECT source, doc_id,
         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         | FROM documents) t
-        |WHERE rn <= 5""".stripMargin)
+        |WHERE rn <= 5""".stripMargin,
+    "cur_token_shards" ->
+      """SELECT source, doc_id, n_tokens, cum_tokens,
+        | (cum_tokens - n_tokens) // 500 AS shard
+        |FROM (
+        | SELECT source, doc_id, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        | FROM (
+        |  SELECT source, doc_id,
+        |   CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |   END AS n_tokens
+        |  FROM documents) t0) t1""".stripMargin)
 }
