@@ -18,7 +18,8 @@ import graft.functions.{ContentChunks, CosineSim, DotProduct, MinHashSig, Rollin
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[RollingHash].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[RollingHash].getName, null, name, usage,
+      "", "", "", "misc_funcs", "1.0.0", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
