@@ -123,6 +123,78 @@ object CoreQueries {
         .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2)
           .cast(DoubleType).as("revenue"))
     },
+    "q7_volume_shipping" -> { (s, dir) =>
+      // nation-pair trade volume by ship year (TPC-H Q7 shape): two
+      // broadcast copies of the nation dim, fact shuffles once.
+      val n1 = Tables(s, dir, "nation").filter(col("n_nationkey") < 5)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables(s, dir, "nation").filter(col("n_nationkey") < 5)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= tsNtz("1996-01-01 00:00:00") &&
+          col("l_shipdate") < tsNtz("1998-01-01 00:00:00"))
+        .join(broadcast(Tables(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(col("s_nk") =!= col("c_nk"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast(LongType).as("l_year"))
+        .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2)
+          .cast(DoubleType).as("revenue"))
+    },
+    "q8_market_share" -> { (s, dir) =>
+      // market-share numerator/denominator by order year (TPC-H Q8
+      // shape): one nation's share of PROMO-part revenue into ASIA.
+      // Both sums stay exact decimal; the ratio is left to the consumer
+      // so no float division enters the oracle compare.
+      val supNation = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part").filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables(s, dir, "orders")
+          .filter(col("o_orderdate") >= tsNtz("1996-01-01 00:00:00") &&
+            col("o_orderdate") < tsNtz("1998-01-01 00:00:00")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(Tables(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(supNation), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(
+          round(sum(when(col("supp_nation") === "NATION_5",
+            revenue(col("l_extendedprice"), col("l_discount")))), 2)
+            .cast(DoubleType).as("mkt_num"),
+          round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2)
+            .cast(DoubleType).as("mkt_den"))
+    },
+    "q9_product_profit" -> { (s, dir) =>
+      // supplier-nation profit by order year over one part type (TPC-H
+      // Q9 shape, adapted: the fixture has no partsupp, so profit =
+      // discounted revenue).
+      Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")
+          .filter(col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2)
+          .cast(DoubleType).as("sum_profit"))
+    },
     "q10_returned_revenue" -> { (s, dir) =>
       // top-20 customers by revenue of returned items (fact filtered,
       // dims broadcast, top-k via TakeOrdered).
@@ -410,6 +482,49 @@ object CoreQueries {
         | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_nationkey < 5 AND n2.n_nationkey < 5
+        | AND n1.n_nationkey <> n2.n_nationkey
+        | AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        | CAST(ROUND(SUM(CASE WHEN ns.n_name = 'NATION_5'
+        |   THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,4))) END), 2) AS DOUBLE) AS mkt_num,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS mkt_den
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation nc ON c_nationkey = nc.n_nationkey
+        | JOIN region ON nc.n_regionkey = r_regionkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        | CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_type = 'STANDARD'
+        |GROUP BY 1, 2""".stripMargin,
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, c_nationkey,
         | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
