@@ -57,6 +57,26 @@ class LibraryApiSpec extends SparkTestBase {
     assert(got == Seq(1L, 4L, 2L))
   }
 
+  test("Curation.split: deterministic, content-keyed, respects percentages") {
+    import spark.implicits._
+    val docs = (0 until 500).map(i => (i.toLong, s"document body number $i"))
+      .toDF("id", "body")
+    val once = docs.withColumn("split", Curation.split(col("body")))
+    val again = docs.withColumn("split", Curation.split(col("body")))
+    // deterministic: identical assignment on recompute
+    assert(once.except(again).count() == 0 && again.except(once).count() == 0)
+    // identical text → identical split regardless of id (leak-safety)
+    val dup = Seq((9000L, "document body number 7")).toDF("id", "body")
+      .withColumn("split", Curation.split(col("body")))
+    val orig = once.filter(col("id") === 7).select("split").collect()(0).getString(0)
+    assert(dup.select("split").collect()(0).getString(0) == orig)
+    // roughly 80/10/10 (hash buckets: allow wide tolerance)
+    val counts = once.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 300 && counts.getOrElse("val", 0L) > 10 &&
+      counts.getOrElse("test", 0L) > 10)
+  }
+
   test("Similarity.ivfAssign picks the nearest centroid by L2") {
     import spark.implicits._
     val vectors = Seq(

@@ -93,6 +93,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q7/q9: every dimension join broadcasts (single fact shuffle)") {
+    for (q <- Seq("q7_volume_shipping", "q9_product_profit")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q: no broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: a dimension fell back to sort-merge:\n$plan")
+    }
+  }
+
   test("ev_click_attribution: the smaller event slice broadcasts (no sort-merge)") {
     val plan = planOf("ev_click_attribution")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
