@@ -195,6 +195,25 @@ object CoreQueries {
         .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2)
           .cast(DoubleType).as("sum_profit"))
     },
+    "q20_excess_suppliers" -> { (s, dir) =>
+      // suppliers who shipped > 200 units of PROMO parts in 1996 (TPC-H
+      // Q20 shape adapted — no partsupp in the fixture): aggregate
+      // subquery over the filtered fact, joined back to supplier+nation.
+      val excess = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= tsNtz("1996-01-01 00:00:00") &&
+          col("l_shipdate") < tsNtz("1997-01-01 00:00:00"))
+        .join(broadcast(Tables(s, dir, "part").filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(sum(money(col("l_quantity"))).as("total_qty"))
+        .filter(col("total_qty") > 200)
+      Tables(s, dir, "supplier")
+        .join(excess, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"),
+          col("total_qty").cast(DoubleType).as("total_qty"))
+    },
     "q10_returned_revenue" -> { (s, dir) =>
       // top-20 customers by revenue of returned items (fact filtered,
       // dims broadcast, top-k via TakeOrdered).
@@ -525,6 +544,19 @@ object CoreQueries {
         | JOIN nation ON s_nationkey = n_nationkey
         |WHERE p_type = 'STANDARD'
         |GROUP BY 1, 2""".stripMargin,
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name, n_name AS nation,
+        | CAST(q AS DOUBLE) AS total_qty
+        |FROM (
+        | SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE p_type = 'PROMO'
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        | GROUP BY l_suppkey
+        | HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 200) t
+        | JOIN supplier ON s_suppkey = l_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, c_nationkey,
         | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
