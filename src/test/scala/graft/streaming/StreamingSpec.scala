@@ -175,6 +175,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog and self-terminates") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val all = events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(_.ts)
+    val stream = MemoryStream[Event]
+    stream.addData(all.toSeq) // backlog exists BEFORE the query starts
+    val q = tumblingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("availablenow")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      // the batch-catchup contract: process everything available, stop
+      assert(q.awaitTermination(120000), "query did not self-terminate")
+      assert(!q.isActive)
+      val got = spark.table("availablenow")
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(got == all.length)
+    } finally q.stop()
+  }
+
   test("session_window groupBy agrees with custom sessionization on counts") {
     val sw = sessionWindows(events)
     assert(sw.agg(sum("n_events")).collect()(0).getLong(0) == events.count())
