@@ -29,6 +29,20 @@ object Curation {
       .otherwise("test")
   }
 
+  /** Stratified deterministic sampling: keep a doc when its content-hash
+    * bucket (of 1000) falls under its group's per-mille rate — exact
+    * per-group downsampling ratios with no RNG, reproducible across
+    * engines and partitionings. A narrow filter over one scan. */
+  def stratifiedHashSample(docs: DataFrame, textCol: String,
+      groupCol: String, perMilleByGroup: Map[String, Int],
+      defaultPerMille: Int): DataFrame = {
+    val rate = perMilleByGroup.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPerMille)) { case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit(r)).otherwise(acc)
+      }
+    docs.filter(hashBucket(col(textCol), 1000) < rate)
+  }
+
   /** C4-style quality gate: minimum length and token count, bounded
     * punctuation density (per-mille, integer cross-multiplied). Returns
     * passing docs with their signals — a narrow filter over one scan. */

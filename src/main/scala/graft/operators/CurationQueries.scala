@@ -34,6 +34,13 @@ object CurationQueries {
       Curation.tokenShards(Tables(s, dir, "documents"),
         "doc_id", "text", "source", 500L)
         .select("source", "doc_id", "n_tokens", "cum_tokens", "shard")
+    },
+    // Stratified downsampling: keep all of src0, 10% of src1, 50%
+    // elsewhere — deterministic per-group ratios by content hash.
+    "cur_stratified_sample" -> { (s, dir) =>
+      Curation.stratifiedHashSample(Tables(s, dir, "documents"),
+        "text", "source", Map("src0" -> 1000, "src1" -> 100), 500)
+        .select("doc_id", "source")
     })
 
   val oracles: Map[String, String] = Map(
@@ -68,6 +75,14 @@ object CurationQueries {
         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         | FROM documents) t
         |WHERE rn <= 5""".stripMargin,
+    "cur_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        | SELECT doc_id, source,
+        |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 AS b
+        | FROM documents) t
+        |WHERE b < CASE WHEN source = 'src0' THEN 1000
+        |               WHEN source = 'src1' THEN 100
+        |               ELSE 500 END""".stripMargin,
     "cur_token_shards" ->
       """SELECT source, doc_id, n_tokens, cum_tokens,
         | (cum_tokens - n_tokens) // 500 AS shard

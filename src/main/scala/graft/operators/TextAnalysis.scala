@@ -61,6 +61,15 @@ object TextAnalysis {
   /** MD5 content fingerprint */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** adjacent word pairs ("a b") over whitespace tokens — the unit of
+    * bigram language-model statistics; empty for texts with < 2 tokens */
+  def wordBigrams(text: Column): Column = {
+    val t = split(lower(trim(text)), "\\s+")
+    val n = size(t)
+    zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
   /** Cross-document shared-passage detector: content-defined chunks
     * (Rabin-style boundaries) hashed and grouped; rows are chunk hashes
     * seen in more than one document. One narrow chunking map + one

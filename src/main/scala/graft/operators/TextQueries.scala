@@ -79,6 +79,15 @@ object TextQueries {
     // also pinned in ChunkSpec.
     "text_chunk_dedup" -> { (s, dir) =>
       TextAnalysis.chunkDedup(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+    // Top-20 word bigrams across the corpus (count desc, bigram asc) —
+    // explode + one shuffle on the bigram.
+    "text_bigram_counts" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.wordBigrams(col("text"))).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
     })
 
   /** shared SQL fragment mirroring `occ` exactly */
@@ -141,6 +150,13 @@ object TextQueries {
         |       for i in range(1, length(text) + 1)]),
         |    (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS h
         | FROM documents) t""".stripMargin,
+    "text_bigram_counts" ->
+      """SELECT bigram, COUNT(*) AS n FROM (
+        | SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+        | FROM (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents) t0) t1
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     // Content-defined chunking replayed in SQL: candidate boundaries are
     // positions whose trailing-8-byte window hash ≡ 0 (mod 64) — the low
     // 6 bits of the mod-2^64 hash, exact in BIGINT. next-boundary per
