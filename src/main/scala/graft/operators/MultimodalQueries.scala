@@ -53,14 +53,17 @@ object MultimodalQueries {
         col("meta.height").as("height"))
     },
     // STUBBED decode + feature extraction: 8 deterministic "features" per
-    // payload (xxhash64 over byte-range slices — stands in for pixel
-    // statistics). No oracle: hash-defined, rows-only check. Features are
-    // emitted as scalar columns f0..f7 (not an array) so the driver's
-    // row-sort comparator can order cells; the schema, batching and
-    // partition shape are what this query exercises.
+    // payload (md5 of byte-range slices, first 8 hex digits as an
+    // integer — stands in for pixel statistics). md5 exists on both
+    // engines, so the features are ORACLE-exact: DuckDB slices the text
+    // by chars where Spark slices the payload by bytes, identical on the
+    // ASCII fixture. Features are scalar columns f0..f7 (not an array)
+    // so the driver's row-sort comparator can order cells; the schema,
+    // batching and partition shape are what this query exercises.
     "mm_feature_extract" -> { (s, dir) =>
-      val feats = (0 to 7).map(i =>
-        expr(s"xxhash64(substr(payload, ${i * 16 + 1}, 16))").as(s"f$i"))
+      val feats = (0 to 7).map(i => expr(
+        s"cast(conv(substr(md5(substr(payload, ${i * 16 + 1}, 16)), 1, 8), 16, 10) as bigint)")
+        .as(s"f$i"))
       withMedia(Tables(s, dir, "documents"))
         .filter(col("meta.media_type") === "image/png")
         .select(col("doc_id") +: feats: _*)
@@ -95,6 +98,14 @@ object MultimodalQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "mm_feature_extract" -> {
+      val feats = (0 to 7).map(i =>
+        s"('0x' || substr(md5(substr(text, ${i * 16 + 1}, 16)), 1, 8))::BIGINT AS f$i")
+        .mkString(",\n ")
+      s"""SELECT doc_id,
+         | $feats
+         |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+    },
     "mm_binary_meta" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image/png'

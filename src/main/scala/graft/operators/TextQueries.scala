@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DoubleType
 import graft.Tables
 
 /** Fixture-bound query registrations for the text surface — thin
@@ -88,6 +90,27 @@ object TextQueries {
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
+    },
+    // Most distinctive term per document by tf/df ratio. The score is a
+    // single IEEE division of two small integers — bit-deterministic on
+    // both engines, so the compare stays exact without rounding. Shape:
+    // explode → (doc, term) tf → term df join → per-doc top-1 window.
+    "text_tfidf_top_term" -> { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(df, "tok")
+        .withColumn("score", col("tf").cast(DoubleType) / col("df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("top_term"),
+          col("tf"), col("df"), col("score"))
     })
 
   /** shared SQL fragment mirroring `occ` exactly */
@@ -150,6 +173,22 @@ object TextQueries {
         |       for i in range(1, length(text) + 1)]),
         |    (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS h
         | FROM documents) t""".stripMargin,
+    "text_tfidf_top_term" ->
+      """WITH toks AS (
+        | SELECT doc_id, tok FROM (
+        |  SELECT doc_id,
+        |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents) t WHERE length(tok) > 0),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, tok FROM toks) d GROUP BY 1)
+        |SELECT doc_id, tok AS top_term, tf, df, score FROM (
+        | SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |  CAST(tf.tf AS DOUBLE) / df.df AS score,
+        |  ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.tok) AS rn
+        | FROM tf JOIN df ON tf.tok = df.tok) t
+        |WHERE rn = 1""".stripMargin,
     "text_bigram_counts" ->
       """SELECT bigram, COUNT(*) AS n FROM (
         | SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
