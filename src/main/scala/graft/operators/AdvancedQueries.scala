@@ -133,6 +133,28 @@ object AdvancedQueries {
         .agg(sum(col("pn")).as("n"),
           sum(col("pv")).cast(DoubleType).as("total_value"))
     },
+    // Salted JOIN (the join-side skew mitigation): the fact side salts
+    // its key deterministically (pmod of the PK — same spread as a
+    // random salt, but reproducible), the dimension side replicates once
+    // per salt value, and the join runs on (key, salt) so one hot key
+    // spreads over 8 reducers instead of one. Result ≡ the plain join
+    // (the oracle). At cluster scale AQE's skew-join split is the
+    // automatic fallback; this is the explicit form for plans AQE can't
+    // rewrite.
+    "join_salted_skew" -> { (s, dir) =>
+      val salts = 8
+      val fact = Tables(s, dir, "lineitem")
+        .withColumn("salt", pmod(col("l_orderkey"), lit(salts)).cast(IntegerType))
+      val dim = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .crossJoin(
+          s.range(salts).select(col("id").cast(IntegerType).as("d_salt")))
+      fact.join(dim, col("l_orderkey") === col("o_orderkey") &&
+          col("salt") === col("d_salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(money(col("l_quantity"))).cast(DoubleType).as("total_qty"))
+    },
     // Correlated scalar subquery (Catalyst decorrelates it into a join):
     // customers whose account balance exceeds their nation's rounded
     // average (threshold rounded to 4 decimals so both engines filter on
@@ -396,6 +418,11 @@ object AdvancedQueries {
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "join_salted_skew" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "set_union_all" ->
       """SELECT nationkey, COUNT(*) AS n FROM (
         | SELECT c_nationkey AS nationkey FROM customer
