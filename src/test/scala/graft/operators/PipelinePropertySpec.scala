@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Randomized (seeded) cross-checks of the subtle library compositions
+  * against naive O(n²) references — the properties that must hold on
+  * ANY input, not just the driver fixture. A handful of seeded corpora
+  * per test keeps the Spark round-trips bounded. */
+class PipelinePropertySpec extends SparkTestBase {
+
+  test("AsOf.join ≡ naive latest-at-or-before scan on random event sets") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val lefts = (0 until 40).map(i =>
+        (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(100).toLong))
+      // distinct (key, time) on the right so "latest" is unambiguous
+      val rights = rnd.shuffle(
+        (for (k <- 0L until 6L; t <- 0L until 100L) yield (k, t)).toList)
+        .take(60).map { case (k, t) => (k, t, k * 1000 + t) }
+      val l = lefts.toDF("lid", "k", "lt")
+      val r = rights.toDF("k", "rt", "v")
+      val got = AsOf.join(l, r, Seq("k"), "lt", "rt", Seq("v"))
+        .select("lid", "v")
+        .collect()
+        .map(row => row.getLong(0) ->
+          (if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+      val expect = lefts.map { case (lid, k, lt) =>
+        val cand = rights.filter(x => x._1 == k && x._2 <= lt)
+        lid -> (if (cand.isEmpty) None
+                else Some(cand.maxBy(_._2)._3))
+      }.toMap
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
+  test("Dedup.jaccardPairs ≡ naive pairwise jaccard on random corpora") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      // ≤ 25 docs from a tiny alphabet → shingle df ≤ 25 < dfCap, so the
+      // candidate stage is provably lossless and equality must be exact
+      val docs = (0 until 25).map { i =>
+        val len = 4 + rnd.nextInt(12)
+        (i.toLong, (0 until len).map(_ => "abc" (rnd.nextInt(3))).mkString)
+      }
+      def shingles(s: String): Set[String] =
+        if (s.length < 3) Set.empty
+        else (0 to s.length - 3).map(i => s.substring(i, i + 3)).toSet
+      val expect = (for {
+        a <- docs; b <- docs if a._1 < b._1
+        sa = shingles(a._2); sb = shingles(b._2)
+        if 8 * (sa & sb).size >= 3 * (sa.size + sb.size)
+      } yield (a._1, b._1)).toSet
+      val got = Dedup.jaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect, s"seed $seed")
+    }
+  }
+}
