@@ -55,13 +55,17 @@ object DataCopier {
           .option("user", Option(props.getProperty("user")).getOrElse(""))
           .load()
       case _ if spec.primaryKey.nonEmpty && numPartitions > 1 =>
-        // PK-only probe → split tuples → lexicographic range predicates,
-        // one per partition (each pushed down as the partition's WHERE).
-        import org.apache.spark.sql.functions.col
-        val probe = spark.read.jdbc(url, table, props)
-          .select(spec.primaryKey.map(col): _*)
-        val splits = graft.delete.DeletePlanner.splitPoints(
-          probe, spec.primaryKey, numPartitions)
+        // Boundary tuples probed ON the source (O(workers) index-served
+        // OFFSET/FETCH queries — the reference's TableDeleter probe shape,
+        // no Spark scan, no global sort), then one lexicographic range
+        // predicate per partition, each pushed down as that partition's
+        // WHERE clause.
+        val propsMap = {
+          import scala.jdk.CollectionConverters._
+          props.stringPropertyNames.asScala.map(k => k -> props.getProperty(k)).toMap
+        }
+        val splits = graft.delete.DeletePlanner.splitPointsOffset(
+          url, table, spec.primaryKey, numPartitions, propsMap)
         val predicates = graft.delete.DeletePlanner.rangePredicates(
           spec.primaryKey, splits)
         spark.read.jdbc(url, table, predicates.toArray, props)

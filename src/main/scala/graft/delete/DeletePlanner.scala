@@ -67,12 +67,57 @@ object DeletePlanner {
       .distinct.sorted.map(q => Seq[Any](q.toLong)).toSeq
   }
 
+  /** O3 pushed to the source, the reference's own probe shape
+    * (TableDeleter.java:63-99): `SELECT pk ORDER BY pk OFFSET k FETCH 1`
+    * per boundary, all through one JDBC connection — O(workers) tiny
+    * index-served queries, zero Spark scans, no global sort. This is the
+    * scale path for composite PKs, where approxQuantile doesn't apply. */
+  def splitPointsOffset(url: String, table: String, pkCols: Seq[String],
+      workers: Int, connProps: Map[String, String] = Map.empty): Seq[Seq[Any]] = {
+    if (workers <= 1) return Seq.empty
+    val p = new java.util.Properties()
+    connProps.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = DriverManager.getConnection(url, p)
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs0 = st.executeQuery(s"SELECT COUNT(*) FROM $table")
+        rs0.next(); val n = rs0.getLong(1); rs0.close()
+        if (n == 0) return Seq.empty
+        val step = (n + workers - 1) / workers
+        val pks = pkCols.mkString(", ")
+        (1 until workers).map(_ * step).filter(_ < n).map { off =>
+          val rs = st.executeQuery(
+            s"SELECT $pks FROM $table ORDER BY $pks " +
+              s"OFFSET $off ROWS FETCH NEXT 1 ROWS ONLY")
+          rs.next()
+          val tuple = pkCols.indices.map(i => rs.getObject(i + 1): Any)
+          rs.close()
+          tuple
+        }
+      } finally st.close()
+    } finally conn.close()
+  }
+
   /** Build the per-worker WHERE clauses from split points (half-open
-    * lexicographic ranges; first/last unbounded). */
+    * lexicographic ranges; first/last unbounded). Temporal values render
+    * as JDBC escape literals ({ts ...}/{d ...}/{t ...} — every JDBC
+    * driver rewrites these to its dialect); unsupported PK types are
+    * rejected explicitly rather than emitting a broken bare literal. */
   def rangePredicates(pkCols: Seq[String], splits: Seq[Seq[Any]]): Seq[String] = {
     def lit(v: Any): String = v match {
       case s: String => "'" + s.replace("'", "''") + "'"
-      case other => other.toString
+      case t: java.sql.Timestamp => s"{ts '${t.toString}'}"
+      case d: java.sql.Date => s"{d '${d.toString}'}"
+      case t: java.sql.Time => s"{t '${t.toString}'}"
+      case t: java.time.LocalDateTime =>
+        s"{ts '${java.sql.Timestamp.valueOf(t).toString}'}"
+      case d: java.time.LocalDate => s"{d '${d.toString}'}"
+      case n: java.lang.Number => n.toString
+      case b: java.lang.Boolean => b.toString
+      case other => throw new IllegalArgumentException(
+        s"unsupported PK literal type ${other.getClass.getName} — " +
+          "extend DeletePlanner.rangePredicates or use a different split key")
     }
     def cmp(op: String, eq: String, vals: Seq[Any]): String = {
       val disjuncts = vals.indices.map { i =>

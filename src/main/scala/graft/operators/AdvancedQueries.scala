@@ -134,17 +134,18 @@ object AdvancedQueries {
           sum(col("pv")).cast(DoubleType).as("total_value"))
     },
     // Salted JOIN (the join-side skew mitigation): the fact side salts
-    // its key deterministically (pmod of the PK — same spread as a
-    // random salt, but reproducible), the dimension side replicates once
-    // per salt value, and the join runs on (key, salt) so one hot key
-    // spreads over 8 reducers instead of one. Result ≡ the plain join
-    // (the oracle). At cluster scale AQE's skew-join split is the
-    // automatic fallback; this is the explicit form for plans AQE can't
-    // rewrite.
+    // each ROW deterministically from a column independent of the join
+    // key (l_linenumber — a pmod of the key itself would give every row
+    // of a hot key the same salt and spread nothing), the dimension side
+    // replicates once per salt value, and the join runs on (key, salt)
+    // so one hot key spreads over 8 reducers instead of one. Result ≡
+    // the plain join (the oracle). At cluster scale AQE's skew-join
+    // split is the automatic fallback; this is the explicit form for
+    // plans AQE can't rewrite.
     "join_salted_skew" -> { (s, dir) =>
       val salts = 8
       val fact = Tables(s, dir, "lineitem")
-        .withColumn("salt", pmod(col("l_orderkey"), lit(salts)).cast(IntegerType))
+        .withColumn("salt", pmod(col("l_linenumber"), lit(salts)).cast(IntegerType))
       val dim = Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"))
         .crossJoin(

@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   * resolved by whichever sorts last; pass a strictly-ordering time
   * column if that matters.
   *
+  * Null contract: all `rightVals` come from the SAME matched right row
+  * (they are carried through the window as one struct), so a right row
+  * whose value column is legitimately NULL yields NULL — it is not
+  * skipped in favor of an older row's value.
+  *
   * Column contract: `left` and `right` share only the key columns;
   * `rightVals` names the right-side columns to carry (they must not
   * collide with left column names). Output = every left column +
@@ -33,24 +38,30 @@ object AsOf {
       leftTime: String, rightTime: String,
       rightVals: Seq[String]): DataFrame = {
     val leftOnly = left.columns.filterNot(keys.contains).toSeq
+    // One struct per right row, carried whole through the window: the
+    // window's ignoreNulls applies to the struct (null only on left
+    // rows), never to the individual value columns, so every output row
+    // takes all rightVals from one right row, nulls included.
+    val rvStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
     val l = left
       .withColumn("_t", col(leftTime)).withColumn("_m", lit(1))
       .select(keys.map(col) ++ Seq(col("_t"), col("_m")) ++
-        leftOnly.map(col) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftOnly.map(col) :+
+        lit(null).cast(rvStructType).as("_rv"): _*)
     val r = right
       .withColumn("_t", col(rightTime)).withColumn("_m", lit(0))
       .select(keys.map(col) ++ Seq(col("_t"), col("_m")) ++
-        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(col): _*)
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightVals.map(col): _*).as("_rv"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t"), col("_m"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightVals
-      .foldLeft(l.unionByName(r)) { (df, c) =>
-        df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-      }
+    val carried = l.unionByName(r)
+      .withColumn("_rv", last(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_m") === 1)
-      .drop("_m", "_t")
+    rightVals
+      .foldLeft(carried) { (df, c) => df.withColumn(c, col("_rv")(c)) }
+      .drop("_m", "_t", "_rv")
   }
 }

@@ -83,13 +83,16 @@ object CurationQueries {
         |WHERE b < CASE WHEN source = 'src0' THEN 1000
         |               WHEN source = 'src1' THEN 100
         |               ELSE 500 END""".stripMargin,
+    // CAST back to BIGINT: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
+    // renders as float64 — the driver's value hash then sees 500.0 vs 500.
     "cur_token_shards" ->
       """SELECT source, doc_id, n_tokens, cum_tokens,
-        | (cum_tokens - n_tokens) // 500 AS shard
+        | CAST((cum_tokens - n_tokens) // 500 AS BIGINT) AS shard
         |FROM (
         | SELECT source, doc_id, n_tokens,
-        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_tokens
         | FROM (
         |  SELECT source, doc_id,
         |   CASE WHEN length(trim(text)) = 0 THEN 0

@@ -80,6 +80,10 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 16,
       bucketCap: Int = 1000, num: Int = 3, den: Int = 8): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands); " +
+        "otherwise trailing signature components are silently unused and " +
+        "the banding s-curve shifts")
     val rows = numHashes / bands
     val sets = shingleSets(docs, idCol, textCol, n)
     val sig = sets.select(col("doc_id"),

@@ -186,7 +186,7 @@ object SimilarityQueries {
         |GROUP BY label, dim""".stripMargin,
     "vec_quantize_int8" ->
       """SELECT vec_id, scale,
-        | list_aggregate(q, 'sum') AS q_sum,
+        | CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
         | list_aggregate(q, 'min') AS q_min,
         | list_aggregate(q, 'max') AS q_max,
         | CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_saturated

@@ -15,76 +15,106 @@ import graft.copy.DataCopier
   * pattern — Structured Streaming replays a failed batch with the same
   * `batchId` and deterministic contents):
   *
-  *  1. if `batchId` is in `<table>_ledger` the batch already committed
-  *     fully — skip (restart replay);
-  *  2. `DELETE FROM table WHERE batch_id = ?` — clears any partial write
-  *     from a mid-batch crash, making the rewrite idempotent;
-  *  3. distributed write via `DataCopier.writeJdbc` with a `batch_id`
+  *  1. acquire the batch mutex: an UNCOMMITTED `INSERT` into
+  *     `<table>_mutex (batch_id PK)` on a dedicated connection — the row
+  *     lock serializes concurrent attempts of the same batch (a second
+  *     attempt blocks here until the first commits or dies, so its
+  *     DELETE can never interleave with the first attempt's writes);
+  *  2. if `batchId` is in `<table>_ledger` the batch already committed
+  *     fully — release the mutex and skip (restart replay);
+  *  3. `DELETE FROM table WHERE batch_id = ?` (own connection,
+  *     committed) — clears any partial write from a crashed attempt;
+  *  4. distributed write via `DataCopier.writeJdbc` with a `batch_id`
   *     column stamped on every row (the destination table carries it);
-  *  4. record `batchId` in the ledger — the commit point.
+  *  5. in the mutex transaction: delete the mutex row, insert the
+  *     ledger row, COMMIT — the atomic commit point; rollback on any
+  *     failure leaves neither row (the mutex table is empty at rest).
   *
-  * Scale posture: steps 1/2/4 are driver-side single-statement
-  * transactions; step 3 is the partitioned executor write (per-task
-  * connections, reference commit cadence). State is the ledger table —
-  * one row per processed batch, nothing driver-resident. */
+  * Scale posture: steps 1–3/5 are driver-side; step 4 is the
+  * partitioned executor write (per-task connections, reference commit
+  * cadence). State is the ledger table — one row per processed batch,
+  * nothing driver-resident.
+  *
+  * Residual assumption: executor tasks of a DEAD driver must be fenced
+  * by the cluster manager (standard Spark semantics) — a still-running
+  * zombie task writes outside the mutex and plain JDBC INSERT cannot
+  * fence it. Driver-level races (the realistic restart/failover case)
+  * are fully serialized by the mutex. */
 object StreamingJdbcSink {
 
   def ledgerTable(table: String): String = s"${table}_ledger"
+  def mutexTable(table: String): String = s"${table}_mutex"
 
-  /** Create the ledger if missing (dialect-portable: try + tolerate
-    * "already exists"). */
+  /** Create the ledger + mutex tables if missing (dialect-portable:
+    * try + tolerate "already exists"). */
   def ensureLedger(url: String, table: String,
       connProps: Map[String, String] = Map.empty): Unit = {
     val conn = connect(url, connProps)
     try {
-      val st = conn.createStatement()
-      try st.executeUpdate(
-        s"CREATE TABLE ${ledgerTable(table)} (batch_id BIGINT NOT NULL PRIMARY KEY)")
-      catch { case e: java.sql.SQLException if isAlreadyExists(e) => () }
-      finally st.close()
+      Seq(ledgerTable(table), mutexTable(table)).foreach { t =>
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"CREATE TABLE $t (batch_id BIGINT NOT NULL PRIMARY KEY)")
+        catch { case e: java.sql.SQLException if isAlreadyExists(e) => () }
+        finally st.close()
+      }
     } finally conn.close()
   }
 
-  /** Write one micro-batch idempotently. Returns false when the batch was
-    * already committed (replay skip), true when it wrote. */
+  /** Write one micro-batch idempotently (see the protocol above).
+    * Returns false when the batch was already committed (replay skip),
+    * true when it wrote. */
   def writeBatch(df: DataFrame, batchId: Long, url: String, table: String,
       cfg: ConverterConfig = ConverterConfig(),
       rowsPerCommit: Long = 10000L,
       connProps: Map[String, String] = Map.empty): Boolean = {
-    val conn = connect(url, connProps)
-    val alreadyDone =
-      try {
-        val ps = conn.prepareStatement(
-          s"SELECT 1 FROM ${ledgerTable(table)} WHERE batch_id = ?")
-        ps.setLong(1, batchId)
-        val rs = ps.executeQuery()
-        val done = rs.next()
-        rs.close(); ps.close()
-        if (!done) {
-          // clear any partial write from a crashed attempt of this batch
-          val del = conn.prepareStatement(s"DELETE FROM $table WHERE batch_id = ?")
-          del.setLong(1, batchId)
-          del.executeUpdate()
-          del.close()
-          if (!conn.getAutoCommit) conn.commit()
-        }
-        done
-      } finally conn.close()
-    if (alreadyDone) return false
-
-    DataCopier.writeJdbc(df.withColumn("batch_id", lit(batchId)),
-      url, table, cfg, rowsPerCommit, connProps)
-
-    val conn2 = connect(url, connProps)
+    val mconn = connect(url, connProps)
     try {
-      val ins = conn2.prepareStatement(
+      mconn.setAutoCommit(false)
+      // 1. mutex: uncommitted PK insert = exclusive per-batch lock; a
+      // concurrent attempt of the same batchId blocks on this row until
+      // we commit (then finds the ledger entry) or die (then proceeds).
+      val mins = mconn.prepareStatement(
+        s"INSERT INTO ${mutexTable(table)} (batch_id) VALUES (?)")
+      mins.setLong(1, batchId)
+      mins.executeUpdate(); mins.close()
+      // 2. replay check, under the lock
+      val chk = mconn.prepareStatement(
+        s"SELECT 1 FROM ${ledgerTable(table)} WHERE batch_id = ?")
+      chk.setLong(1, batchId)
+      val rs = chk.executeQuery()
+      val alreadyDone = rs.next()
+      rs.close(); chk.close()
+      if (alreadyDone) { mconn.rollback(); return false }
+      // 3. clear any partial write from a crashed attempt — separate
+      // committed connection (the executors' inserts in step 4 must see
+      // a clean table); safe because the mutex serializes attempts.
+      val dconn = connect(url, connProps)
+      try {
+        val del = dconn.prepareStatement(s"DELETE FROM $table WHERE batch_id = ?")
+        del.setLong(1, batchId)
+        del.executeUpdate(); del.close()
+        if (!dconn.getAutoCommit) dconn.commit()
+      } finally dconn.close()
+      // 4. distributed executor write
+      DataCopier.writeJdbc(df.withColumn("batch_id", lit(batchId)),
+        url, table, cfg, rowsPerCommit, connProps)
+      // 5. atomic commit point: mutex row out, ledger row in, one COMMIT
+      val mdel = mconn.prepareStatement(
+        s"DELETE FROM ${mutexTable(table)} WHERE batch_id = ?")
+      mdel.setLong(1, batchId)
+      mdel.executeUpdate(); mdel.close()
+      val lins = mconn.prepareStatement(
         s"INSERT INTO ${ledgerTable(table)} (batch_id) VALUES (?)")
-      ins.setLong(1, batchId)
-      ins.executeUpdate()
-      ins.close()
-      if (!conn2.getAutoCommit) conn2.commit()
-    } finally conn2.close()
-    true
+      lins.setLong(1, batchId)
+      lins.executeUpdate(); lins.close()
+      mconn.commit()
+      true
+    } catch {
+      case t: Throwable =>
+        try mconn.rollback() catch { case _: Throwable => () }
+        throw t
+    } finally mconn.close()
   }
 
   /** The `foreachBatch` function:

@@ -36,4 +36,22 @@ class DeletePlannerSpec extends SparkTestBase {
     val counts = preds.map(p => li.filter(expr(p)).count())
     assert(counts.sum == li.count())
   }
+
+  test("range predicates render temporal PK literals as JDBC escapes " +
+      "and reject unsupported types") {
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:30:45.5")
+    val d = java.sql.Date.valueOf("2024-03-01")
+    val preds = DeletePlanner.rangePredicates(
+      Seq("created_at", "day", "id"),
+      Seq(Seq(ts, d, java.lang.Long.valueOf(7L))))
+    assert(preds.size == 2)
+    assert(preds.head.contains("{ts '2024-03-01 12:30:45.5'}"))
+    assert(preds.head.contains("{d '2024-03-01'}"))
+    assert(preds.head.contains("id < 7"))
+    // a bare toString would silently produce broken SQL — reject instead
+    intercept[IllegalArgumentException] {
+      DeletePlanner.rangePredicates(Seq("pk"),
+        Seq(Seq(new java.math.BigInteger("1").toByteArray)))
+    }
+  }
 }

@@ -24,6 +24,35 @@ class LibraryApiSpec extends SparkTestBase {
       "c" -> None))       // key 2 has no quotes at all
   }
 
+  test("AsOf.join: NULL right value is carried as NULL; multi-col values " +
+      "come from the same matched row") {
+    import spark.implicits._
+    val purchases = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "t", "tag")
+    // t=5 has (price=50, venue=X); t=15 has (price=NULL, venue=Y): the
+    // match at t=20 must yield (NULL, Y) — not mix in t=5's price.
+    val quotes = Seq(
+      (1L, 5L, Some(50.0), "X"),
+      (1L, 15L, None: Option[Double], "Y")
+    ).toDF("k", "qt", "price", "venue")
+    val got = AsOf.join(purchases, quotes, Seq("k"), "t", "qt",
+      Seq("price", "venue"))
+      .select("tag", "price", "venue").collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1))), r.getString(2)))
+      .toMap
+    assert(got == Map(
+      "a" -> (Some(50.0), "X"),
+      "b" -> (None, "Y"))) // NULL preserved, venue from the SAME row
+  }
+
+  test("Dedup.minhashLshPairs rejects numHashes not divisible by bands") {
+    import spark.implicits._
+    val docs = Seq((1L, "some text here")).toDF("rid", "body")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(docs, "rid", "body", numHashes = 32, bands = 10)
+    }
+  }
+
   test("Dedup.exact and jaccardPairs on arbitrary columns") {
     import spark.implicits._
     val docs = Seq(

@@ -38,6 +38,13 @@ def compare(name, spark_df, oracle_df):
     a, b = canon(spark_df), canon(oracle_df)
     for col in a.columns:
         av, bv = a[col], b[col]
+        # Driver-hash hazard: DuckDB HUGEINT (e.g. SUM over BIGINT) lands in
+        # pandas as float64; the driver hashes 500.0 vs 500 as different even
+        # though values are numerically equal. Flag any int-vs-float kind
+        # split so the oracle SQL gets an explicit CAST(... AS BIGINT).
+        if {av.dtype.kind, bv.dtype.kind} == {"i", "f"}:
+            return (f"DTYPE col {col}: spark={av.dtype} oracle={bv.dtype} "
+                    f"(driver hash would mismatch — CAST the oracle column)")
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype(float); bv = bv.astype(float)
             bad = ~((av.isna() & bv.isna()) | (av == bv))
