@@ -41,6 +41,13 @@ object CurationQueries {
       Curation.stratifiedHashSample(Tables(s, dir, "documents"),
         "text", "source", Map("src0" -> 1000, "src1" -> 100), 500)
         .select("doc_id", "source")
+    },
+    // Dense 0-based global IDs in o_orderkey order, assigned WITHOUT a
+    // single-task global sort (range repartition + per-partition offsets
+    // — see Ids.contiguous). The oracle is the naive global window.
+    "ids_contiguous" -> { (s, dir) =>
+      Ids.contiguous(Tables(s, dir, "orders").select("o_orderkey"),
+        Seq("o_orderkey"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -83,6 +90,10 @@ object CurationQueries {
         |WHERE b < CASE WHEN source = 'src0' THEN 1000
         |               WHEN source = 'src1' THEN 100
         |               ELSE 500 END""".stripMargin,
+    "ids_contiguous" ->
+      """SELECT o_orderkey,
+        | ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |FROM orders""".stripMargin,
     // CAST back to BIGINT: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
     // renders as float64 — the driver's value hash then sees 500.0 vs 500.
     "cur_token_shards" ->

@@ -126,4 +126,50 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Connected components over near-dup pairs — the clustering step after
+    * pair generation: every document gets the MINIMUM id reachable
+    * through the pair graph as its `cluster_id`, so "keep one doc per
+    * near-dup cluster" is `filter(id === cluster_id)`.
+    *
+    * Algorithm: iterative min-label propagation. Each round joins the
+    * symmetrized edge list with current labels, takes the per-vertex min
+    * over neighbors, and stops when no label changed — O(diameter)
+    * rounds, each one shuffle keyed by vertex id. Near-dup clusters are
+    * shallow (dup graphs are dense cliques, diameter 2–3 in practice),
+    * so the round count stays small at any corpus size; `localCheckpoint`
+    * cuts the growing lineage each round (on a cluster prefer
+    * `checkpoint` with a checkpoint dir for fault tolerance).
+    *
+    * Input: `vertices` with column `id`; `edges` with columns
+    * (`a_id`, `b_id`). Output: (`id`, `cluster_id`). */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist()
+    var labels = vertices.select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nl").as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = updated.alias("u")
+        .join(labels.alias("o"), "id")
+        .filter(col("u.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
 }

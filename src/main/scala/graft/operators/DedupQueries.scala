@@ -59,6 +59,18 @@ object DedupQueries {
         array_distinct(split(lower(col("text")), "\\s+")),
         maxHamming = 16, bucketCap = BandBucketCap)
     },
+    // Near-dup clustering: connected components over the verified
+    // jaccard pairs — each doc labeled with the min doc_id reachable
+    // through the pair graph. Iterative min-label propagation (one
+    // shuffle per round, rounds = graph diameter); the oracle computes
+    // the same fixpoint with a recursive CTE.
+    "dedup_cluster_cc" -> { (s, dir) =>
+      val pairs = Dedup.jaccardPairs(docs(s, dir, 100), "doc_id", "text",
+        dfCap = ShingleDfCap)
+      val verts = docs(s, dir, 100).select(col("doc_id").as("id"))
+      Dedup.connectedComponents(verts, pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+    },
     // Embedding cosine near-dup: top-20 most-similar pairs in a bounded
     // subset (cast to double, exact-ordered with PK tiebreaks). The
     // unbounded scale path is LSH-bucketed (see sim_ann_lsh).
@@ -77,8 +89,8 @@ object DedupQueries {
             .cast("long").as("rnk"))
     })
 
-  private val jaccardOracle =
-    """WITH sh AS (
+  private val jaccardCtes =
+    """sh AS (
       | SELECT doc_id,
       |  unnest(list_distinct([substr(text, CAST(i AS INT), 3)
       |                        for i in range(1, length(text) - 1)])) AS s
@@ -86,10 +98,26 @@ object DedupQueries {
       |), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       |inter AS (
       | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
-      | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-      |SELECT a_id, b_id
-      |FROM inter JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
-      |WHERE 8 * i >= 3 * (ca.n + cb.n)""".stripMargin
+      | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (
+      | SELECT a_id, b_id
+      | FROM inter JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+      | WHERE 8 * i >= 3 * (ca.n + cb.n))""".stripMargin
+
+  private val jaccardOracle =
+    s"WITH $jaccardCtes\nSELECT a_id, b_id FROM pairs"
+
+  // Same pair predicate, then the min-reachable-id fixpoint as a
+  // recursive CTE — the SQL mirror of min-label propagation.
+  private val ccOracle =
+    s"""WITH RECURSIVE $jaccardCtes,
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      |          UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(id, r) AS (
+      | SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+      | UNION
+      | SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+      |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -98,6 +126,7 @@ object DedupQueries {
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
+    "dedup_cluster_cc" -> ccOracle,
     "dedup_embedding_topk" ->
       """SELECT a_id, b_id, ROW_NUMBER() OVER (ORDER BY cos DESC, a_id, b_id) AS rnk
         |FROM (

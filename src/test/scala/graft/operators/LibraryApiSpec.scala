@@ -53,6 +53,33 @@ class LibraryApiSpec extends SparkTestBase {
     }
   }
 
+  test("Dedup.connectedComponents labels every vertex with the min " +
+      "reachable id (chains, cliques, singletons)") {
+    import spark.implicits._
+    // components: {1,2,3,4} via a chain, {10,11} via one edge, {20} alone
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 3L), (3L, 4L), (1L, 2L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("Ids.contiguous ≡ global row_number, without the global sort") {
+    import spark.implicits._
+    val df = spark.range(1000).select((col("id") * 7919 % 1000).as("k"))
+      .distinct() // unique keys, scrambled order
+    val got = Ids.contiguous(df, Seq("k"), numPartitions = 8)
+    // dense 0-based, ordered by k
+    val rows = got.orderBy("k").collect()
+    assert(rows.map(_.getLong(1)).toSeq == (0L until rows.length).toSeq)
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sorted.toSeq)
+    // scale shape: range exchange present, no single-partition global window
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"))
+  }
+
   test("Dedup.exact and jaccardPairs on arbitrary columns") {
     import spark.implicits._
     val docs = Seq(

@@ -107,4 +107,40 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"attribution join shuffles both sides:\n$plan")
   }
+
+  test("runtime bloom filter prunes the fact side of a shuffled selective join") {
+    // The 100 TB case: the dim side is too big to broadcast, so the join
+    // shuffles — Catalyst's InjectRuntimeFilter should still semi-join-
+    // reduce the fact scan with a bloom filter built from the selective
+    // dim. Thresholds are lowered so the tiny local fixture qualifies.
+    import org.apache.spark.sql.functions.col
+    import graft.Tables
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val fact = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+      val dim = Tables(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$plan")
+      // and it still computes the right thing
+      val expected = Tables(spark, sfDir, "lineitem").join(
+        Tables(spark, sfDir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
