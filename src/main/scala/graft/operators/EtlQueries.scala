@@ -149,6 +149,21 @@ object EtlQueries {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
     },
+    // Changelog compaction (the CDC "merge latest" shape): one row per
+    // user — their most recent event by (ts, event_id). A lexicographic
+    // struct-max aggregation, NOT a per-key window sort: the max is
+    // partial-aggregatable, so it map-side combines and shuffles one
+    // row per (partition, key) — the shape that survives 100×. ts is
+    // raw nanos (fixture quirk); emitted µs-truncated for the oracle.
+    "etl_merge_latest" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"),
+          expr("m.ts div 1000").as("last_ts_us"),
+          col("m.event_id").as("last_event_id"),
+          col("m.value").as("last_value"))
+    },
     // Purchase→click attribution: every (purchase, click) pair by the
     // same user with the click in the 4 h up to the purchase — the batch
     // twin of StreamingOps.clickAttribution's watermarked stream-stream
@@ -240,6 +255,13 @@ object EtlQueries {
     "ev_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events""".stripMargin,
+    "etl_merge_latest" ->
+      """SELECT user_id, last_ts_us, last_event_id, last_value FROM (
+        | SELECT user_id, EPOCH_US(ts) AS last_ts_us, event_id AS last_event_id,
+        |  value AS last_value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t WHERE rn = 1""".stripMargin,
     "ev_click_attribution" ->
       """SELECT p.user_id, p.purchase_id, c.click_id
         |FROM (SELECT user_id, event_id AS purchase_id,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.SketchExpressions._
@@ -88,4 +88,37 @@ object Similarity {
     * `(neighbor_id, vb, centroid)` — both pre-assigned via [[ivfAssign]]. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     topK(corpus.join(broadcast(queries), Seq("centroid")), k)
+
+  /** Product-quantization code assignment — the storage scale path past
+    * int8: `v` splits into `blocks` equal sub-vectors, each assigned to
+    * its nearest sub-centroid by L2 (argmin over |c|² − 2·v·c per
+    * block), so a vector stores as `blocks` small codes instead of
+    * `dim` floats. The codebook (centroids × blocks sub-slices) is
+    * broadcast; the corpus is scanned once with a narrow explode —
+    * no shuffle of the vectors beyond the per-(vec, block) argmin
+    * window on already-colocated rows.
+    *
+    * Input: `vectors` as `(vec_id, v)`, `centroids` as `(c_label, c)`
+    * (e.g. from [[meanCentroids]]). Output: `(vec_id, block, code)`. */
+  def pqAssign(vectors: DataFrame, centroids: DataFrame,
+      blocks: Int, dim: Int): DataFrame = {
+    require(dim % blocks == 0, s"dim ($dim) must split evenly into $blocks blocks")
+    val d = dim / blocks
+    def subSlices(vecCol: String, out: String): Column = explode(expr(
+      s"transform(sequence(0, ${blocks - 1}), " +
+        s"b -> struct(cast(b as bigint) as block, slice($vecCol, b * $d + 1, $d) as $out))"))
+    val vb = vectors
+      .select(col("vec_id"), subSlices("v", "vb").as("e"))
+      .select(col("vec_id"), col("e.block").as("block"), col("e.vb").as("vb"))
+    val cb = centroids
+      .select(col("c_label"), subSlices("c", "cb").as("e"))
+      .select(col("c_label"), col("e.block").as("block"), col("e.cb").as("cb"))
+      .withColumn("cbnorm2", expr("aggregate(cb, 0D, (a, x) -> a + x * x)"))
+    val w = Window.partitionBy("vec_id", "block").orderBy(col("score"), col("c_label"))
+    vb.join(broadcast(cb), "block")
+      .withColumn("score", col("cbnorm2") - lit(2) * dot_product(col("vb"), col("cb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("block"), col("c_label").as("code"))
+  }
 }

@@ -108,6 +108,18 @@ object SimilarityQueries {
           expr("array_max(q)").as("q_max"),
           expr("size(filter(q, x -> abs(x) = 127))").cast("long").as("n_saturated"))
     },
+    // Product quantization: 64-dim vectors → 4 blocks of 16 dims, each
+    // block coded by its nearest sub-centroid (same rounded per-label
+    // centroids as IVF, sliced per block). At 10^9+ vectors this stores
+    // 4 small codes instead of 64 floats; the codebook broadcasts and
+    // the corpus is scanned once.
+    "vec_pq_assign" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val cent = Similarity.meanCentroids(
+        Tables(s, dir, "embeddings")
+          .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v")))
+      Similarity.pqAssign(e, cent, blocks = 4, dim = 64)
+    },
     // L2 norms per vector (sequential fold inside the array — order-
     // deterministic on both engines; rounded to 4 decimals).
     "vec_norms" -> { (s, dir) =>
@@ -198,6 +210,33 @@ object SimilarityQueries {
         |   FLOOR(list_aggregate([abs(x) for x in CAST(embedding AS DOUBLE[])], 'max')
         |         * 1e6 + 0.5) / 1e6 AS scale
         |  FROM embeddings) t1) t2""".stripMargin,
+    "vec_pq_assign" ->
+      """WITH m AS (
+        | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
+        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+        |   CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings) t GROUP BY 1, 2),
+        |cent AS (
+        | SELECT label AS c_label, list(m ORDER BY dim) AS c FROM m GROUP BY label),
+        |blocks AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS block),
+        |cb AS (
+        | SELECT c_label, block,
+        |  list_slice(c, CAST(block * 16 + 1 AS INT), CAST(block * 16 + 16 AS INT)) AS cb
+        | FROM cent, blocks),
+        |cb2 AS (
+        | SELECT c_label, block, cb,
+        |  list_aggregate(list_transform(cb, x -> x * x), 'sum') AS cbnorm2
+        | FROM cb),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |vb AS (
+        | SELECT vec_id, block,
+        |  list_slice(v, CAST(block * 16 + 1 AS INT), CAST(block * 16 + 16 AS INT)) AS vb
+        | FROM v, blocks)
+        |SELECT vec_id, block, code FROM (
+        | SELECT vb.vec_id, vb.block, cb2.c_label AS code,
+        |  ROW_NUMBER() OVER (PARTITION BY vb.vec_id, vb.block
+        |    ORDER BY cbnorm2 - 2 * list_dot_product(vb.vb, cb2.cb), cb2.c_label) AS rn
+        | FROM vb JOIN cb2 ON vb.block = cb2.block) t WHERE rn = 1""".stripMargin,
     "vec_norms" ->
       """SELECT vec_id,
         | ROUND(SQRT(list_aggregate(

@@ -133,6 +133,20 @@ class LibraryApiSpec extends SparkTestBase {
       counts.getOrElse("test", 0L) > 10)
   }
 
+  test("Similarity.pqAssign codes each sub-block by its nearest sub-centroid") {
+    import spark.implicits._
+    // dim 4, 2 blocks of 2: vector halves are near different codebook rows
+    val vectors = Seq((1L, Seq(0.1, 0.1, 0.9, 1.0)), (2L, Seq(1.0, 0.9, 0.0, 0.1)))
+      .toDF("vec_id", "v")
+    val centroids = Seq(("lo", Seq(0.0, 0.0, 0.0, 0.0)), ("hi", Seq(1.0, 1.0, 1.0, 1.0)))
+      .toDF("c_label", "c")
+    val got = Similarity.pqAssign(vectors, centroids, blocks = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got == Map(
+      (1L, 0L) -> "lo", (1L, 1L) -> "hi",   // v1: low half, high half
+      (2L, 0L) -> "hi", (2L, 1L) -> "lo"))  // v2: the reverse
+  }
+
   test("Similarity.ivfAssign picks the nearest centroid by L2") {
     import spark.implicits._
     val vectors = Seq(
