@@ -149,6 +149,33 @@ object EtlQueries {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
     },
+    // Ordered funnel (view → first click at-or-after it → first purchase
+    // at-or-after that): three stage aggregations, each a groupBy-min +
+    // user-keyed join — no per-user event sort, and every stage shuffles
+    // on the same key so the exchanges line up. Timestamps compare as
+    // raw nanos and emit µs-truncated (fixture sub-µs is always zero).
+    "ev_funnel" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") >= col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") >= col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          expr("t_view div 1000").as("view_us"),
+          expr("t_click div 1000").as("click_us"),
+          expr("t_purchase div 1000").as("purchase_us"),
+          (lit(1) +
+            when(col("t_click").isNotNull, 1).otherwise(0) +
+            when(col("t_purchase").isNotNull, 1).otherwise(0))
+            .cast("long").as("depth"))
+    },
     // Changelog compaction (the CDC "merge latest" shape): one row per
     // user — their most recent event by (ts, event_id). A lexicographic
     // struct-max aggregation, NOT a per-key window sort: the max is
@@ -255,6 +282,27 @@ object EtlQueries {
     "ev_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events""".stripMargin,
+    "ev_funnel" ->
+      """WITH v AS (
+        | SELECT user_id, MIN(ts) AS t_view FROM events
+        | WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        | SELECT e.user_id, MIN(e.ts) AS t_click
+        | FROM events e JOIN v ON e.user_id = v.user_id
+        | WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+        |p AS (
+        | SELECT e.user_id, MIN(e.ts) AS t_purchase
+        | FROM events e JOIN c ON e.user_id = c.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+        |SELECT v.user_id,
+        | EPOCH_US(v.t_view) AS view_us,
+        | EPOCH_US(c.t_click) AS click_us,
+        | EPOCH_US(p.t_purchase) AS purchase_us,
+        | CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+        |        + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS depth
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
     "etl_merge_latest" ->
       """SELECT user_id, last_ts_us, last_event_id, last_value FROM (
         | SELECT user_id, EPOCH_US(ts) AS last_ts_us, event_id AS last_event_id,

@@ -108,6 +108,43 @@ class PlanSpec extends SparkTestBase {
       s"attribution join shuffles both sides:\n$plan")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    // One key owns ~90% of the fact rows; with the skew thresholds scaled
+    // to fixture size, AQE's runtime re-plan must split that partition
+    // instead of letting one task own it — the automatic fallback the
+    // salted-join demo is the manual form of.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val fact = spark.range(100000)
+        .select(when(col("id") % 10 < 9, lit(1L)).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(100000).select(col("id").as("k"), (col("id") * 2).as("attr"))
+      val joined = fact.join(dim, "k")
+      // collect() runs joined's OWN QueryExecution (count()/write build a
+      // fresh one), so AQE finalizes exactly the plan we inspect
+      assert(joined.collect().length == 100000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a shuffled selective join") {
     // The 100 TB case: the dim side is too big to broadcast, so the join
     // shuffles — Catalyst's InjectRuntimeFilter should still semi-join-
