@@ -19,15 +19,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * from 12.3 s to sub-second at sf0.1 after this change). */
 object SketchImpl {
   /** 64-bit SimHash over a token array: bit b is the sign of the sum of
-    * ±1 votes from each token's xxhash64 bit b. */
+    * ±1 votes from bit b of each token's 64-bit hash. The token hash is
+    * a polynomial byte fold (h·31 + byte, mod 2⁶⁴ — the
+    * [[graft.functions.RollingHash]] fold) finished by the splitmix64
+    * finalizer: the raw polynomial leaves high bits near zero for short
+    * tokens (31^len ≪ 2⁶⁴), which would make the high SimHash bands
+    * collide universally; splitmix64 disperses all 64 bits. Every step
+    * (add/multiply mod 2⁶⁴, unsigned shift, xor) is reproducible in
+    * mod-2⁶⁴ HUGEINT SQL, so the full pipeline has a DuckDB oracle. */
   def simhash64(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counters = new Array[Int](64)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val bytes = arr.getUTF8String(i).getBytes
+        var h = 0L
+        var bi = 0
+        while (bi < bytes.length) { h = h * 31L + (bytes(bi) & 0xffL); bi += 1 }
+        // splitmix64 finalizer (public-domain constants)
+        h += 0x9E3779B97F4A7C15L
+        h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+        h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+        h = h ^ (h >>> 31)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
@@ -43,11 +57,12 @@ object SketchImpl {
   }
 
   /** Deterministic ±1 hyperplane sign tables for random-hyperplane LSH,
-    * keyed by (tables·bits, dim). Component k of plane j has sign given
-    * by the parity of xxhash64(j·1000003 + k) — byte-identical to the
-    * SQL formulation `(xxhash64(j*1000003 + k) & 1) * 2 - 1` over INT
-    * input (Spark hashes INT via XXH64.hashInt, seed 42), so the sketch
-    * reproduces with no stored model on any executor. */
+    * keyed by (tables·bits, dim). Component k of plane j takes bit 15 of
+    * a Lehmer step over m² where m = j·1000003 + k:
+    * `h = (m·m mod 2³¹−1) · 48271 mod 2³¹−1` — every intermediate fits a
+    * signed 64-bit integer, so the exact table is reproducible in plain
+    * BIGINT SQL (this is what gives `sim_ann_lsh` a DuckDB oracle) and
+    * on any executor with no stored model. */
   private val signCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
   def hyperplaneSigns(planes: Int, dim: Int): Array[Double] =
@@ -58,8 +73,9 @@ object SketchImpl {
       while (j < p) {
         var k = 0
         while (k < d) {
-          val h = XXH64.hashInt(j * 1000003 + k, 42L)
-          out(j * d + k) = if ((h & 1L) == 1L) 1.0 else -1.0
+          val m = j.toLong * 1000003L + k
+          val h = (m * m % 2147483647L) * 48271L % 2147483647L
+          out(j * d + k) = if (((h >> 15) & 1L) == 1L) 1.0 else -1.0
           k += 1
         }
         j += 1

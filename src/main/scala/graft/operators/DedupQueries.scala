@@ -52,12 +52,17 @@ object DedupQueries {
       Dedup.minhashLshPairs(docs(s, dir, 100), "doc_id", "text",
         numHashes = NumHashes, bands = Bands, bucketCap = BandBucketCap)
     },
-    // SimHash: single-pass 64-bit fingerprint, 16-bit band join for
-    // candidates, hamming <= 16 verified via bit_count(xor).
+    // SimHash: single-pass 64-bit fingerprint (polynomial token hashes —
+    // SQL-reproducible), 16-bit band join for candidates, hamming <= 16
+    // verified via bit_count(xor). Empty tokens are filtered on both
+    // engines so the tokenizers' trailing-empty conventions can't skew
+    // the vote. The oracle recomputes the whole pipeline in mod-2⁶⁴
+    // HUGEINT arithmetic.
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(docs(s, dir, 300), "doc_id",
-        array_distinct(split(lower(col("text")), "\\s+")),
+        expr("filter(array_distinct(split(lower(text), '\\\\s+')), x -> length(x) > 0)"),
         maxHamming = 16, bucketCap = BandBucketCap)
+        .withColumn("hamming", col("hamming").cast("long"))
     },
     // Near-dup clustering: connected components over the verified
     // jaccard pairs — each doc labeled with the min doc_id reachable
@@ -119,7 +124,80 @@ object DedupQueries {
       | SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
       |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
 
+  // Full SimHash pipeline in SQL: per-token polynomial hashes in
+  // mod-2⁶⁴ HUGEINT arithmetic (the text_rollinghash pattern), integer
+  // bit votes, 16-bit band candidates, bit_count(xor) verify. Votes are
+  // integer sums, so nothing here depends on float ordering.
+  private val simhashOracle =
+    """WITH RECURSIVE bits(b, pw) AS (
+      | SELECT 0, CAST(1 AS HUGEINT)
+      | UNION ALL SELECT b + 1, pw * 2 FROM bits WHERE b < 63),
+      |toks AS (
+      | SELECT DISTINCT doc_id, tok FROM (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      |  FROM documents WHERE doc_id < 300) t
+      | WHERE length(tok) > 0),
+      |th0 AS (
+      | SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS HUGEINT),
+      |    [CAST(unicode(substr(tok, CAST(i AS INT), 1)) AS HUGEINT)
+      |     for i in range(1, length(tok) + 1)]),
+      |    (acc, c) -> (acc * 31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS h0
+      | FROM toks),
+      |-- splitmix64 in HUGEINT: a 64x64-bit product overflows INT128, so
+      |-- multiplies split the variable into 32-bit halves
+      |-- ((lo*K + ((hi*K) mod 2^32)*2^32) mod 2^64); shifts are // powers.
+      |th1 AS (
+      | SELECT doc_id, (h0 + CAST('11400714819323198485' AS HUGEINT))
+      |  % CAST('18446744073709551616' AS HUGEINT) AS h1 FROM th0),
+      |th2 AS (
+      | SELECT doc_id,
+      |  (((x % 4294967296) * CAST('13787848793156543929' AS HUGEINT))
+      |    % CAST('18446744073709551616' AS HUGEINT)
+      |   + (((x // 4294967296) * CAST('13787848793156543929' AS HUGEINT))
+      |      % 4294967296) * 4294967296)
+      |  % CAST('18446744073709551616' AS HUGEINT) AS h2
+      | FROM (SELECT doc_id, xor(h1, h1 // 1073741824) AS x FROM th1) t),
+      |th3 AS (
+      | SELECT doc_id,
+      |  (((x % 4294967296) * CAST('10723151780598845931' AS HUGEINT))
+      |    % CAST('18446744073709551616' AS HUGEINT)
+      |   + (((x // 4294967296) * CAST('10723151780598845931' AS HUGEINT))
+      |      % 4294967296) * 4294967296)
+      |  % CAST('18446744073709551616' AS HUGEINT) AS h3
+      | FROM (SELECT doc_id, xor(h2, h2 // 134217728) AS x FROM th2) t),
+      |th AS (
+      | SELECT doc_id, xor(h3, h3 // 2147483648) AS h FROM th3),
+      |votes AS (
+      | SELECT doc_id, b, pw,
+      |  SUM(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      | FROM th, bits GROUP BY 1, 2, 3),
+      |sh AS (
+      | SELECT doc_id,
+      |  SUM(CASE WHEN v > 0 THEN pw ELSE CAST(0 AS HUGEINT) END) AS h64
+      | FROM votes GROUP BY 1),
+      |bands AS (
+      | SELECT sh.doc_id, bits.b // 16 AS band,
+      |  CAST((sh.h64 // bits.pw) % 65536 AS BIGINT) AS bb
+      | FROM sh, bits WHERE bits.b % 16 = 0),
+      |cand AS (
+      | SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      | FROM bands x JOIN bands y ON x.band = y.band AND x.bb = y.bb
+      | WHERE x.doc_id < y.doc_id),
+      |sg AS (
+      | SELECT doc_id,
+      |  CAST(CASE WHEN h64 >= CAST('9223372036854775808' AS HUGEINT)
+      |            THEN h64 - CAST('18446744073709551616' AS HUGEINT)
+      |            ELSE h64 END AS BIGINT) AS s
+      | FROM sh)
+      |SELECT a_id, b_id, CAST(bit_count(xor(sa.s, sb.s)) AS BIGINT) AS hamming
+      |FROM cand
+      |JOIN sg sa ON sa.doc_id = a_id
+      |JOIN sg sb ON sb.doc_id = b_id
+      |WHERE bit_count(xor(sa.s, sb.s)) <= 16""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_simhash" -> simhashOracle,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         | COUNT(*) AS n_copies

@@ -121,4 +121,44 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("block"), col("c_label").as("code"))
   }
+
+  /** PQ asymmetric-distance search (ADC): the corpus is represented ONLY
+    * by its PQ codes (from [[pqAssign]]); each query precomputes a
+    * per-(block, code) distance table against the codebook, the tiny
+    * table broadcasts, and corpus codes join it — so the 10⁹-vector scan
+    * touches no floats, just a code equi-join and an integer sum.
+    *
+    * Distances are quantized to integers (`floor(d·10⁹ + 0.5)`) BEFORE
+    * the per-vector sum so the 4-way addition is order-free and
+    * deterministic on any engine — float sums over an unordered group
+    * would differ in the last ulp run to run.
+    *
+    * Input: `queries` as `(query_id, va)`, `codes` as
+    * `(neighbor_id, block, code)`, `centroids` as `(c_label, c)`.
+    * Output: `(query_id, neighbor_id, rnk)` — top-k by approximate L2. */
+  def pqTopK(queries: DataFrame, codes: DataFrame, centroids: DataFrame,
+      blocks: Int, dim: Int, k: Int): DataFrame = {
+    require(dim % blocks == 0, s"dim ($dim) must split evenly into $blocks blocks")
+    val d = dim / blocks
+    val cb = centroids
+      .select(col("c_label"), explode(expr(
+        s"transform(sequence(0, ${blocks - 1}), " +
+          s"b -> struct(cast(b as bigint) as block, slice(c, b * $d + 1, $d) as cb))")).as("e"))
+      .select(col("c_label").as("code"), col("e.block").as("block"), col("e.cb").as("cb"))
+      .withColumn("cbnorm2", expr("aggregate(cb, 0D, (a, x) -> a + x * x)"))
+    val lut = queries.crossJoin(broadcast(cb))
+      .withColumn("qb", expr(s"slice(va, block * $d + 1, $d)"))
+      .withColumn("dist",
+        expr("aggregate(qb, 0D, (a, x) -> a + x * x)") +
+          col("cbnorm2") - lit(2) * dot_product(col("qb"), col("cb")))
+      .select(col("query_id"), col("block"), col("code"),
+        expr("cast(floor(dist * 1e9 + 0.5d) as bigint)").as("dist_i"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+    codes.join(broadcast(lut), Seq("block", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("dist_i").as("d2"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
 }

@@ -44,9 +44,12 @@ object SimilarityQueries {
       val e = vecs(s, dir)
       Similarity.bruteForceTopK(querySide(e), corpusSide(e), k = 5)
     },
-    // LSH-bucketed ANN: same query set, approximate candidates.
-    // No oracle (hash-defined buckets aren't ANSI-SQL-expressible);
-    // recall vs. brute force is asserted in SimilaritySpec.
+    // LSH-bucketed ANN: same query set, approximate candidates. The
+    // hyperplane signs come from a Lehmer step over plain BIGINT
+    // arithmetic (see SketchImpl.hyperplaneSigns), so the entire
+    // pipeline — sign table, ordered dot folds, bucket packing,
+    // candidate join, cosine top-5 — has an exact DuckDB oracle;
+    // recall vs. brute force is additionally asserted in SimilaritySpec.
     "sim_ann_lsh" -> { (s, dir) =>
       val e = vecs(s, dir)
       Similarity.lshTopK(querySide(e), corpusSide(e),
@@ -119,6 +122,21 @@ object SimilarityQueries {
         Tables(s, dir, "embeddings")
           .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v")))
       Similarity.pqAssign(e, cent, blocks = 4, dim = 64)
+    },
+    // PQ asymmetric-distance search: corpus represented only by its PQ
+    // codes; each query broadcasts a per-(block, code) distance table
+    // and the ranking is a code equi-join + integer sum — the
+    // no-floats-in-the-scan shape that serves 10^9-vector ANN. Distances
+    // quantize to ints before summing so the 4-way add is order-free.
+    "sim_ann_pq" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val cent = Similarity.meanCentroids(
+        Tables(s, dir, "embeddings")
+          .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v")))
+      val codes = Similarity.pqAssign(e.filter(col("vec_id") >= 10), cent,
+          blocks = 4, dim = 64)
+        .withColumnRenamed("vec_id", "neighbor_id")
+      Similarity.pqTopK(querySide(e), codes, cent, blocks = 4, dim = 64, k = 5)
     },
     // L2 norms per vector (sequential fold inside the array — order-
     // deterministic on both engines; rounded to 4 decimals).
@@ -237,6 +255,86 @@ object SimilarityQueries {
         |  ROW_NUMBER() OVER (PARTITION BY vb.vec_id, vb.block
         |    ORDER BY cbnorm2 - 2 * list_dot_product(vb.vb, cb2.cb), cb2.c_label) AS rn
         | FROM vb JOIN cb2 ON vb.block = cb2.block) t WHERE rn = 1""".stripMargin,
+    // The ordered `list(val ORDER BY k)` + sequential list_aggregate fold
+    // reproduces the kernel's k-ordered accumulation bit-for-bit; the
+    // sign table is the same Lehmer arithmetic in BIGINT.
+    "sim_ann_lsh" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |signs AS (
+        | SELECT t, b, k,
+        |  ((((m * m) % 2147483647) * 48271 % 2147483647) >> 15) & 1 AS sign
+        | FROM (
+        |  SELECT t, b, k, (t * 8 + b) * 1000003 + k AS m
+        |  FROM (SELECT CAST(unnest(range(4)) AS BIGINT) AS t) tb,
+        |       (SELECT CAST(unnest(range(8)) AS BIGINT) AS b) bb,
+        |       (SELECT CAST(unnest(range(64)) AS BIGINT) AS k) kk) mm),
+        |dots AS (
+        | SELECT vec_id, t, b, list_aggregate(list(val ORDER BY k), 'sum') AS dot
+        | FROM (
+        |  SELECT vec_id, t, b, k,
+        |   CASE WHEN sign = 1 THEN v[k + 1] ELSE -v[k + 1] END AS val
+        |  FROM v, signs) x
+        | GROUP BY 1, 2, 3),
+        |buckets AS (
+        | SELECT vec_id, t,
+        |  CAST(SUM(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+        | FROM dots GROUP BY 1, 2),
+        |cand AS (
+        | SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        | FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+        | WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        | SELECT cand.query_id, cand.neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY cand.query_id
+        |    ORDER BY list_cosine_similarity(qv.v, cv.v) DESC, cand.neighbor_id) AS rnk
+        | FROM cand JOIN v qv ON qv.vec_id = cand.query_id
+        |      JOIN v cv ON cv.vec_id = cand.neighbor_id) t
+        |WHERE rnk <= 5""".stripMargin,
+    "sim_ann_pq" ->
+      """WITH m AS (
+        | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
+        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+        |   CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings) t GROUP BY 1, 2),
+        |cent AS (
+        | SELECT label AS c_label, list(m ORDER BY dim) AS c FROM m GROUP BY label),
+        |blocks AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS block),
+        |cb2 AS (
+        | SELECT c_label, block, cb,
+        |  list_aggregate(list_transform(cb, x -> x * x), 'sum') AS cbnorm2
+        | FROM (
+        |  SELECT c_label, block,
+        |   list_slice(c, CAST(block * 16 + 1 AS INT), CAST(block * 16 + 16 AS INT)) AS cb
+        |  FROM cent, blocks) t),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |vb AS (
+        | SELECT vec_id, block,
+        |  list_slice(v, CAST(block * 16 + 1 AS INT), CAST(block * 16 + 16 AS INT)) AS vb
+        | FROM v, blocks WHERE vec_id >= 10),
+        |codes AS (
+        | SELECT vec_id AS neighbor_id, block, code FROM (
+        |  SELECT vb.vec_id, vb.block, cb2.c_label AS code,
+        |   ROW_NUMBER() OVER (PARTITION BY vb.vec_id, vb.block
+        |     ORDER BY cbnorm2 - 2 * list_dot_product(vb.vb, cb2.cb), cb2.c_label) AS rn
+        |  FROM vb JOIN cb2 ON vb.block = cb2.block) t WHERE rn = 1),
+        |lutq AS (
+        | SELECT q.vec_id AS query_id, b.block,
+        |  list_slice(q.v, CAST(b.block * 16 + 1 AS INT), CAST(b.block * 16 + 16 AS INT)) AS qb
+        | FROM v q, blocks b WHERE q.vec_id < 10),
+        |lut AS (
+        | SELECT query_id, cb2.block, cb2.c_label AS code,
+        |  CAST(FLOOR((list_aggregate(list_transform(qb, x -> x * x), 'sum')
+        |        + cbnorm2 - 2 * list_dot_product(qb, cb2.cb)) * 1e9 + 0.5) AS BIGINT)
+        |   AS dist_i
+        | FROM lutq JOIN cb2 ON lutq.block = cb2.block),
+        |scored AS (
+        | SELECT lut.query_id, codes.neighbor_id, SUM(dist_i) AS d2
+        | FROM codes JOIN lut ON codes.block = lut.block AND codes.code = lut.code
+        | GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        | SELECT query_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rnk
+        | FROM scored) t WHERE rnk <= 5""".stripMargin,
     "vec_norms" ->
       """SELECT vec_id,
         | ROUND(SQRT(list_aggregate(

@@ -47,4 +47,20 @@ class SimilaritySpec extends SparkTestBase {
     }
     assert(hits >= 1, s"no overlap at all between LSH and brute force: $lsh")
   }
+
+  test("PQ ADC search returns ranked, self-free neighbors with sane recall") {
+    val pq = topk("sim_ann_pq")
+    assert(pq.nonEmpty && pq.forall(_._2.size == 5))
+    pq.foreach { case (q, ns) =>
+      assert(!ns.contains(q))
+      assert(ns.distinct == ns)
+    }
+    // codes are 4 coarse labels — like LSH this is a sanity floor: some
+    // queries must recover a true top-5 neighbor
+    val brute = topk("sim_topk_bruteforce")
+    val hits = pq.count { case (q, ns) =>
+      brute.get(q).exists(b => ns.exists(b.contains))
+    }
+    assert(hits >= 1, s"no overlap between PQ ADC and brute force: $pq")
+  }
 }
