@@ -133,6 +133,18 @@ object AdvancedQueries {
         .agg(sum(col("pn")).as("n"),
           sum(col("pv")).cast(DoubleType).as("total_value"))
     },
+    // Heavy hitters via the Misra–Gries TypedImperativeAggregate: O(k)
+    // state per buffer regardless of key cardinality — the sketch path
+    // for "top talkers" on a 10^9-distinct column where groupBy(count)
+    // would shuffle every key. event_type has 5 distinct values < k=16,
+    // so the sketch is provably exact here and the plain GROUP BY is a
+    // true oracle; the approximate regime is bounded in MisraGriesSpec.
+    "freq_heavy_hitters" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .agg(graft.functions.MisraGries.heavy_hitters(col("event_type"), 16).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.cnt").as("n"))
+    },
     // Salted JOIN (the join-side skew mitigation): the fact side salts
     // each ROW deterministically from a column independent of the join
     // key (l_linenumber — a pmod of the key itself would give every row
@@ -415,6 +427,9 @@ object AdvancedQueries {
         |          CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 300 - 1]) AS win
         | FROM events) t
         |GROUP BY win""".stripMargin,
+    "freq_heavy_hitters" ->
+      """SELECT event_type, COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.SketchExpressions
 
 /** User-facing deduplication library: DataFrame in → DataFrame out, no
@@ -148,8 +149,16 @@ object Dedup {
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist()
+    // Convergence probe: labels only ever decrease (least), so the label
+    // sum is strictly monotone while anything changes — one cheap
+    // aggregate per round doubles as the action that materializes the
+    // lazy checkpoint, keeping the loop at ONE job per round.
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("cluster_id").cast(DecimalType(38, 0))).as("s"))
+      .first().getDecimal(0)
     var labels = vertices.select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -160,13 +169,11 @@ object Dedup {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint(true)
-      val changed = updated.alias("u")
-        .join(labels.alias("o"), "id")
-        .filter(col("u.cluster_id") =!= col("o.cluster_id"))
-        .limit(1).count()
+        .localCheckpoint(false)
+      val newSum = labelSum(updated)
       labels = updated
-      converged = changed == 0
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       i += 1
     }
     sym.unpersist()
