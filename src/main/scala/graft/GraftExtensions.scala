@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ContentChunks, CosineSim, DotProduct, MinHashSig, RollingHash, Shingles, SimHash64}
+import graft.functions.{ContentChunks, CosineSim, DotProduct, MinHashSig, MisraGries, RollingHash, Shingles, SimHash64}
 
 /** `SparkSessionExtensions` hook registering the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT rolling_hash(text)
@@ -60,6 +60,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         val n = children(1).eval().asInstanceOf[Number].intValue()
         Shingles(children.head, n)
+      }))
+    // aggregate function: the analyzer wraps the returned AggregateFunction
+    // in an AggregateExpression like any built-in aggregate
+    ext.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters",
+        "heavy_hitters(str, k) - Misra-Gries top items as array<struct<item,cnt>> (exact when distinct <= k)"),
+      (children: Seq[Expression]) => {
+        val k = children(1).eval().asInstanceOf[Number].intValue()
+        MisraGries(children.head, k)
       }))
   }
 }

@@ -10,9 +10,23 @@ import graft.functions.{ContentChunks, CosineSim, DotProduct, MinHashSig, Rollin
   * and calls them from SQL text. */
 class GraftExtensionsSpec extends SparkTestBase {
 
-  test("GraftExtensions injects seven functions") {
+  test("GraftExtensions injects eight functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders validated below
+  }
+
+  test("heavy_hitters callable from SQL as an aggregate") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("heavy_hitters",
+      exprs => graft.functions.MisraGries(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    import spark.implicits._
+    Seq("a", "a", "b", "a", "c").toDF("s").createOrReplaceTempView("hh_in")
+    val r = spark.sql(
+      "SELECT heavy_hitters(s, 8) AS hh FROM hh_in").collect()(0)
+    val top = r.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.head.getString(0) == "a" && top.head.getLong(1) == 3L)
+    assert(top.map(_.getString(0)) == Seq("a", "b", "c"))
   }
 
   test("rolling_hash / simhash64 / minhash_sig / content_chunks callable from SQL") {
