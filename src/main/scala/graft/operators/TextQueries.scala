@@ -111,6 +111,23 @@ object TextQueries {
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("tok").as("top_term"),
           col("tf"), col("df"), col("score"))
+    },
+    // Rarity/quality signal: mean corpus document-frequency of a doc's
+    // distinct tokens (low mean = rare vocabulary). All-integer sums
+    // until one final tie-free floor(x·1e6+0.5)/1e6 division, so the
+    // compare stays exact. Shape: explode → token df → join back → one
+    // doc-keyed aggregation.
+    "text_rarity" -> { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(
+          "filter(array_distinct(split(lower(text), '\\\\s+')), x -> length(x) > 0)")).as("tok"))
+      val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum("df").as("df_sum"))
+        .select(col("doc_id"), col("n_toks"), col("df_sum"),
+          expr("floor(cast(df_sum as double) / n_toks * 1e6 + 0.5d) / 1e6")
+            .as("mean_df"))
     })
 
   /** shared SQL fragment mirroring `occ` exactly */
@@ -173,6 +190,18 @@ object TextQueries {
         |       for i in range(1, length(text) + 1)]),
         |    (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS h
         | FROM documents) t""".stripMargin,
+    "text_rarity" ->
+      """WITH toks AS (
+        | SELECT DISTINCT doc_id, tok FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents) t WHERE length(tok) > 0),
+        |d AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1)
+        |SELECT doc_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_toks,
+        | CAST(SUM(df) AS BIGINT) AS df_sum,
+        | FLOOR(CAST(SUM(df) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_df
+        |FROM toks JOIN d USING (tok)
+        |GROUP BY doc_id""".stripMargin,
     "text_tfidf_top_term" ->
       """WITH toks AS (
         | SELECT doc_id, tok FROM (

@@ -108,6 +108,19 @@ class PlanSpec extends SparkTestBase {
       s"attribution join shuffles both sides:\n$plan")
   }
 
+  test("etl_merge_latest: struct-max aggregates map-side before the shuffle") {
+    val plan = planOf("etl_merge_latest")
+    assert(plan.contains("partial_max"), s"no partial aggregation:\n$plan")
+    assert(!plan.contains("Window "), s"window sort crept in:\n$plan")
+  }
+
+  test("sim_ann_pq: distance LUT broadcasts, code sums aggregate partially") {
+    val plan = planOf("sim_ann_pq")
+    assert(plan.contains("BroadcastHashJoin"), s"LUT not broadcast:\n$plan")
+    assert(plan.contains("partial_sum"), s"no map-side sum:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"top-k not group-limited:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // One key owns ~90% of the fact rows; with the skew thresholds scaled
     // to fixture size, AQE's runtime re-plan must split that partition
