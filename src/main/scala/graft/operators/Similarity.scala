@@ -161,4 +161,42 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk")
   }
+
+  /** IVF + PQ — the trillion-vector layout: the corpus is bucketed by
+    * coarse centroid ([[ivfAssign]]) AND stored as PQ codes
+    * ([[pqAssign]]); a query probes only its own centroid bucket and
+    * scores candidates by the broadcast ADC distance table, so the scan
+    * touches neither foreign buckets nor raw floats. Same integer-
+    * quantized order-free distance sums as [[pqTopK]].
+    *
+    * Input: `queries` as `(query_id, va, centroid)`, `codes` as
+    * `(neighbor_id, block, code, centroid)` — both pre-assigned.
+    * Output: `(query_id, neighbor_id, rnk)`. */
+  def ivfPqTopK(queries: DataFrame, codes: DataFrame, centroids: DataFrame,
+      blocks: Int, dim: Int, k: Int): DataFrame = {
+    require(dim % blocks == 0, s"dim ($dim) must split evenly into $blocks blocks")
+    val d = dim / blocks
+    val cb = centroids
+      .select(col("c_label"), explode(expr(
+        s"transform(sequence(0, ${blocks - 1}), " +
+          s"b -> struct(cast(b as bigint) as block, slice(c, b * $d + 1, $d) as cb))")).as("e"))
+      .select(col("c_label").as("code"), col("e.block").as("block"), col("e.cb").as("cb"))
+      .withColumn("cbnorm2", expr("aggregate(cb, 0D, (a, x) -> a + x * x)"))
+    val lut = queries.select(col("query_id"), col("va"), col("centroid").as("qc"))
+      .crossJoin(broadcast(cb))
+      .withColumn("qb", expr(s"slice(va, block * $d + 1, $d)"))
+      .withColumn("dist",
+        expr("aggregate(qb, 0D, (a, x) -> a + x * x)") +
+          col("cbnorm2") - lit(2) * dot_product(col("qb"), col("cb")))
+      .select(col("query_id"), col("qc"), col("block"), col("code"),
+        expr("cast(floor(dist * 1e9 + 0.5d) as bigint)").as("dist_i"))
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("neighbor_id"))
+    codes.join(broadcast(lut), Seq("block", "code"))
+      .filter(col("centroid") === col("qc")) // bucket probe
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("dist_i").as("d2"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
 }

@@ -138,6 +138,24 @@ object SimilarityQueries {
         .withColumnRenamed("vec_id", "neighbor_id")
       Similarity.pqTopK(querySide(e), codes, cent, blocks = 4, dim = 64, k = 5)
     },
+    // IVF + PQ combined: corpus bucketed by coarse centroid AND stored
+    // as PQ codes; queries probe only their own bucket and score by the
+    // broadcast ADC table. The trillion-vector serving layout, end to
+    // end, with an exact SQL oracle.
+    "sim_ann_ivfpq" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val cent = Similarity.meanCentroids(
+        Tables(s, dir, "embeddings")
+          .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v")))
+      val assign = Similarity.ivfAssign(e, cent)
+      val q = querySide(e)
+        .join(assign.withColumnRenamed("vec_id", "query_id"), "query_id")
+      val codes = Similarity.pqAssign(e.filter(col("vec_id") >= 10), cent,
+          blocks = 4, dim = 64)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .join(assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      Similarity.ivfPqTopK(q, codes, cent, blocks = 4, dim = 64, k = 3)
+    },
     // L2 norms per vector (sequential fold inside the array — order-
     // deterministic on both engines; rounded to 4 decimals).
     "vec_norms" -> { (s, dir) =>
@@ -335,6 +353,64 @@ object SimilarityQueries {
         | SELECT query_id, neighbor_id,
         |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rnk
         | FROM scored) t WHERE rnk <= 5""".stripMargin,
+    "sim_ann_ivfpq" ->
+      """WITH m AS (
+        | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
+        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+        |   CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings) t GROUP BY 1, 2),
+        |cent AS (
+        | SELECT label AS c_label, list(m ORDER BY dim) AS c FROM m GROUP BY label),
+        |cent2 AS (
+        | SELECT c_label, c,
+        |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
+        | FROM cent),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assign AS (
+        | SELECT vec_id, c_label AS centroid FROM (
+        |  SELECT vec_id, c_label,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id
+        |     ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
+        |  FROM v, cent2) t WHERE rn = 1),
+        |blocks AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS block),
+        |cb2 AS (
+        | SELECT c_label, block, cb,
+        |  list_aggregate(list_transform(cb, x -> x * x), 'sum') AS cbnorm2
+        | FROM (
+        |  SELECT c_label, block,
+        |   list_slice(c, CAST(block * 16 + 1 AS INT), CAST(block * 16 + 16 AS INT)) AS cb
+        |  FROM cent, blocks) t),
+        |vb AS (
+        | SELECT vec_id, block,
+        |  list_slice(v, CAST(block * 16 + 1 AS INT), CAST(block * 16 + 16 AS INT)) AS vb
+        | FROM v, blocks WHERE vec_id >= 10),
+        |codes AS (
+        | SELECT vec_id AS neighbor_id, block, code FROM (
+        |  SELECT vb.vec_id, vb.block, cb2.c_label AS code,
+        |   ROW_NUMBER() OVER (PARTITION BY vb.vec_id, vb.block
+        |     ORDER BY cbnorm2 - 2 * list_dot_product(vb.vb, cb2.cb), cb2.c_label) AS rn
+        |  FROM vb JOIN cb2 ON vb.block = cb2.block) t WHERE rn = 1),
+        |lutq AS (
+        | SELECT q.vec_id AS query_id, b.block,
+        |  list_slice(q.v, CAST(b.block * 16 + 1 AS INT), CAST(b.block * 16 + 16 AS INT)) AS qb
+        | FROM v q, blocks b WHERE q.vec_id < 10),
+        |lut AS (
+        | SELECT query_id, cb2.block, cb2.c_label AS code,
+        |  CAST(FLOOR((list_aggregate(list_transform(qb, x -> x * x), 'sum')
+        |        + cbnorm2 - 2 * list_dot_product(qb, cb2.cb)) * 1e9 + 0.5) AS BIGINT)
+        |   AS dist_i
+        | FROM lutq JOIN cb2 ON lutq.block = cb2.block),
+        |scored AS (
+        | SELECT lut.query_id, codes.neighbor_id, SUM(dist_i) AS d2
+        | FROM codes JOIN lut ON codes.block = lut.block AND codes.code = lut.code
+        | JOIN assign qa ON qa.vec_id = lut.query_id
+        | JOIN assign ca ON ca.vec_id = codes.neighbor_id
+        | WHERE qa.centroid = ca.centroid
+        | GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        | SELECT query_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rnk
+        | FROM scored) t WHERE rnk <= 3""".stripMargin,
     "vec_norms" ->
       """SELECT vec_id,
         | ROUND(SQRT(list_aggregate(

@@ -159,4 +159,25 @@ class LibraryApiSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "lo", 2L -> "hi", 3L -> "lo"))
   }
+
+  test("Similarity.ivfPqTopK probes only the query's bucket and ranks by ADC") {
+    import spark.implicits._
+    // dim 2, 2 blocks of 1; codebook lo=(0,0), hi=(1,1).
+    // Corpus (pre-assigned codes + coarse bucket):
+    //   n1=(0.1,0.1) → bucket lo, codes (lo,lo); ADC to q: 0.2²+0² = 0.04
+    //   n3=(0.1,0.8) → bucket lo, codes (lo,hi); ADC: 0.2²+1²   = 1.04
+    //   n2=(0.9,0.9) → bucket hi — must be excluded by the bucket probe
+    val queries = Seq((0L, Seq(0.2, 0.0), "lo")).toDF("query_id", "va", "centroid")
+    val codes = Seq(
+      (1L, 0L, "lo", "lo"), (1L, 1L, "lo", "lo"),
+      (3L, 0L, "lo", "lo"), (3L, 1L, "hi", "lo"),
+      (2L, 0L, "hi", "hi"), (2L, 1L, "hi", "hi"))
+      .toDF("neighbor_id", "block", "code", "centroid")
+    val centroids = Seq(("lo", Seq(0.0, 0.0)), ("hi", Seq(1.0, 1.0)))
+      .toDF("c_label", "c")
+    val got = Similarity.ivfPqTopK(queries, codes, centroids,
+        blocks = 2, dim = 2, k = 3)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L), (3L, 2L)))
+  }
 }
