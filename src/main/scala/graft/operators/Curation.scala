@@ -68,6 +68,44 @@ object Curation {
         Window.partitionBy(groupCol).orderBy(col(idCol))).cast("long"))
       .filter(col("rn") <= k)
 
+  /** Benchmark decontamination: flag training docs that share any
+    * k-token shingle with the benchmark/eval set — the overlap check a
+    * pipeline must run before training so eval answers don't leak into
+    * the corpus. Shape: a narrow shingling map on each side, then the
+    * (tiny — eval suites are MBs, the corpus is TBs) benchmark shingle
+    * set broadcast against the training side's exploded shingles; one
+    * per-doc aggregate. The training corpus is never shuffled. Returns
+    * one row per contaminated training doc with the distinct shingle
+    * hit count and how many benchmark docs it collides with. */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    def shingled(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      explode(array_distinct(TextAnalysis.wordNgrams(col(textCol), k)))
+        .as("sh"))
+    shingled(train, "doc_id")
+      .join(broadcast(shingled(benchmark, "bench_id")), "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_hit_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  /** Temperature-flattened mixture sampling at α = 1/2: each domain
+    * keeps ~sqrt(n_d / n_max) of its docs, so oversized domains are
+    * downsampled toward a flatter mixture while the largest stays whole
+    * and small ones are untouched. The keep predicate is pure integer
+    * cross-multiplication — b²·n_max < 10⁶·n_d with b the content-hash
+    * per-mille bucket — no floats, no RNG, identical on every engine and
+    * partitioning. Shape: one metadata-sized domain-count aggregate
+    * broadcast back over a single corpus scan. */
+  def temperatureSample(docs: DataFrame, textCol: String,
+      domainCol: String): DataFrame = {
+    val counts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("n_d"))
+    val rates = counts.crossJoin(broadcast(counts.agg(max("n_d").as("n_max"))))
+    docs.join(broadcast(rates), domainCol)
+      .withColumn("b", hashBucket(col(textCol), 1000))
+      .filter(col("b") * col("b") * col("n_max") < lit(1000000L) * col("n_d"))
+  }
+
   /** Token-budget shard packing: assign each doc to a shard of
     * ~`tokensPerShard` whitespace tokens, per group, in id order — the
     * shard-building step before sequence packing / tokenization. A doc's

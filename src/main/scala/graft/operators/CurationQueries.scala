@@ -48,6 +48,27 @@ object CurationQueries {
     "ids_contiguous" -> { (s, dir) =>
       Ids.contiguous(Tables(s, dir, "orders").select("o_orderkey"),
         Seq("o_orderkey"))
+    },
+    // Benchmark decontamination: docs sharing any 5-token shingle with
+    // the "eval suite" (stand-in: doc_id < 50) — the pre-training leak
+    // check. Benchmark shingles broadcast; the corpus never shuffles
+    // before the per-doc aggregate.
+    "decon_ngram_overlap" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      Curation.decontaminate(
+        d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+        "doc_id", "text", k = 5)
+    },
+    // Temperature-flattened domain mixing (α = 1/2) over the source
+    // family (leading digit of the source id — src1 + src10..src19 form
+    // one 11×-oversized family): each family keeps ~sqrt(n_d/n_max) of
+    // its docs via a pure-integer content-hash predicate.
+    "cur_temperature_mix" -> { (s, dir) =>
+      Curation.temperatureSample(
+        Tables(s, dir, "documents")
+          .withColumn("domain", substring(col("source"), 4, 1)),
+        "text", "domain")
+        .select("doc_id", "domain", "b")
     })
 
   val oracles: Map[String, String] = Map(
@@ -109,5 +130,32 @@ object CurationQueries {
         |   CASE WHEN length(trim(text)) = 0 THEN 0
         |        ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
         |   END AS n_tokens
-        |  FROM documents) t0) t1""".stripMargin)
+        |  FROM documents) t0) t1""".stripMargin,
+    "decon_ngram_overlap" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(t) < 5 THEN []
+        |        ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |              || ' ' || t[i+4] for i in range(1, len(t) - 3)] END)) AS s
+        | FROM (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents) t0),
+        |bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 50),
+        |train AS (SELECT doc_id, s FROM sh WHERE doc_id >= 50)
+        |SELECT train.doc_id,
+        | CAST(COUNT(DISTINCT train.s) AS BIGINT) AS n_hit_shingles,
+        | CAST(COUNT(DISTINCT bench.bench_id) AS BIGINT) AS n_bench_docs
+        |FROM train JOIN bench ON train.s = bench.s
+        |GROUP BY 1""".stripMargin,
+    "cur_temperature_mix" ->
+      """WITH d AS (
+        | SELECT doc_id, text, substr(source, 4, 1) AS domain FROM documents),
+        |c AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_d FROM d GROUP BY 1),
+        |m AS (SELECT MAX(n_d) AS n_max FROM c)
+        |SELECT doc_id, domain, b FROM (
+        | SELECT d.doc_id, d.domain,
+        |  ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000 AS b,
+        |  c.n_d, m.n_max
+        | FROM d JOIN c USING (domain) CROSS JOIN m) t
+        |WHERE b * b * n_max < 1000000 * n_d""".stripMargin)
 }

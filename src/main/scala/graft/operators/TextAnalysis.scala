@@ -70,6 +70,49 @@ object TextAnalysis {
       (a, b) => concat(a, lit(" "), b))
   }
 
+  /** Adjacent word n-grams over whitespace tokens (lowercased); empty
+    * for texts with fewer than `n` tokens. The CASE guard keeps
+    * `sequence` from ever seeing a descending range. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val t = split(lower(trim(text)), "\\s+")
+    when(size(t) < n, typedLit(Seq.empty[String]))
+      .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+  }
+
+  /** Per-document n-gram repetition signal (the Gopher-style "fraction
+    * of duplicated n-grams" quality rule): total vs distinct n-gram
+    * counts. A narrow per-row map — no shuffle, no explode. */
+  def ngramRepetition(text: Column, n: Int): Column = {
+    val g = wordNgrams(text, n)
+    struct(size(g).cast("long").as("n_grams"),
+      size(array_distinct(g)).cast("long").as("n_distinct"))
+  }
+
+  /** RE2-compatible PII patterns (no lookaround/backrefs, so Java regex,
+    * RE2, and the DuckDB oracle agree byte-for-byte). */
+  val EmailRx = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Rx = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRx = "\\b\\d{3}[- ]\\d{4}\\b"
+
+  /** PII redaction: emails → [EMAIL], dotted quads → [IP], phone-shaped
+    * digit groups → [PHONE]. A chain of codegen'd `regexp_replace`s —
+    * one narrow map, linear over the corpus. Email runs first so its
+    * digits can't be half-eaten by the looser numeric patterns. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRx, "[EMAIL]"), Ipv4Rx, "[IP]"), PhoneRx, "[PHONE]")
+
+  /** per-class PII match counts (on the unredacted text) */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailRx), lit(0))).cast("long")
+      .as("n_emails"),
+    size(regexp_extract_all(text, lit(Ipv4Rx), lit(0))).cast("long")
+      .as("n_ips"),
+    size(regexp_extract_all(text, lit(PhoneRx), lit(0))).cast("long")
+      .as("n_phones"))
+
   /** Cross-document shared-passage detector: content-defined chunks
     * (Rabin-style boundaries) hashed and grouped; rows are chunk hashes
     * seen in more than one document. One narrow chunking map + one

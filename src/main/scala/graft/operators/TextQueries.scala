@@ -128,6 +128,43 @@ object TextQueries {
         .select(col("doc_id"), col("n_toks"), col("df_sum"),
           expr("floor(cast(df_sum as double) / n_toks * 1e6 + 0.5d) / 1e6")
             .as("mean_df"))
+    },
+    // PII scrubbing over a deterministically PII-augmented text (the
+    // fixture corpus contains no emails/IPs/phones, so each doc gets a
+    // synthetic contact line derived from its id — both engines build
+    // the identical string, then redact it). One regexp_replace chain,
+    // narrow map.
+    "text_pii_redact" -> { (s, dir) =>
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com via 10.0."),
+        pmod(col("doc_id"), lit(256L)).cast("string"), lit(".7 tel 555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+      val c = TextAnalysis.piiCounts(pii)
+      Tables(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.redactPii(pii).as("red"),
+        c.getField("n_emails").as("n_emails"),
+        c.getField("n_ips").as("n_ips"),
+        c.getField("n_phones").as("n_phones"))
+    },
+    // Gopher-style repetition quality rule: fraction of duplicated word
+    // bigrams/trigrams per doc. All-integer counts until one tie-free
+    // floor(x·1e6+0.5)/1e6 division; a narrow per-row map (the n-gram
+    // arrays never leave their row — no explode, no shuffle).
+    "text_repetition" -> { (s, dir) =>
+      val b = TextAnalysis.ngramRepetition(col("text"), 2)
+      val t = TextAnalysis.ngramRepetition(col("text"), 3)
+      Tables(s, dir, "documents").select(col("doc_id"),
+          b.getField("n_grams").as("n_big"),
+          b.getField("n_distinct").as("n_big_dist"),
+          t.getField("n_grams").as("n_tri"),
+          t.getField("n_distinct").as("n_tri_dist"))
+        .withColumn("dup2_frac", expr(
+          "case when n_big = 0 then 0D else " +
+            "floor((n_big - n_big_dist) / cast(n_big as double) * 1e6 + 0.5d) / 1e6 end"))
+        .withColumn("dup3_frac", expr(
+          "case when n_tri = 0 then 0D else " +
+            "floor((n_tri - n_tri_dist) / cast(n_tri as double) * 1e6 + 0.5d) / 1e6 end"))
     })
 
   /** shared SQL fragment mirroring `occ` exactly */
@@ -274,5 +311,51 @@ object TextQueries {
         | JOIN src s ON s.doc_id = w.doc_id)
         |SELECT md5(chunk) AS chunk_hash, COUNT(*) AS n_occurrences,
         | COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
-        |FROM chunks GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin)
+        |FROM chunks GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin,
+    // Same PII patterns (RE2-safe), same synthetic contact-line build;
+    // DuckDB regexp_replace needs the explicit 'g' flag (Spark's is
+    // global by default).
+    "text_pii_redact" -> {
+      val (em, ip, ph) =
+        (TextAnalysis.EmailRx, TextAnalysis.Ipv4Rx, TextAnalysis.PhoneRx)
+      s"""WITH p AS (
+         | SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |    || '.7 tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |   AS pii
+         | FROM documents)
+         |SELECT doc_id,
+         | regexp_replace(regexp_replace(regexp_replace(pii,
+         |   '$em', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'), '$ph', '[PHONE]', 'g')
+         |  AS red,
+         | CAST(len(regexp_extract_all(pii, '$em')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(pii, '$ip')) AS BIGINT) AS n_ips,
+         | CAST(len(regexp_extract_all(pii, '$ph')) AS BIGINT) AS n_phones
+         |FROM p""".stripMargin
+    },
+    "text_repetition" ->
+      """SELECT doc_id, n_big, n_big_dist, n_tri, n_tri_dist,
+        | CASE WHEN n_big = 0 THEN 0
+        |      ELSE FLOOR((n_big - n_big_dist) / CAST(n_big AS DOUBLE) * 1e6 + 0.5) / 1e6
+        | END AS dup2_frac,
+        | CASE WHEN n_tri = 0 THEN 0
+        |      ELSE FLOOR((n_tri - n_tri_dist) / CAST(n_tri AS DOUBLE) * 1e6 + 0.5) / 1e6
+        | END AS dup3_frac
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(len(big) AS BIGINT) AS n_big,
+        |  CAST(len(list_distinct(big)) AS BIGINT) AS n_big_dist,
+        |  CAST(len(tri) AS BIGINT) AS n_tri,
+        |  CAST(len(list_distinct(tri)) AS BIGINT) AS n_tri_dist
+        | FROM (
+        |  SELECT doc_id,
+        |   CASE WHEN len(t) < 2 THEN []
+        |        ELSE [t[i] || ' ' || t[i+1] for i in range(1, len(t))] END AS big,
+        |   CASE WHEN len(t) < 3 THEN []
+        |        ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |              for i in range(1, len(t) - 1)] END AS tri
+        |  FROM (
+        |   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |   FROM documents) t0) t1) t2""".stripMargin)
 }

@@ -180,4 +180,68 @@ class LibraryApiSpec extends SparkTestBase {
       .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, 1L), (3L, 2L)))
   }
+
+  test("TextAnalysis.redactPii masks emails, IPs, and phones; counts match") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@ex-1.org or 10.0.0.1 tel 555-1234 end"),
+      (2L, "no pii here, just 1234 and a dot."),
+      (3L, "two mails x@y.io z@w.co and 999-0000"))
+      .toDF("id", "s")
+      .select(col("id"), TextAnalysis.redactPii(col("s")).as("red"),
+        TextAnalysis.piiCounts(col("s")).as("c"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getStruct(2).getLong(0), r.getStruct(2).getLong(1),
+        r.getStruct(2).getLong(2))).toMap
+    assert(rows(1L) == (("mail [EMAIL] or [IP] tel [PHONE] end", 1L, 1L, 1L)))
+    assert(rows(2L) == (("no pii here, just 1234 and a dot.", 0L, 0L, 0L)))
+    assert(rows(3L) == (("two mails [EMAIL] [EMAIL] and [PHONE]", 2L, 0L, 1L)))
+  }
+
+  test("TextAnalysis.wordNgrams: adjacency, lowercasing, short-text empty") {
+    import spark.implicits._
+    val got = Seq("A b c d", "one two", "solo", "")
+      .toDF("s").select(TextAnalysis.wordNgrams(col("s"), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("a b c", "b c d"), Nil, Nil, Nil))
+  }
+
+  test("Curation.decontaminate flags only true k-shingle overlaps") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta"),
+      (2L, "delta epsilon zeta eta")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "x alpha beta gamma y"),
+      (11L, "alpha beta gamma delta epsilon"),
+      (12L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val got = Curation.decontaminate(train, bench, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // bench shingle sets: doc1 {alpha beta gamma, beta gamma delta},
+    // doc2 {delta epsilon zeta, epsilon zeta eta}. doc10 hits one shingle
+    // of bench1; doc11 hits two shingles, both from bench1; doc12 none.
+    assert(got == Map(10L -> ((1L, 1L)), 11L -> ((2L, 1L))))
+  }
+
+  test("Curation.temperatureSample keeps the max domain whole and flattens the rest") {
+    import spark.implicits._
+    // domain "big": 400 docs, "small": 4 docs → small keeps ~sqrt(4/400)=10%
+    val docs = ((0 until 400).map(i => (i.toLong, s"big doc $i", "big")) ++
+      (0 until 4).map(i => (i + 1000L, s"small doc $i", "small")))
+      .toDF("doc_id", "text", "domain")
+    val kept = Curation.temperatureSample(docs, "text", "domain")
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // max domain: bucket < 1000 always true → all 400 kept
+    assert(kept("big") == 400L)
+    // small domain: keep iff b² · 400 < 10⁶ · 4 ⇔ b < 100 — expected ~10%
+    // of 4 docs; exact membership is content-hash determined, just assert
+    // the bound: strictly fewer than the big domain's full retention rate
+    assert(kept.getOrElse("small", 0L) <= 2L)
+    // determinism: identical on recompute
+    val again = Curation.temperatureSample(docs, "text", "domain")
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
 }

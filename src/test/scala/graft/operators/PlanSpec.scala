@@ -121,6 +121,19 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), s"top-k not group-limited:\n$plan")
   }
 
+  test("decon_ngram_overlap: benchmark shingles broadcast — corpus not shuffled pre-join") {
+    val plan = planOf("decon_ngram_overlap")
+    assert(plan.contains("BroadcastHashJoin"), s"bench side not broadcast:\n$plan")
+  }
+
+  test("cur_temperature_mix: domain rates broadcast over a single corpus scan") {
+    val plan = planOf("cur_temperature_mix")
+    assert(plan.contains("BroadcastHashJoin"), s"rates not broadcast:\n$plan")
+    // the corpus side must not shuffle for this join: the only exchanges
+    // allowed are those under the metadata-sized counts aggregate
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for rate join:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // One key owns ~90% of the fact rows; with the skew thresholds scaled
     // to fixture size, AQE's runtime re-plan must split that partition
