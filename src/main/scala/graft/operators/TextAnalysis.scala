@@ -71,14 +71,18 @@ object TextAnalysis {
   }
 
   /** Adjacent word n-grams over whitespace tokens (lowercased); empty
-    * for texts with fewer than `n` tokens. The CASE guard keeps
-    * `sequence` from ever seeing a descending range. */
+    * for texts with fewer than `n` tokens. Built as a zip-fold of n
+    * shifted slices — NOT a `transform` over positions, whose lambda
+    * would re-evaluate the regex split once per element (O(n²) regex
+    * work per row); here the split is evaluated n times per row. */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     val t = split(lower(trim(text)), "\\s+")
-    when(size(t) < n, typedLit(Seq.empty[String]))
-      .otherwise(transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
+    val len = greatest(size(t) - (n - 1), lit(0))
+    (1 until n).foldLeft(slice(t, lit(1), len)) { (acc, j) =>
+      zip_with(acc, slice(t, lit(j + 1), len),
+        (a, b) => concat(a, lit(" "), b))
+    }
   }
 
   /** Per-document n-gram repetition signal (the Gopher-style "fraction
