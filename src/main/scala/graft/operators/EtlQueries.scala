@@ -191,6 +191,24 @@ object EtlQueries {
           col("m.event_id").as("last_event_id"),
           col("m.value").as("last_value"))
     },
+    // SCD type-2 dimension build from a changelog: collapse each user's
+    // event stream into state intervals — a row per run of consecutive
+    // identical event_types, with [valid_from, valid_to) µs bounds and
+    // an is_current flag on the open interval. Two per-user windows
+    // (lag to find change points, lead over the filtered changes for
+    // the closing bound) — one shuffle on the user key, never global.
+    "etl_scd2" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("us"),
+          col("event_id"), col("event_type"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to_us", lead("us", 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          col("us").as("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"))
+    },
     // Purchase→click attribution: every (purchase, click) pair by the
     // same user with the click in the 4 h up to the purchase — the batch
     // twin of StreamingOps.clickAttribution's watermarked stream-stream
@@ -310,6 +328,19 @@ object EtlQueries {
         |  ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) t WHERE rn = 1""".stripMargin,
+    "etl_scd2" ->
+      """SELECT user_id, event_type, us AS valid_from_us,
+        | LEAD(us) OVER w AS valid_to_us,
+        | LEAD(us) OVER w IS NULL AS is_current
+        |FROM (
+        | SELECT user_id, us, event_id, event_type,
+        |  LAG(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS prev
+        | FROM (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id, event_type
+        |  FROM events) e) t
+        |WHERE prev IS NULL OR prev <> event_type
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
     "ev_click_attribution" ->
       """SELECT p.user_id, p.purchase_id, c.click_id
         |FROM (SELECT user_id, event_id AS purchase_id,

@@ -45,6 +45,20 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Per-window heavy hitters: the Misra–Gries `TypedImperativeAggregate`
+    * inside a watermarked tumbling window — O(k) aggregation state per
+    * window key regardless of the stream's item cardinality, and the
+    * sketch's merge makes it valid across micro-batches / shuffles.
+    * Exact whenever a window holds ≤ k distinct items (the fixture
+    * regime, proven against batch in StreamingSpec). */
+  def windowedHeavyHitters(events: DataFrame, k: Int): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(graft.functions.MisraGries.heavy_hitters(col("event_type"), k)
+        .as("top"))
+      .select(col("window.start").as("win_start"), col("top"))
+
   /** Sliding 10-minute window every 5 minutes (overlapping windows). */
   def slidingCounts(events: DataFrame): DataFrame =
     withEventTime(events)

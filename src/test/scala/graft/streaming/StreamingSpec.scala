@@ -81,6 +81,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming windowed heavy hitters (Misra-Gries state) match batch across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(_.ts)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val stream = MemoryStream[Event]
+    val q = windowedHeavyHitters(stream.toDF(), k = 10)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches so sketch state is merged across batches
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("win_start"), expr(
+          "to_json(transform(top, x -> struct(x.item, x.cnt)))").as("top"))
+        .collect().map(r => r.getTimestamp(0) -> r.getString(1)).toMap
+      val got = canon(spark.table("hh"))
+      val expect = canon(windowedHeavyHitters(events.selectExpr(
+        "event_id", "ts", "user_id", "event_type", "value"), k = 10))
+      // fixture has ≤ 6 distinct event types per window → MG is exact,
+      // so streaming (multi-batch, merged state) must equal batch
+      assert(got == expect)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
