@@ -25,6 +25,18 @@ object EtlQueries {
     "p1_projection" -> { (s, dir) =>
       Tables(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
     },
+    // Z-order (Morton) clustering key over (custkey, order day) — the
+    // 2-D layout value a writer range-partitions and sorts on so scans
+    // filtering on EITHER column prune most files. The interleave is a
+    // closed-form shift/mask sum, codegen'd, replayed exactly in SQL.
+    "layout_zorder" -> { (s, dir) =>
+      Tables(s, dir, "orders").select(
+          col("o_orderkey"),
+          pmod(col("o_custkey"), lit(65536L)).as("za"),
+          pmod(datediff(col("o_orderdate"),
+            lit("1992-01-01").cast("date")), lit(65536)).cast("long").as("zb"))
+        .withColumn("zval", Layout.zValue(col("za"), col("zb"), 16))
+    },
     "s1_scan_fidelity" -> { (s, dir) =>
       Tables(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
@@ -328,6 +340,17 @@ object EtlQueries {
         |  ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) t WHERE rn = 1""".stripMargin,
+    "layout_zorder" ->
+      """SELECT o_orderkey, za, zb,
+        | CAST(list_sum([(((za >> i) & 1) << (2 * i)) +
+        |                (((zb >> i) & 1) << (2 * i + 1))
+        |                for i in range(0, 16)]) AS BIGINT) AS zval
+        |FROM (
+        | SELECT o_orderkey,
+        |  o_custkey % 65536 AS za,
+        |  CAST(DATE_DIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |       % 65536 AS BIGINT) AS zb
+        | FROM orders) t""".stripMargin,
     "etl_scd2" ->
       """SELECT user_id, event_type, us AS valid_from_us,
         | LEAD(us) OVER w AS valid_to_us,

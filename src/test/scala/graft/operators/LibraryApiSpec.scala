@@ -223,6 +223,40 @@ class LibraryApiSpec extends SparkTestBase {
     assert(got == Map(10L -> ((1L, 1L)), 11L -> ((2L, 1L))))
   }
 
+  test("Layout.zValue interleaves bits (a even, b odd) — known values") {
+    import spark.implicits._
+    val got = Seq((3L, 1L), (0L, 0L), (5L, 2L), (65535L, 0L))
+      .toDF("a", "b")
+      .select(Layout.zValue(col("a"), col("b"), 16).as("z"))
+      .collect().map(_.getLong(0)).toList
+    // (a=0b11, b=0b01) → a bits at 0,2 (1+4) + b bit at 1 (2) = 7
+    // (a=0b101, b=0b010) → a: 1+16; b: 8 → 25
+    // a=0xFFFF → even positions of 32 bits set = 0x55555555
+    assert(got == List(7L, 0L, 25L, 0x55555555L))
+  }
+
+  test("Layout.clusterByZ: partitions carry tight bounding boxes in both dims") {
+    import spark.implicits._
+    // 64×64 uniform grid; 16 partitions → ideal Morton boxes are 16×16
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val parts = Layout.clusterByZ(grid, "x", "y", partitions = 16, bits = 6)
+      .select("x", "y").rdd.mapPartitions { it =>
+        val rows = it.toSeq
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val xs = rows.map(_.getLong(0)); val ys = rows.map(_.getLong(1))
+          Iterator((xs.max - xs.min, ys.max - ys.min, rows.size))
+        }
+      }.collect()
+    assert(parts.map(_._3).sum == 64 * 64)
+    // every partition's bounding box must be far tighter than the full
+    // 0..63 range on both dimensions (Morton ideal: 15; allow slack for
+    // range-boundary sampling straddle)
+    assert(parts.forall { case (sx, sy, _) => sx <= 32 && sy <= 32 },
+      s"loose boxes: ${parts.mkString(", ")}")
+  }
+
   test("Curation.temperatureSample keeps the max domain whole and flattens the rest") {
     import spark.implicits._
     // domain "big": 400 docs, "small": 4 docs → small keeps ~sqrt(4/400)=10%
