@@ -260,6 +260,115 @@ object AdvancedQueries {
         .join(big, col("o_orderkey") === col("l_orderkey"))
         .select("o_orderkey", "o_custkey", "total_qty")
     },
+    // TPC-H Q11 shape (no partsupp fixture → lineitem value per part):
+    // grouped value vs a broadcast scalar share-of-total threshold. The
+    // threshold adapts to scale like Q11's 0.0001/SF: keep parts whose
+    // value exceeds 1.5× the mean part value, as exact cross-multiplied
+    // decimals (value·2·n_parts > total·3) — no float division anywhere.
+    "q11_important_parts" -> { (s, dir) =>
+      val v = Tables(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(money(col("l_extendedprice"))).as("value_dec"))
+      val tot = v.agg(
+        sum(col("value_dec")).cast(DecimalType(30, 2)).as("total_dec"),
+        count(lit(1)).cast(DecimalType(10, 0)).as("n_parts"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("value_dec").cast(DecimalType(15, 2)) *
+          lit(2).cast(DecimalType(1, 0)) * col("n_parts") >
+          col("total_dec") * lit(3).cast(DecimalType(1, 0)))
+        .select(col("l_partkey"), col("value_dec").cast(DoubleType).as("value"))
+    },
+    // TPC-H Q13 shape: customer × orders LEFT join (with an order-class
+    // exclusion), per-customer order count, then the distribution of
+    // those counts — two aggregations, nulls counting as zero.
+    "q13_customer_distribution" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      Tables(s, dir, "customer").select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    },
+    // TPC-H Q16 shape: part↔supplier relationship (via lineitem — no
+    // partsupp fixture), minus an excluded-supplier subquery (broadcast
+    // anti join), then distinct-supplier counts per (brand, size).
+    "q16_supplier_part_variety" -> { (s, dir) =>
+      val excl = Tables(s, dir, "supplier")
+        .filter(col("s_acctbal") < 2000.0).select(col("s_suppkey"))
+      val parts = Tables(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#13" && !col("p_type").like("PROMO%"))
+        .select("p_partkey", "p_brand", "p_size")
+      Tables(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+    // TPC-H Q17 shape: small-quantity lineitems of one brand, against a
+    // correlated per-part average quantity. The brand's partkey set
+    // broadcasts to semi-filter lineitem FIRST, so the per-part average
+    // aggregates only the surviving sliver; quantities are integer-valued
+    // doubles, so their sums (hence the avg) are order-exact in IEEE.
+    "q17_small_qty_revenue" -> { (s, dir) =>
+      val bp = broadcast(Tables(s, dir, "part")
+        .filter(col("p_brand") === "Brand#13").select("p_partkey"))
+      val li13 = Tables(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(bp, col("l_partkey") === col("p_partkey"))
+      val avgq = li13.groupBy(col("l_partkey").as("ap"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li13.join(broadcast(avgq), col("l_partkey") === col("ap"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(money(col("l_extendedprice"))).cast(DoubleType) / lit(7.0))
+          .as("avg_yearly"))
+    },
+    // TPC-H Q21 shape: suppliers who alone were late on multi-supplier
+    // finished orders — a self-semi-join (some other supplier exists)
+    // plus a self-anti-join (no other supplier was late). "Late" is a
+    // >90-day ship lag (the fixture has no commit/receipt dates).
+    "q21_waiting_supplier" -> { (s, dir) =>
+      val lf = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (datediff(col("l_shipdate"), col("o_orderdate")) > 90).as("late"))
+      val l1 = lf.filter(col("late"))
+      val others = lf.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val lateOthers = l1.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      l1.join(others, col("l_orderkey") === col("ok2") &&
+          col("l_suppkey") =!= col("sk2"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("ok3") &&
+          col("l_suppkey") =!= col("sk3"), "left_anti")
+        .join(broadcast(Tables(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    },
+    // TPC-H Q22 shape: well-funded customers in a nation subset with no
+    // recent orders. The positive-balance average arrives as a broadcast
+    // scalar and the comparison is cross-multiplied into exact decimals
+    // (bal·n_pos > sum_pos); "no recent orders" is a broadcast anti join.
+    "q22_lost_customers" -> { (s, dir) =>
+      val sel = Tables(s, dir, "customer")
+        .filter(pmod(col("c_nationkey"), lit(2)) === 1)
+      val stats = sel.filter(col("c_acctbal") > 0.0)
+        .agg(count(lit(1)).as("n_pos"),
+          sum(money(col("c_acctbal"))).as("sum_pos"))
+      val recent = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >=
+          lit("1998-06-01 00:00:00").cast(TimestampNTZType))
+        .select(col("o_custkey"))
+      sel.crossJoin(broadcast(stats))
+        .filter(money(col("c_acctbal")) * col("n_pos") > col("sum_pos"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(money(col("c_acctbal"))).cast(DoubleType).as("totacctbal"))
+    },
     // TPC-H Q4 shape: per-priority count of orders having at least one
     // late lineitem in a quarter (EXISTS → left-semi join).
     "q4_order_priority" -> { (s, dir) =>
@@ -397,6 +506,71 @@ object AdvancedQueries {
         | GROUP BY l_suppkey)
         |SELECT supplier_no, total_revenue FROM rev
         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin,
+    "q11_important_parts" ->
+      """WITH v AS (
+        | SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_dec
+        | FROM lineitem GROUP BY l_partkey),
+        |tot AS (
+        | SELECT CAST(SUM(value_dec) AS DECIMAL(30,2)) AS total_dec,
+        |  COUNT(*) AS n_parts FROM v)
+        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+        |FROM v, tot
+        |WHERE CAST(value_dec AS DECIMAL(15,2)) * 2 * n_parts > total_dec * 3""".stripMargin,
+    "q13_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+    "q16_supplier_part_variety" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%'
+        |  AND l_suppkey NOT IN (
+        |   SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+        |GROUP BY p_brand, p_size""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#13'
+        |  AND l.l_quantity < (
+        |   SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        |   WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH lf AS (
+        | SELECT l_orderkey, l_suppkey,
+        |  CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) > 90 AS late
+        | FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        | WHERE o_orderstatus = 'F')
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM lf l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM lf l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lf l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |     AND l3.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q22_lost_customers" ->
+      """WITH sel AS (
+        | SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        | WHERE c_nationkey % 2 = 1),
+        |st AS (
+        | SELECT COUNT(*) AS n_pos,
+        |  SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_pos
+        | FROM sel WHERE c_acctbal > 0)
+        |SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM sel, st
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > sum_pos
+        |  AND NOT EXISTS (
+        |   SELECT 1 FROM orders WHERE o_custkey = sel.c_custkey
+        |     AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+        |GROUP BY c_nationkey""".stripMargin,
     "q18_large_orders" ->
       """SELECT o_orderkey, o_custkey, total_qty FROM orders
         |JOIN (SELECT l_orderkey,

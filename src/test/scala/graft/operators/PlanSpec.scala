@@ -121,6 +121,17 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), s"top-k not group-limited:\n$plan")
   }
 
+  test("q17: brand partkeys broadcast-semi-filter lineitem before the avg") {
+    val plan = planOf("q17_small_qty_revenue")
+    assert(plan.contains("BroadcastHashJoin"), s"brand filter not broadcast:\n$plan")
+  }
+
+  test("q16: excluded-supplier NOT IN is a broadcast anti join") {
+    val plan = planOf("q16_supplier_part_variety")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"exclusion not a broadcast anti join:\n$plan")
+  }
+
   test("decon_ngram_overlap: benchmark shingles broadcast — corpus not shuffled pre-join") {
     val plan = planOf("decon_ngram_overlap")
     assert(plan.contains("BroadcastHashJoin"), s"bench side not broadcast:\n$plan")
