@@ -73,14 +73,24 @@ object Similarity {
   /** IVF coarse quantizer: each vector `(vec_id, v)` → nearest centroid
     * by L2 (argmin over |c|² − 2·v·c; |v|² is constant per vector).
     * Centroids broadcast (small). Output `(vec_id, centroid)`. */
-  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignN(vectors, centroids, 1).drop("probe_rank")
+
+  /** Multi-probe IVF assignment: each vector's `nprobe` nearest
+    * centroids with their probe rank. Queries probe several adjacent
+    * buckets to recover the recall lost at bucket boundaries, at a
+    * bounded extra cost (nprobe × bucket size) — the corpus itself
+    * stays single-assigned. */
+  def ivfAssignN(vectors: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val w = Window.partitionBy("vec_id").orderBy(col("score"), col("c_label"))
     vectors.crossJoin(broadcast(centroids))
       .withColumn("score", col("cnorm2") - lit(2) *
         dot_product(col("v"), col("c")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_label").as("centroid"))
+      .withColumn("probe_rank", row_number().over(w).cast("long"))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("vec_id"), col("c_label").as("centroid"), col("probe_rank"))
   }
 
   /** IVF search: probe only the query's centroid bucket, exact top-k

@@ -79,6 +79,22 @@ object SimilarityQueries {
         .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("centroid"))
       Similarity.ivfTopK(q, c, k = 3)
     },
+    // Multi-probe IVF: queries probe their 2 nearest buckets (corpus
+    // stays single-assigned) — the standard recall-recovery knob for
+    // vectors near bucket boundaries, at 2× bounded probe cost.
+    "sim_ann_ivf_probe2" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val cent = Similarity.meanCentroids(
+        Tables(s, dir, "embeddings")
+          .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v")))
+      val q = e.filter(col("vec_id") < 10)
+        .join(Similarity.ivfAssignN(e.filter(col("vec_id") < 10), cent, 2), "vec_id")
+        .select(col("vec_id").as("query_id"), col("v").as("va"), col("centroid"))
+      val c = e.filter(col("vec_id") >= 10)
+        .join(Similarity.ivfAssign(e.filter(col("vec_id") >= 10), cent), "vec_id")
+        .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("centroid"))
+      Similarity.ivfTopK(q, c, k = 3)
+    },
     // Per-label centroids: posexplode + (label, dim) aggregate — the
     // standard distributed "mean vector per class" shape (one shuffle
     // keyed by (label, dim); reassembly is a cheap driver-side sort or
@@ -223,6 +239,37 @@ object SimilarityQueries {
         | JOIN v qv ON qv.vec_id = q.vec_id
         | JOIN v cv ON cv.vec_id = c.vec_id
         | WHERE q.vec_id < 10 AND c.vec_id >= 10
+        |) t WHERE rnk <= 3""".stripMargin,
+    "sim_ann_ivf_probe2" ->
+      """WITH m AS (
+        | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
+        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+        |   CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings) t GROUP BY 1, 2),
+        |cent AS (
+        | SELECT label AS c_label, list(m ORDER BY dim) AS c FROM m GROUP BY label),
+        |cent2 AS (
+        | SELECT c_label, c,
+        |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
+        | FROM cent),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ranked AS (
+        | SELECT vec_id, c_label AS centroid,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
+        | FROM v, cent2),
+        |qassign AS (SELECT vec_id, centroid FROM ranked
+        |            WHERE rn <= 2 AND vec_id < 10),
+        |cassign AS (SELECT vec_id, centroid FROM ranked
+        |            WHERE rn = 1 AND vec_id >= 10)
+        |SELECT query_id, neighbor_id, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(qv.v, cv.v) DESC, c.vec_id) AS rnk
+        | FROM qassign q
+        | JOIN cassign c ON q.centroid = c.centroid
+        | JOIN v qv ON qv.vec_id = q.vec_id
+        | JOIN v cv ON cv.vec_id = c.vec_id
         |) t WHERE rnk <= 3""".stripMargin,
     "vec_centroids" ->
       """SELECT label, dim, ROUND(AVG(v), 4) AS mean_val, COUNT(*) AS n
