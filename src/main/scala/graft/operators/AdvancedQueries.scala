@@ -145,6 +145,18 @@ object AdvancedQueries {
         .select(explode(col("hh")).as("e"))
         .select(col("e.item").as("event_type"), col("e.cnt").as("n"))
     },
+    // Per-group sketching: one Misra–Gries buffer PER USER inside a
+    // hash aggregate — O(k) state per group on any per-group item
+    // cardinality. The fixture's ≤ 6 distinct event types per user sit
+    // under k=8, so every sketch is exact and the per-(user, type)
+    // counts match the plain GROUP BY oracle.
+    "freq_heavy_hitters_by_user" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(graft.functions.MisraGries.heavy_hitters(col("event_type"), 8).as("hh"))
+        .select(col("user_id"), explode(col("hh")).as("e"))
+        .select(col("user_id"), col("e.item").as("event_type"), col("e.cnt").as("n"))
+    },
     // Salted JOIN (the join-side skew mitigation): the fact side salts
     // each ROW deterministically from a column independent of the join
     // key (l_linenumber — a pmod of the key itself would give every row
@@ -604,6 +616,9 @@ object AdvancedQueries {
     "freq_heavy_hitters" ->
       """SELECT event_type, COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    "freq_heavy_hitters_by_user" ->
+      """SELECT user_id, event_type, COUNT(*) AS n
+        |FROM events GROUP BY user_id, event_type""".stripMargin,
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value

@@ -95,6 +95,27 @@ object MultimodalQueries {
         .withColumnRenamed("pos", "frame_no")
         .withColumnRenamed("col", "frame_offset")
         .select("doc_id", "frame_no", "frame_offset")
+    },
+    // Overlapping windowed segmentation for "audio" payloads: 64-byte
+    // windows on a 48-byte hop (25% overlap) — the STFT-style framing a
+    // feature extractor consumes. Offsets/lengths are exact integer
+    // math; the window "signal" is the md5 of the byte slice (ASCII
+    // fixture ⇒ byte slice ≡ char slice in the oracle). The window
+    // arithmetic stays OUT of the lambda (hop math only) so the payload
+    // is not re-sliced per element beyond the one substr each.
+    "mm_audio_windows" -> { (s, dir) =>
+      withMedia(Tables(s, dir, "documents"))
+        .filter(col("meta.media_type") === "audio/wav")
+        .select(col("doc_id"), col("payload"), col("meta.byte_len").as("byte_len"),
+          posexplode(expr(
+            """transform(sequence(0, cast((meta.byte_len - 1) div 48 as int)),
+              | w -> cast(w * 48 as bigint))""".stripMargin)))
+        .withColumnRenamed("pos", "win_no")
+        .withColumnRenamed("col", "win_offset")
+        .withColumn("win_len", least(lit(64L), col("byte_len") - col("win_offset")))
+        .withColumn("win_md5",
+          md5(expr("substr(payload, win_offset + 1, 64)")))
+        .select("doc_id", "win_no", "win_offset", "win_len", "win_md5")
     })
 
   val oracles: Map[String, String] = Map(
@@ -129,5 +150,13 @@ object MultimodalQueries {
         |FROM (
         | SELECT doc_id,
         |  unnest([f * 96 for f in range(0, (strlen(text) - 1) // 96 + 1)]) AS x
-        | FROM documents WHERE doc_id % 3 = 2) t""".stripMargin)
+        | FROM documents WHERE doc_id % 3 = 2) t""".stripMargin,
+    "mm_audio_windows" ->
+      """SELECT doc_id, CAST(x // 48 AS INT) AS win_no, x AS win_offset,
+        | LEAST(64, CAST(strlen(text) AS BIGINT) - x) AS win_len,
+        | md5(substr(text, CAST(x AS INT) + 1, 64)) AS win_md5
+        |FROM (
+        | SELECT doc_id, text,
+        |  unnest([w * 48 for w in range(0, (strlen(text) - 1) // 48 + 1)]) AS x
+        | FROM documents WHERE doc_id % 3 = 1) t""".stripMargin)
 }
