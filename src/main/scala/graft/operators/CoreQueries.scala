@@ -302,6 +302,23 @@ object CoreQueries {
         .select("p_partkey", "band")
     },
 
+    // Binned range join (the scale path for the non-equi shape above):
+    // orders land in price brackets through RangeJoin.pointInInterval —
+    // an equi-join on a computed bin plus a residual filter instead of
+    // the O(n·m) nested-loop Spark would otherwise plan. PlanSpec
+    // asserts the executed plan has no BroadcastNestedLoopJoin.
+    "join_range_binned" -> { (s, dir) =>
+      val pts = Tables(s, dir, "orders").select(col("o_orderkey"),
+        expr("cast(floor(o_totalprice) as bigint)").as("p"))
+      val brackets = s.range(24).select(col("id").as("bracket"),
+        (col("id") * 25000L).as("lo"), (col("id") * 25000L + 24999L).as("hi"))
+      RangeJoin.pointInInterval(pts, brackets, "p", "lo", "hi",
+          binWidth = 10000L)
+        .groupBy("bracket")
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+    },
+
     // ---- set operations -------------------------------------------------
     "set_union" -> { (s, dir) =>
       Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -606,6 +623,16 @@ object CoreQueries {
       """SELECT p_partkey, band FROM part
         |JOIN (SELECT r_regionkey AS band, r_regionkey*10 AS lo, r_regionkey*10+10 AS hi FROM region) bands
         |ON p_size >= lo AND p_size < hi""".stripMargin,
+    "join_range_binned" ->
+      """SELECT bracket, COUNT(*) AS n_orders,
+        | MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS max_ok
+        |FROM (SELECT o_orderkey, CAST(FLOOR(o_totalprice) AS BIGINT) AS p
+        |      FROM orders) pts
+        |JOIN (SELECT CAST(i AS BIGINT) AS bracket, CAST(i * 25000 AS BIGINT) AS lo,
+        |             CAST(i * 25000 + 24999 AS BIGINT) AS hi
+        |      FROM (SELECT unnest(range(24)) AS i) t) br
+        | ON p >= lo AND p <= hi
+        |GROUP BY bracket""".stripMargin,
     "set_union" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,

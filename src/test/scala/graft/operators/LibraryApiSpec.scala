@@ -223,6 +223,25 @@ class LibraryApiSpec extends SparkTestBase {
     assert(got == Map(10L -> ((1L, 1L)), 11L -> ((2L, 1L))))
   }
 
+  test("RangeJoin.pointInInterval ≡ naive non-equi join, incl. negative coords") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pts = (0 until 300).map(i => (i.toLong, rnd.nextLong() % 1000))
+      .toDF("pid", "p")
+    val ivs = (0 until 40).map { i =>
+      val lo = rnd.nextLong() % 900
+      (i.toLong, lo, lo + rnd.nextInt(200))
+    }.toDF("iid", "lo", "hi")
+    val naive = pts.join(ivs, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(7L, 64L, 1000L)) {
+      val binned = RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(binned.length == binned.toSet.size, s"duplicate pairs at width $w")
+      assert(binned.toSet == naive, s"mismatch at width $w")
+    }
+  }
+
   test("Layout.zValue interleaves bits (a even, b odd) — known values") {
     import spark.implicits._
     val got = Seq((3L, 1L), (0L, 0L), (5L, 2L), (65535L, 0L))

@@ -121,6 +121,15 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), s"top-k not group-limited:\n$plan")
   }
 
+  test("join_range_binned: no nested-loop join — binned equi-join + residual") {
+    val plan = planOf("join_range_binned")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      s"interval side not bin-exploded:\n$plan")
+  }
+
   test("q17: brand partkeys broadcast-semi-filter lineitem before the avg") {
     val plan = planOf("q17_small_qty_revenue")
     assert(plan.contains("BroadcastHashJoin"), s"brand filter not broadcast:\n$plan")
