@@ -319,6 +319,23 @@ object CoreQueries {
           min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
     },
 
+    // Interval-overlap join, binned: 30-day order-fulfillment windows ×
+    // 14-day campaign windows, paired exactly once via the first-shared-
+    // bin rule (no dedup shuffle) — RangeJoin.intervalOverlap.
+    "join_interval_overlap" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long").as("od"))
+        .withColumn("o_end", col("od") + 30L)
+      val camps = s.range(50).select(col("id").as("campaign"),
+        (col("id") * 50L).as("c_lo"), (col("id") * 50L + 13L).as("c_hi"))
+      RangeJoin.intervalOverlap(o, camps, "od", "o_end", "c_lo", "c_hi",
+          binWidth = 32L)
+        .groupBy("campaign")
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+    },
+
     // ---- set operations -------------------------------------------------
     "set_union" -> { (s, dir) =>
       Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -633,6 +650,19 @@ object CoreQueries {
         |      FROM (SELECT unnest(range(24)) AS i) t) br
         | ON p >= lo AND p <= hi
         |GROUP BY bracket""".stripMargin,
+    "join_interval_overlap" ->
+      """WITH o AS (
+        | SELECT o_orderkey,
+        |  CAST(DATE_DIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |       AS BIGINT) AS od
+        | FROM orders),
+        |c AS (SELECT CAST(i AS BIGINT) AS campaign, CAST(i * 50 AS BIGINT) AS c_lo,
+        |             CAST(i * 50 + 13 AS BIGINT) AS c_hi
+        |      FROM (SELECT unnest(range(50)) AS i) t)
+        |SELECT campaign, COUNT(*) AS n_orders,
+        | MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS max_ok
+        |FROM o JOIN c ON od <= c_hi AND c_lo <= od + 30
+        |GROUP BY campaign""".stripMargin,
     "set_union" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,

@@ -41,4 +41,26 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Inner interval-overlap join: pairs of `left` × `right` whose
+    * inclusive intervals intersect (`aLo <= bHi && bLo <= aHi`). Both
+    * sides replicate over their covered bins; an overlapping pair
+    * shares one or more bins, so to emit it exactly once the join keeps
+    * only the FIRST shared bin — the bin of `max(aLo, bLo)` — instead
+    * of a dedup shuffle. Exact by construction: that bin is covered by
+    * both sides whenever the intervals overlap. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      aLo: String, aHi: String, bLo: String, bHi: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val l = left.withColumn("__bin", explode(expr(
+      s"sequence(${bin(aLo, binWidth)}, ${bin(aHi, binWidth)})")))
+    val r = right.withColumn("__bin", explode(expr(
+      s"sequence(${bin(bLo, binWidth)}, ${bin(bHi, binWidth)})")))
+    l.join(r, Seq("__bin"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col("__bin") ===
+        expr(s"${bin(s"greatest($aLo, $bLo)", binWidth)}"))
+      .drop("__bin")
+  }
 }

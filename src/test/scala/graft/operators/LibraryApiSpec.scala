@@ -242,6 +242,24 @@ class LibraryApiSpec extends SparkTestBase {
     }
   }
 
+  test("RangeJoin.intervalOverlap ≡ naive overlap join, exactly-once pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def ivs(n: Int, tag: String) = (0 until n).map { i =>
+      val lo = rnd.nextLong() % 500
+      (i.toLong, lo, lo + rnd.nextInt(150))
+    }.toDF(s"${tag}id", s"${tag}lo", s"${tag}hi")
+    val a = ivs(200, "a"); val b = ivs(30, "b")
+    val naive = a.join(b, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(11L, 128L, 1000L)) {
+      val binned = RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi", w)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(binned.length == binned.toSet.size, s"duplicate pairs at width $w")
+      assert(binned.toSet == naive, s"mismatch at width $w")
+    }
+  }
+
   test("Layout.zValue interleaves bits (a even, b odd) — known values") {
     import spark.implicits._
     val got = Seq((3L, 1L), (0L, 0L), (5L, 2L), (65535L, 0L))
