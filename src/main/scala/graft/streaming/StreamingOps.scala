@@ -100,7 +100,20 @@ object StreamingOps {
     * at ingest scale. Works identically on a batch DataFrame (watermark
     * is a no-op there), which is how the batch oracle twin
     * `ev_click_attribution` cross-checks it. */
-  def clickAttribution(events: DataFrame): DataFrame = {
+  def clickAttribution(events: DataFrame): DataFrame =
+    attributionJoin(events, "inner")
+
+  /** Left-outer variant of [[clickAttribution]]: purchases with no
+    * qualifying click in their 4 h lookback ALSO emit, once, with a
+    * NULL click_id — but only after the click-side watermark proves no
+    * matching click can still arrive (same bounded state). The
+    * unmatched row is the "conversion without ad touch" record an
+    * attribution pipeline needs, and the emission-on-watermark rule is
+    * what makes it exactly-once on an unbounded stream. */
+  def clickAttributionOuter(events: DataFrame): DataFrame =
+    attributionJoin(events, "left_outer")
+
+  private def attributionJoin(events: DataFrame, joinType: String): DataFrame = {
     val e = withEventTime(events)
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
@@ -113,7 +126,7 @@ object StreamingOps {
     purchases.join(clicks,
       col("user_id") === col("c_user_id") &&
         col("click_time") >= col("purchase_time") - expr("INTERVAL 4 HOURS") &&
-        col("click_time") <= col("purchase_time"))
+        col("click_time") <= col("purchase_time"), joinType)
       .select(col("user_id"), col("purchase_id"), col("click_id"))
   }
 

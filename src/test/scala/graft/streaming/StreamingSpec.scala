@@ -203,6 +203,54 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched purchases after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def rowSet(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    }.toSet
+    // batch twin: outer join runs as a plain left join
+    val expect = rowSet(clickAttributionOuter(events).collect())
+    val matched = rowSet(clickAttribution(events).collect())
+    assert(expect.exists(_._3.isEmpty), "fixture has no unmatched purchase")
+    assert(expect.filter(_._3.nonEmpty) == matched)
+    val all = events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts, e.event_id))
+    val stream = MemoryStream[Event]
+    val q = clickAttributionOuter(stream.toDF())
+      .writeStream.format("memory").queryName("attribution_outer")
+      .outputMode("append").start()
+    try {
+      val (first, second) = all.splitAt(all.length / 2)
+      stream.addData(first.toSeq); q.processAllAvailable()
+      stream.addData(second.toSeq); q.processAllAvailable()
+      // sentinel far past the horizon: advances the watermark so every
+      // still-held unmatched purchase is provably unmatchable and emits
+      // Watermarks are tracked AFTER the per-side filters, so sentinels
+      // must be typed purchase/click to advance them; and a watermark
+      // computed at the end of one batch is only APPLIED in the next —
+      // two sentinel batches: the first advances both side watermarks,
+      // the second runs with them and releases the held unmatched
+      // purchases. The sentinels themselves never satisfy the join
+      // condition (click strictly after its purchase) and the sentinel
+      // purchases stay above the final watermark, so none are emitted.
+      val far = all.last.ts + 30L * 86400L * 1000000000L
+      val hourNs = 3600L * 1000000000L
+      stream.addData(Event(999996L, far, 0L, "purchase", 0.0),
+        Event(999997L, far + 1L, 0L, "click", 0.0))
+      q.processAllAvailable()
+      stream.addData(Event(999998L, far + hourNs, 0L, "purchase", 0.0),
+        Event(999999L, far + hourNs + 1L, 0L, "click", 0.0))
+      q.processAllAvailable()
+      // drop sentinel purchases (the first one falls below the final
+      // watermark and legitimately emits as unmatched)
+      val got = rowSet(spark.table("attribution_outer").collect())
+        .filter(_._2 < 999000L)
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog and self-terminates") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
