@@ -106,6 +106,34 @@ object Curation {
       .filter(col("b") * col("b") * col("n_max") < lit(1000000L) * col("n_d"))
   }
 
+  /** Sequence packing WITH document splitting: lay each group's docs
+    * end-to-end on a token axis (cumulative window) and cut the axis
+    * into fixed `seqLen`-token training sequences; a doc straddling a
+    * boundary emits one row per covered sequence with its in-doc token
+    * span [tok_from, tok_to). This is [[tokenShards]]' strict sibling —
+    * shards round docs down to whole units, packing splits them so every
+    * sequence is exactly full (the last per group excepted). One window
+    * shuffle on the group key + a narrow explode; all integer math. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, seqLen: Long): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(groupCol), col(idCol).as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("tok_end", sum("n_tokens").over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+      .withColumn("seq_id", explode(expr(
+        s"sequence(tok_start div $seqLen, (tok_end - 1) div $seqLen)")))
+      .withColumn("tok_from",
+        greatest(col("tok_start"), col("seq_id") * seqLen) - col("tok_start"))
+      .withColumn("tok_to",
+        least(col("tok_end"), (col("seq_id") + 1) * seqLen) - col("tok_start"))
+      .select(col(groupCol), col("doc_id"), col("seq_id"),
+        col("tok_from"), col("tok_to"))
+  }
+
   /** Token-budget shard packing: assign each doc to a shard of
     * ~`tokensPerShard` whitespace tokens, per group, in id order — the
     * shard-building step before sequence packing / tokenization. A doc's

@@ -59,6 +59,13 @@ object CurationQueries {
         d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
         "doc_id", "text", k = 5)
     },
+    // Sequence packing with document splitting: per-source 256-token
+    // training sequences; straddling docs emit one row per covered
+    // sequence with the in-doc token span.
+    "cur_pack_sequences" -> { (s, dir) =>
+      Curation.packSequences(Tables(s, dir, "documents"),
+        "doc_id", "text", "source", 256L)
+    },
     // Temperature-flattened domain mixing (α = 1/2) over the source
     // family (leading digit of the source id — src1 + src10..src19 form
     // one 11×-oversized family): each family keeps ~sqrt(n_d/n_max) of
@@ -147,6 +154,26 @@ object CurationQueries {
         | CAST(COUNT(DISTINCT bench.bench_id) AS BIGINT) AS n_bench_docs
         |FROM train JOIN bench ON train.s = bench.s
         |GROUP BY 1""".stripMargin,
+    "cur_pack_sequences" ->
+      """SELECT source, doc_id, seq_id,
+        | GREATEST(tok_start, seq_id * 256) - tok_start AS tok_from,
+        | LEAST(tok_end, (seq_id + 1) * 256) - tok_start AS tok_to
+        |FROM (
+        | SELECT source, doc_id, tok_end - n_tokens AS tok_start, tok_end,
+        |  unnest(range((tok_end - n_tokens) // 256, (tok_end - 1) // 256 + 1))
+        |   AS seq_id
+        | FROM (
+        |  SELECT source, doc_id, n_tokens,
+        |   CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS tok_end
+        |  FROM (
+        |   SELECT source, doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    END AS n_tokens
+        |   FROM documents) t0
+        |  WHERE n_tokens > 0) t1) t2""".stripMargin,
     "cur_temperature_mix" ->
       """WITH d AS (
         | SELECT doc_id, text, substr(source, 4, 1) AS domain FROM documents),

@@ -294,6 +294,34 @@ class LibraryApiSpec extends SparkTestBase {
       s"loose boxes: ${parts.mkString(", ")}")
   }
 
+  test("Curation.packSequences: full sequences, spans partition each doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ("a " * 100).trim, "g"), (2L, ("b " * 200).trim, "g"),
+      (3L, ("c " * 300).trim, "g"), (4L, ("d " * 50).trim, "h"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.packSequences(docs, "doc_id", "text", "source", 256L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // doc spans must tile the doc exactly: per doc, spans are contiguous
+    // from 0 to n_tokens
+    val byDoc = got.groupBy(_._2).view.mapValues(_.sortBy(_._4)).toMap
+    assert(byDoc(1L).map(s => (s._4, s._5)).toSeq == Seq((0L, 100L)))
+    assert(byDoc(2L).map(s => (s._4, s._5)).toSeq == Seq((0L, 156L), (156L, 200L)))
+    // group g axis: doc1 [0,100) doc2 [100,300) doc3 [300,600); 256-token
+    // cuts at 256 and 512 split doc2 at in-doc 156 and doc3 at 212
+    assert(byDoc(3L).map(s => (s._4, s._5)).toSeq == Seq((0L, 212L), (212L, 300L)))
+    // every sequence but the last per group is exactly seqLen full
+    val bySeq = got.groupBy(g => (g._1, g._3))
+      .view.mapValues(_.map(s => s._5 - s._4).sum).toMap
+    val lastSeq = Map("g" -> bySeq.keys.filter(_._1 == "g").map(_._2).max,
+      "h" -> bySeq.keys.filter(_._1 == "h").map(_._2).max)
+    bySeq.foreach { case ((g, seq), tot) =>
+      if (seq != lastSeq(g)) assert(tot == 256L, s"sequence ($g,$seq) not full: $tot")
+      else assert(tot <= 256L)
+    }
+  }
+
   test("Curation.temperatureSample keeps the max domain whole and flattens the rest") {
     import spark.implicits._
     // domain "big": 400 docs, "small": 4 docs → small keeps ~sqrt(4/400)=10%
