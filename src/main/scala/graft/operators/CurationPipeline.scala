@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composition a training-data run
+  * actually executes, built purely from the library stages so each
+  * piece stays individually oracle-checked. Order matters and is the
+  * standard one:
+  *
+  *  1. exact dedup (cheapest reduction first — one hash shuffle),
+  *  2. quality gate (narrow filter),
+  *  3. benchmark decontamination (broadcast anti join — drop train docs
+  *     sharing a k-shingle with the eval suite),
+  *  4. leak-safe content-hash split (narrow),
+  *  5. fixed-length sequence packing per source over the train split.
+  *
+  * Each stage only shrinks or relabels — nothing re-expands until the
+  * final packing explode — so the pipeline's shuffle footprint is the
+  * dedup hash, the per-group packing window, and the broadcast joins'
+  * metadata. Returns the packed train sequences plus a tiny per-stage
+  * row-count report for pipeline observability. */
+object CurationPipeline {
+
+  final case class Report(stage: String, rows: Long)
+
+  /** Run the full pipeline; returns (packed train sequences, report). */
+  def curate(docs: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, minChars: Int = 100,
+      minTokens: Int = 10, decontamK: Int = 5,
+      seqLen: Long = 256L): (DataFrame, Seq[Report]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // 1. exact dedup: keep the minimum-id representative of each hash
+    val keep = Dedup.exact(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val deduped = docs.join(keep, idCol)
+
+    // 2. quality gate (signals recomputed per doc — narrow)
+    val quality = Curation.qualityFilter(deduped, idCol, textCol,
+        minChars = minChars, minTokens = minTokens)
+      .select(col("doc_id").as(idCol))
+    val gated = deduped.join(quality, idCol)
+
+    // 3. decontamination: drop docs overlapping the benchmark
+    val dirty = Curation.decontaminate(gated, benchmark, idCol, textCol,
+        decontamK)
+      .select(col("doc_id").as(idCol))
+    val clean = gated.join(dirty, Seq(idCol), "left_anti")
+
+    // 4. leak-safe split; 5. pack the train split
+    val split = clean.withColumn("split", Curation.split(col(textCol)))
+    val train = split.filter(col("split") === "train")
+    val packed = Curation.packSequences(train, idCol, textCol, sourceCol,
+      seqLen)
+
+    val report = Seq(
+      Report("input", docs.count()), Report("deduped", deduped.count()),
+      Report("quality", gated.count()), Report("decontaminated", clean.count()),
+      Report("train", train.count()), Report("packed_spans", packed.count()))
+    (packed, report)
+  }
+}

@@ -147,6 +147,25 @@ object TextQueries {
         c.getField("n_ips").as("n_ips"),
         c.getField("n_phones").as("n_phones"))
     },
+    // Character-diversity quality signals (gibberish/low-entropy
+    // detector): per-doc char histogram (one shuffle on (doc, char)),
+    // then Σcnt² — the collision index, pure integer, exact — and
+    // Shannon entropy via an ORDERED fold over the char-sorted counts
+    // (both engines fold the same doubles in the same order; rounded to
+    // 1e-4 to absorb last-ulp log2 library differences).
+    "text_char_entropy" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+          explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "n", "ch").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id", "n")
+        .agg(sum(col("cnt") * col("cnt")).as("sq_sum"),
+          expr("sort_array(collect_list(struct(ch, cnt)))").as("hist"))
+        .select(col("doc_id"), col("n"), col("sq_sum"),
+          expr("""floor(aggregate(hist, 0D, (a, s) ->
+                 |  a - (cast(s.cnt as double) / n) * log2(cast(s.cnt as double) / n))
+                 |  * 1e4 + 0.5d) / 1e4""".stripMargin).as("entropy"))
+    },
     // Gopher-style repetition quality rule: fraction of duplicated word
     // bigrams/trigrams per doc. All-integer counts until one tie-free
     // floor(x·1e6+0.5)/1e6 division; a narrow per-row map (the n-gram
@@ -334,6 +353,24 @@ object TextQueries {
          | CAST(len(regexp_extract_all(pii, '$ph')) AS BIGINT) AS n_phones
          |FROM p""".stripMargin
     },
+    "text_char_entropy" ->
+      """WITH ch AS (
+        | SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n,
+        |  unnest([substr(text, CAST(i AS INT), 1)
+        |          for i in range(1, strlen(text) + 1)]) AS ch
+        | FROM documents),
+        |cnt AS (
+        | SELECT doc_id, n, ch, CAST(COUNT(*) AS BIGINT) AS cnt
+        | FROM ch GROUP BY 1, 2, 3),
+        |h AS (
+        | SELECT doc_id, n, CAST(SUM(cnt * cnt) AS BIGINT) AS sq_sum,
+        |  list(cnt ORDER BY ch) AS hist
+        | FROM cnt GROUP BY 1, 2)
+        |SELECT doc_id, n, sq_sum,
+        | FLOOR(list_reduce(list_prepend(CAST(0 AS DOUBLE), hist),
+        |   (a, c) -> a - (CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n))
+        |   * 1e4 + 0.5) / 1e4 AS entropy
+        |FROM h""".stripMargin,
     "text_repetition" ->
       """SELECT doc_id, n_big, n_big_dist, n_tri, n_tri_dist,
         | CASE WHEN n_big = 0 THEN 0

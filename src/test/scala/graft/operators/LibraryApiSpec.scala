@@ -294,6 +294,39 @@ class LibraryApiSpec extends SparkTestBase {
       s"loose boxes: ${parts.mkString(", ")}")
   }
 
+  test("CurationPipeline.curate: stages compose, counts monotone, train leak-free") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val bench = docs.filter(col("doc_id") < 50)
+    val train = docs.filter(col("doc_id") >= 50)
+    val (packed, report) = CurationPipeline.curate(
+      train, bench, "doc_id", "text", "source",
+      minChars = 50, minTokens = 5)
+    val byStage = report.map(r => r.stage -> r.rows).toMap
+    // counts only shrink until packing re-expands
+    assert(byStage("input") >= byStage("deduped"))
+    assert(byStage("deduped") >= byStage("quality"))
+    assert(byStage("quality") >= byStage("decontaminated"))
+    assert(byStage("decontaminated") >= byStage("train"))
+    assert(byStage("train") > 0 && packed.count() == byStage("packed_spans"))
+    // decontamination removed the docs the standalone check flags
+    val flagged = Curation.decontaminate(train, bench, "doc_id", "text", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val packedDocs = packed.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.intersect(packedDocs).isEmpty, "contaminated doc packed")
+    // packed spans tile: per-doc spans start at 0 and are contiguous
+    val spans = packed.orderBy("doc_id", "tok_from").collect()
+      .groupBy(_.getLong(1)).values
+    spans.foreach { rows =>
+      assert(rows.head.getLong(3) == 0L)
+      rows.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) == b.getLong(3))
+        case _ =>
+      }
+    }
+  }
+
   test("Curation.packSequences: full sequences, spans partition each doc") {
     import spark.implicits._
     val docs = Seq(
