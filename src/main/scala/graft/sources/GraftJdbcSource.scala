@@ -1,0 +1,253 @@
+package graft.sources
+
+import java.sql.{DriverManager, ResultSet}
+import java.util.Properties
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.delete.DeletePlanner
+import graft.types.TypeMapper
+
+/** DataSource V2 batch read with PK-range partition planning — the
+  * reference's partitioned-scan core (`SRC/data/GenericJdbcTableWorker
+  * .java:42-58`, one ordered slice per worker) re-expressed in Spark's
+  * modern source API instead of worker threads:
+  *
+  *   spark.read.format("graft-jdbc")
+  *     .option("url", jdbcUrl).option("dbtable", "T")
+  *     .option("pk", "a,b").option("partitions", "8").load()
+  *
+  *  - `planInputPartitions` probes O(partitions) boundary tuples on the
+  *    source (index-served OFFSET/FETCH — no table scan) and emits one
+  *    lexicographic PK-range predicate per partition, so every executor
+  *    opens its own connection and reads a disjoint slice; composite
+  *    PKs partition exactly like single-column ones.
+  *  - `SupportsPushDownRequiredColumns`: the SELECT list is pruned to
+  *    the columns Spark actually needs.
+  *  - `SupportsPushDownFilters`: comparison/null filters compile into
+  *    each partition's WHERE clause; unsupported ones stay in Spark.
+  *
+  * The schema is inferred from a zero-row probe via the shared
+  * [[TypeMapper.sparkType]] JDBC mapping. */
+class GraftJdbcSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-jdbc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftJdbcSource.probeSchema(GraftJdbcOptions(options.asScala.toMap))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    GraftJdbcTable(schema, GraftJdbcOptions(properties.asScala.toMap))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+private[sources] object GraftJdbcSource {
+  def probeSchema(opts: GraftJdbcOptions): StructType = {
+    val conn = opts.connect()
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT * FROM ${opts.table} WHERE 1=0")
+        val md = rs.getMetaData
+        StructType((1 to md.getColumnCount).map { i =>
+          StructField(md.getColumnName(i),
+            TypeMapper.sparkType(md.getColumnType(i), md.getPrecision(i),
+              md.getScale(i)),
+            md.isNullable(i) != java.sql.ResultSetMetaData.columnNoNulls)
+        })
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** SQL literal rendering for pushed filter values (JDBC escapes for
+    * temporals, doubled quotes for strings). */
+  def lit(v: Any): Option[String] = v match {
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case t: java.sql.Timestamp => Some(s"{ts '${t.toString}'}")
+    case d: java.sql.Date => Some(s"{d '${d.toString}'}")
+    case t: java.time.LocalDateTime =>
+      Some(s"{ts '${java.sql.Timestamp.valueOf(t).toString}'}")
+    case d: java.time.LocalDate => Some(s"{d '${d.toString}'}")
+    case n: java.lang.Number => Some(n.toString)
+    case b: java.lang.Boolean => Some(b.toString)
+    case _ => None
+  }
+
+  /** Compile a Spark source filter to a WHERE fragment; None = keep it
+    * in Spark. Only plain column references are compiled (no nested). */
+  def compileFilter(f: Filter): Option[String] = {
+    def col(name: String): Option[String] =
+      if (name.contains(".")) None else Some(name)
+    f match {
+      case EqualTo(a, v) => for (c <- col(a); l <- lit(v)) yield s"$c = $l"
+      case GreaterThan(a, v) => for (c <- col(a); l <- lit(v)) yield s"$c > $l"
+      case GreaterThanOrEqual(a, v) =>
+        for (c <- col(a); l <- lit(v)) yield s"$c >= $l"
+      case LessThan(a, v) => for (c <- col(a); l <- lit(v)) yield s"$c < $l"
+      case LessThanOrEqual(a, v) =>
+        for (c <- col(a); l <- lit(v)) yield s"$c <= $l"
+      case IsNull(a) => col(a).map(c => s"$c IS NULL")
+      case IsNotNull(a) => col(a).map(c => s"$c IS NOT NULL")
+      case In(a, vs) if vs.nonEmpty =>
+        val lits = vs.toSeq.map(lit)
+        if (lits.exists(_.isEmpty)) None
+        else col(a).map(c => s"$c IN (${lits.flatten.mkString(", ")})")
+      case And(l, r) =>
+        for (a <- compileFilter(l); b <- compileFilter(r)) yield s"($a AND $b)"
+      case _ => None
+    }
+  }
+}
+
+private[sources] case class GraftJdbcOptions(raw: Map[String, String]) {
+  private val m = raw.map { case (k, v) => k.toLowerCase -> v }
+  val url: String = m.getOrElse("url",
+    throw new IllegalArgumentException("graft-jdbc requires option 'url'"))
+  val table: String = m.getOrElse("dbtable",
+    throw new IllegalArgumentException("graft-jdbc requires option 'dbtable'"))
+  val pk: Seq[String] = m.get("pk").toSeq
+    .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+  val partitions: Int = m.get("partitions").map(_.toInt).getOrElse(1)
+  val connProps: Map[String, String] =
+    m.view.filterKeys(Set("user", "password")).toMap
+  def connect(): java.sql.Connection = {
+    val p = new Properties()
+    connProps.foreach { case (k, v) => p.setProperty(k, v) }
+    DriverManager.getConnection(url, p)
+  }
+}
+
+private[sources] case class GraftJdbcTable(tableSchema: StructType,
+    opts: GraftJdbcOptions) extends Table with SupportsRead {
+  override def name(): String = opts.table
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftJdbcScanBuilder(tableSchema, opts)
+}
+
+private[sources] class GraftJdbcScanBuilder(fullSchema: StructType,
+    opts: GraftJdbcOptions) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // preserve source column order; an empty projection (count(*)) still
+    // needs one column to SELECT
+    val names = requiredSchema.fieldNames.toSet
+    val kept = StructType(fullSchema.fields.filter(f => names.contains(f.name)))
+    required = if (kept.isEmpty) StructType(fullSchema.fields.take(1)) else kept
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) =
+      filters.partition(f => GraftJdbcSource.compileFilter(f).isDefined)
+    pushed = ok
+    residual // Spark evaluates what the source can't
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = GraftJdbcScan(required, pushed, opts)
+}
+
+private[sources] case class GraftJdbcScan(required: StructType,
+    pushed: Array[Filter], opts: GraftJdbcOptions) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-jdbc ${opts.table} PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts: Seq[String] =
+      if (opts.pk.isEmpty || opts.partitions <= 1) Seq("1=1")
+      else {
+        val splits = DeletePlanner.splitPointsOffset(
+          opts.url, opts.table, opts.pk, opts.partitions, opts.connProps)
+        DeletePlanner.rangePredicates(opts.pk, splits)
+      }
+    parts.map(p => GraftJdbcInputPartition(p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftJdbcReaderFactory(required,
+      pushed.flatMap(GraftJdbcSource.compileFilter), opts)
+}
+
+private[sources] case class GraftJdbcInputPartition(predicate: String)
+  extends InputPartition
+
+private[sources] case class GraftJdbcReaderFactory(required: StructType,
+    filterSql: Array[String], opts: GraftJdbcOptions)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftJdbcPartitionReader(required, filterSql,
+      p.asInstanceOf[GraftJdbcInputPartition].predicate, opts)
+}
+
+/** Executor-side reader: one connection per partition, streaming the
+  * partition's disjoint PK slice (plus pushed filters) as InternalRows. */
+private[sources] class GraftJdbcPartitionReader(required: StructType,
+    filterSql: Array[String], predicate: String, opts: GraftJdbcOptions)
+  extends PartitionReader[InternalRow] {
+
+  private val conn = opts.connect()
+  private val stmt = conn.createStatement()
+  private val rs: ResultSet = {
+    val cols = required.fieldNames.mkString(", ")
+    val where = (predicate +: filterSql.toSeq).mkString("(", ") AND (", ")")
+    stmt.executeQuery(s"SELECT $cols FROM ${opts.table} WHERE $where")
+  }
+
+  override def next(): Boolean = rs.next()
+
+  override def get(): InternalRow = {
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      val v: Any = required.fields(i).dataType match {
+        case LongType => rs.getLong(i + 1)
+        case IntegerType => rs.getInt(i + 1)
+        case ShortType => rs.getShort(i + 1)
+        case DoubleType => rs.getDouble(i + 1)
+        case FloatType => rs.getFloat(i + 1)
+        case BooleanType => rs.getBoolean(i + 1)
+        case StringType => UTF8String.fromString(rs.getString(i + 1))
+        case d: DecimalType =>
+          val bd = rs.getBigDecimal(i + 1)
+          if (bd == null) null
+          else org.apache.spark.sql.types.Decimal(bd, d.precision, d.scale)
+        case TimestampType | TimestampNTZType =>
+          val ts = rs.getTimestamp(i + 1)
+          if (ts == null) null else DateTimeUtils.fromJavaTimestamp(ts)
+        case DateType =>
+          val dt = rs.getDate(i + 1)
+          if (dt == null) null else DateTimeUtils.fromJavaDate(dt)
+        case BinaryType => rs.getBytes(i + 1)
+        case other => throw new IllegalArgumentException(
+          s"graft-jdbc cannot read column type $other")
+      }
+      vals(i) = if (rs.wasNull()) null else v
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  override def close(): Unit = {
+    rs.close(); stmt.close(); conn.close()
+  }
+}

@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** The DataSource V2 JDBC read against embedded Derby: partition
+  * planning over a composite PK, checksum fidelity, column pruning,
+  * and filter pushdown. */
+class GraftJdbcSourceSpec extends SparkTestBase {
+
+  private val url = "jdbc:derby:memory:graftDsv2;create=true"
+
+  private def setup(): Unit = {
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate("DROP TABLE t") catch { case _: Exception => }
+      st.executeUpdate(
+        """CREATE TABLE t (
+          | a BIGINT NOT NULL, b INTEGER NOT NULL, s VARCHAR(32),
+          | v DOUBLE, PRIMARY KEY (a, b))""".stripMargin)
+      val ps = c.prepareStatement("INSERT INTO t VALUES (?, ?, ?, ?)")
+      for (i <- 0 until 1000) {
+        ps.setLong(1, i / 4); ps.setInt(2, i % 4)
+        ps.setString(3, s"row$i"); ps.setDouble(4, i * 0.5)
+        ps.addBatch()
+      }
+      ps.executeBatch(); st.close()
+    } finally c.close()
+  }
+
+  private def read() = spark.read.format("graft-jdbc")
+    .option("url", url).option("dbtable", "t")
+    .option("pk", "a,b").option("partitions", "4").load()
+
+  test("composite-PK partition planning: 4 disjoint slices, full fidelity") {
+    setup()
+    val df = read()
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 1000)
+    // no dup/loss across partition boundaries: checksum both key cols
+    val sums = df.agg(sum("a"), sum("b"), sum(length(col("s")))).collect()(0)
+    assert(sums.getLong(0) == (0L until 1000L).map(_ / 4).sum)
+    assert(sums.getLong(1) == (0 until 1000).map(_ % 4).sum)
+    // per-partition rows are a real split, not 1000+empty
+    val perPart = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.count(_ > 0) >= 3, s"degenerate split: ${perPart.toSeq}")
+  }
+
+  test("column pruning reaches the source SELECT list") {
+    setup()
+    val df = read().select("s")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema") || df.columns.sameElements(Array("s")))
+    assert(df.collect().length == 1000)
+    // schema of the scan output is just the pruned column
+    assert(df.queryExecution.executedPlan.output.map(_.name) == Seq("s"))
+  }
+
+  test("filters compile into the source WHERE clause; residuals stay in Spark") {
+    setup()
+    val df = read().filter(col("a") < 10L && col("s").contains("row1"))
+    val desc = df.queryExecution.executedPlan.toString
+    // the comparison filter is pushed (scan description carries it);
+    // StringContains is not compiled and must remain a Spark Filter
+    assert(desc.contains("PushedFilters") || desc.contains("graft-jdbc"))
+    val rows = df.collect()
+    // a < 10 keeps rows 0..39 (a = i/4); of their names row0..row39,
+    // "row1" is contained in row1 and row10..row19 → 11 rows
+    assert(rows.length == 11, s"got ${rows.length}")
+    // Derby reports uppercase column names — address by position
+    assert(rows.forall(_.getString(2).contains("row1")))
+  }
+
+  test("schema inference maps JDBC types through TypeMapper") {
+    setup()
+    val df = read()
+    assert(df.schema.map(f => (f.name.toLowerCase, f.dataType.typeName)) ==
+      Seq(("a", "long"), ("b", "integer"), ("s", "string"), ("v", "double")))
+  }
+}
