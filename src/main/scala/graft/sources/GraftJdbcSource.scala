@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, AggregateFunc, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -141,12 +142,15 @@ private[sources] case class GraftJdbcTable(tableSchema: StructType,
 
 private[sources] class GraftJdbcScanBuilder(fullSchema: StructType,
     opts: GraftJdbcOptions) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggSql: Option[(Seq[String], Seq[String], StructType)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
+    if (aggSql.isDefined) return // agg pushdown already fixed the schema
     // preserve source column order; an empty projection (count(*)) still
     // needs one column to SELECT
     val names = requiredSchema.fieldNames.toSet
@@ -162,15 +166,64 @@ private[sources] class GraftJdbcScanBuilder(fullSchema: StructType,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = GraftJdbcScan(required, pushed, opts)
+  private def fieldOf(e: V2Expression): Option[StructField] = e match {
+    case fr: NamedReference if fr.fieldNames().length == 1 =>
+      fullSchema.fields.find(_.name.equalsIgnoreCase(fr.fieldNames()(0)))
+    case _ => None
+  }
+
+  /** MIN/MAX/COUNT/SUM (+GROUP BY plain columns) execute on the
+    * database; results come back as PARTIAL aggregates (one row per
+    * group per PK-range partition) that Spark merges — so pushdown
+    * composes with partition planning. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val groups = agg.groupByExpressions.toSeq.map(fieldOf)
+    if (groups.exists(_.isEmpty)) return false
+    val aggs: Seq[Option[(String, StructField)]] =
+      agg.aggregateExpressions.toSeq.zipWithIndex.map {
+        case (_: CountStar, i) =>
+          Some(("COUNT(*)", StructField(s"agg$i", LongType)))
+        case (c: Count, i) if !c.isDistinct =>
+          fieldOf(c.column).map(f =>
+            (s"COUNT(${f.name})", StructField(s"agg$i", LongType)))
+        case (m: Min, i) =>
+          fieldOf(m.column).map(f => (s"MIN(${f.name})", f.copy(name = s"agg$i")))
+        case (m: Max, i) =>
+          fieldOf(m.column).map(f => (s"MAX(${f.name})", f.copy(name = s"agg$i")))
+        case (s: Sum, i) if !s.isDistinct =>
+          fieldOf(s.column).collect {
+            // widen integral sums on the DB side (Derby SUM(INT) is INT)
+            case f if f.dataType == LongType || f.dataType == IntegerType =>
+              (s"SUM(CAST(${f.name} AS BIGINT))", StructField(s"agg$i", LongType))
+            case f if f.dataType == DoubleType =>
+              (s"SUM(${f.name})", StructField(s"agg$i", DoubleType))
+          }
+        case _ => None
+      }
+    if (aggs.exists(_.isEmpty)) return false
+    val gNames = groups.flatten.map(_.name)
+    val gFields = groups.flatten
+    aggSql = Some((gNames, aggs.flatten.map(_._1),
+      StructType(gFields ++ aggs.flatten.map(_._2))))
+    required = aggSql.get._3
+    true
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+
+  override def build(): Scan = GraftJdbcScan(required, pushed, opts,
+    aggSql.map(a => (a._1, a._2)))
 }
 
 private[sources] case class GraftJdbcScan(required: StructType,
-    pushed: Array[Filter], opts: GraftJdbcOptions) extends Scan with Batch {
+    pushed: Array[Filter], opts: GraftJdbcOptions,
+    agg: Option[(Seq[String], Seq[String])] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-jdbc ${opts.table} PushedFilters: [${pushed.mkString(", ")}]"
+    s"graft-jdbc ${opts.table} PushedFilters: [${pushed.mkString(", ")}]" +
+      agg.map(a => s" PushedAggregates: [${a._2.mkString(", ")}]" +
+        (if (a._1.nonEmpty) s" GroupBy: [${a._1.mkString(", ")}]" else ""))
+        .getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts: Seq[String] =
@@ -185,32 +238,41 @@ private[sources] case class GraftJdbcScan(required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftJdbcReaderFactory(required,
-      pushed.flatMap(GraftJdbcSource.compileFilter), opts)
+      pushed.flatMap(GraftJdbcSource.compileFilter), opts, agg)
 }
 
 private[sources] case class GraftJdbcInputPartition(predicate: String)
   extends InputPartition
 
 private[sources] case class GraftJdbcReaderFactory(required: StructType,
-    filterSql: Array[String], opts: GraftJdbcOptions)
+    filterSql: Array[String], opts: GraftJdbcOptions,
+    agg: Option[(Seq[String], Seq[String])])
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftJdbcPartitionReader(required, filterSql,
-      p.asInstanceOf[GraftJdbcInputPartition].predicate, opts)
+      p.asInstanceOf[GraftJdbcInputPartition].predicate, opts, agg)
 }
 
 /** Executor-side reader: one connection per partition, streaming the
   * partition's disjoint PK slice (plus pushed filters) as InternalRows. */
 private[sources] class GraftJdbcPartitionReader(required: StructType,
-    filterSql: Array[String], predicate: String, opts: GraftJdbcOptions)
+    filterSql: Array[String], predicate: String, opts: GraftJdbcOptions,
+    agg: Option[(Seq[String], Seq[String])])
   extends PartitionReader[InternalRow] {
 
   private val conn = opts.connect()
   private val stmt = conn.createStatement()
   private val rs: ResultSet = {
-    val cols = required.fieldNames.mkString(", ")
     val where = (predicate +: filterSql.toSeq).mkString("(", ") AND (", ")")
-    stmt.executeQuery(s"SELECT $cols FROM ${opts.table} WHERE $where")
+    val sql = agg match {
+      case Some((groups, aggExprs)) =>
+        val sel = (groups ++ aggExprs).mkString(", ")
+        val gby = if (groups.nonEmpty) s" GROUP BY ${groups.mkString(", ")}" else ""
+        s"SELECT $sel FROM ${opts.table} WHERE $where$gby"
+      case None =>
+        s"SELECT ${required.fieldNames.mkString(", ")} FROM ${opts.table} WHERE $where"
+    }
+    stmt.executeQuery(sql)
   }
 
   override def next(): Boolean = rs.next()

@@ -74,6 +74,35 @@ class GraftJdbcSourceSpec extends SparkTestBase {
     assert(rows.forall(_.getString(2).contains("row1")))
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX/SUM group on the database, merge in Spark") {
+    setup()
+    val df = read().groupBy("b").agg(
+      count(lit(1)).as("n"), min("v").as("mn"),
+      max("v").as("mx"), sum("a").as("sa"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), s"aggregates not pushed:\n$plan")
+    val got = df.collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).toMap
+    // cross-check against the naive full-scan aggregation
+    val expect = spark.read.format("graft-jdbc")
+      .option("url", url).option("dbtable", "t").load()
+      .groupBy("b").agg(count(lit(1)), min("v"), max("v"), sum("a"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).toMap
+    assert(got == expect)
+    assert(got.keySet == Set(0, 1, 2, 3) && got(0)._1 == 250L)
+  }
+
+  test("global count(*) pushes down without a GROUP BY") {
+    setup()
+    val df = read().agg(count(lit(1)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), s"count not pushed:\n$plan")
+    assert(df.collect()(0).getLong(0) == 1000L)
+  }
+
   test("schema inference maps JDBC types through TypeMapper") {
     setup()
     val df = read()
