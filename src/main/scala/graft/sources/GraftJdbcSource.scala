@@ -8,10 +8,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, AggregateFunc, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -131,13 +132,100 @@ private[sources] case class GraftJdbcOptions(raw: Map[String, String]) {
 }
 
 private[sources] case class GraftJdbcTable(tableSchema: StructType,
-    opts: GraftJdbcOptions) extends Table with SupportsRead {
+    opts: GraftJdbcOptions) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = opts.table
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new GraftJdbcScanBuilder(tableSchema, opts)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = GraftJdbcWrite(info.schema(), opts)
+    }
+}
+
+/** Batched-INSERT sink (S7) as a V2 BatchWrite: each task opens its own
+  * connection with autocommit off, batches `maxStatementsInOneJdbcBatch`
+  * INSERTs (10k — the reference's batch cadence), and commits ONCE at
+  * task end so a retried task rolls back cleanly via `abort()` instead
+  * of leaving a half-written slice. */
+private[sources] case class GraftJdbcWrite(writeSchema: StructType,
+    opts: GraftJdbcOptions) extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftJdbcWriterFactory(writeSchema, opts)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class GraftJdbcWriterFactory(writeSchema: StructType,
+    opts: GraftJdbcOptions) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftJdbcDataWriter(writeSchema, opts)
+}
+
+private[sources] case class GraftJdbcCommitMessage(rows: Long)
+  extends WriterCommitMessage
+
+private[sources] class GraftJdbcDataWriter(writeSchema: StructType,
+    opts: GraftJdbcOptions) extends DataWriter[InternalRow] {
+  private val conn = opts.connect()
+  conn.setAutoCommit(false)
+  private val ps = {
+    val cols = writeSchema.fieldNames.mkString(", ")
+    val qs = writeSchema.fieldNames.map(_ => "?").mkString(", ")
+    conn.prepareStatement(s"INSERT INTO ${opts.table} ($cols) VALUES ($qs)")
+  }
+  private val maxBatch = 10000
+  private var inBatch = 0
+  private var total = 0L
+
+  override def write(row: InternalRow): Unit = {
+    var i = 0
+    while (i < writeSchema.length) {
+      val f = writeSchema.fields(i)
+      if (row.isNullAt(i)) {
+        ps.setNull(i + 1, java.sql.Types.NULL)
+      } else f.dataType match {
+        case LongType => ps.setLong(i + 1, row.getLong(i))
+        case IntegerType => ps.setInt(i + 1, row.getInt(i))
+        case ShortType => ps.setShort(i + 1, row.getShort(i))
+        case DoubleType => ps.setDouble(i + 1, row.getDouble(i))
+        case FloatType => ps.setFloat(i + 1, row.getFloat(i))
+        case BooleanType => ps.setBoolean(i + 1, row.getBoolean(i))
+        case StringType => ps.setString(i + 1, row.getUTF8String(i).toString)
+        case d: DecimalType =>
+          ps.setBigDecimal(i + 1,
+            row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal)
+        case TimestampType | TimestampNTZType =>
+          ps.setTimestamp(i + 1, DateTimeUtils.toJavaTimestamp(row.getLong(i)))
+        case DateType =>
+          ps.setDate(i + 1, DateTimeUtils.toJavaDate(row.getInt(i)))
+        case BinaryType => ps.setBytes(i + 1, row.getBinary(i))
+        case other => throw new IllegalArgumentException(
+          s"graft-jdbc cannot write column type $other")
+      }
+      i += 1
+    }
+    ps.addBatch()
+    inBatch += 1; total += 1
+    if (inBatch >= maxBatch) { ps.executeBatch(); inBatch = 0 }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (inBatch > 0) ps.executeBatch()
+    conn.commit()
+    GraftJdbcCommitMessage(total)
+  }
+
+  override def abort(): Unit =
+    try conn.rollback() catch { case _: Exception => }
+
+  override def close(): Unit = {
+    try ps.close() catch { case _: Exception => }
+    conn.close()
+  }
 }
 
 private[sources] class GraftJdbcScanBuilder(fullSchema: StructType,

@@ -103,6 +103,31 @@ class GraftJdbcSourceSpec extends SparkTestBase {
     assert(df.collect()(0).getLong(0) == 1000L)
   }
 
+  test("V2 write: batched INSERT round-trips through the source") {
+    setup()
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate("DROP TABLE t2") catch { case _: Exception => }
+      st.executeUpdate(
+        """CREATE TABLE t2 (
+          | a BIGINT NOT NULL, b INTEGER NOT NULL, s VARCHAR(32),
+          | v DOUBLE, PRIMARY KEY (a, b))""".stripMargin)
+      st.close()
+    } finally c.close()
+    read().write.format("graft-jdbc")
+      .option("url", url).option("dbtable", "t2")
+      .mode("append").save()
+    val back = spark.read.format("graft-jdbc")
+      .option("url", url).option("dbtable", "t2")
+      .option("pk", "a,b").option("partitions", "3").load()
+    assert(back.count() == 1000)
+    val Array(sa, sv) = back.agg(sum("a"), sum("v")).collect()(0)
+      .toSeq.toArray
+    assert(sa == (0L until 1000L).map(_ / 4).sum)
+    assert(sv == (0 until 1000).map(_ * 0.5).sum)
+  }
+
   test("schema inference maps JDBC types through TypeMapper") {
     setup()
     val df = read()
