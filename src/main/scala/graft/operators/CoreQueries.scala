@@ -441,6 +441,29 @@ object CoreQueries {
         greatest(col("l_orderkey"), col("l_partkey")).as("gkey"),
         least(col("l_orderkey"), col("l_partkey")).as("lkey"))
     },
+    // Regex scalar surface (extract / global replace / rlike) — RE2-safe
+    // patterns so Java regex and DuckDB agree byte-for-byte.
+    "scalar_regexp" -> { (s, dir) =>
+      Tables(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "([A-Z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_type").rlike("^PROMO").cast("int").as("is_promo"),
+        size(expr("regexp_extract_all(p_name, '[a-z]+', 0)")).cast("long")
+          .as("n_words"))
+    },
+    // Bitwise scalar surface: AND/OR/XOR/shifts/bit_count — pure integer,
+    // the kernels hash/bucket/bloom implementations build on.
+    "scalar_bitwise" -> { (s, dir) =>
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(lit(255L))).as("low8"),
+        (col("o_orderkey").bitwiseOR(lit(4096L))).as("with_bit"),
+        (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("mixed"),
+        shiftleft(col("o_custkey"), 4).as("shl4"),
+        shiftrightunsigned(col("o_orderkey"), 3).as("shr3"),
+        expr("bit_count(o_orderkey)").cast("int").as("popcnt"))
+    },
     "scalar_case_when" -> { (s, dir) =>
       Tables(s, dir, "customer")
         .select(when(col("c_acctbal") < 0, "neg")
@@ -706,6 +729,22 @@ object CoreQueries {
       """SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS y,
         | CAST(MONTH(o_orderdate) AS INT) AS m, CAST(DAY(o_orderdate) AS INT) AS d,
         | DATE_TRUNC('month', o_orderdate) AS month_start
+        |FROM orders""".stripMargin,
+    "scalar_regexp" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        | CAST(regexp_matches(p_type, '^PROMO') AS INT) AS is_promo,
+        | CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words
+        |FROM part""".stripMargin,
+    "scalar_bitwise" ->
+      """SELECT o_orderkey,
+        | o_orderkey & 255 AS low8,
+        | o_orderkey | 4096 AS with_bit,
+        | xor(o_orderkey, o_custkey) AS mixed,
+        | o_custkey << 4 AS shl4,
+        | o_orderkey >> 3 AS shr3,
+        | CAST(bit_count(o_orderkey) AS INT) AS popcnt
         |FROM orders""".stripMargin,
     "scalar_math" ->
       """SELECT l_orderkey, l_linenumber, ABS(l_orderkey - 3000) AS absdiff,
