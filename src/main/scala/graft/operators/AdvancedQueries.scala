@@ -145,6 +145,43 @@ object AdvancedQueries {
         .select(explode(col("hh")).as("e"))
         .select(col("e.item").as("event_type"), col("e.cnt").as("n"))
     },
+    // Equi-width histogram: integer floor-division bucketing — one
+    // narrow map + one shuffle, the analytics primitive behind every
+    // distribution dashboard.
+    "stat_histogram" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(expr("cast(floor(o_totalprice) as bigint) div 25000").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+    },
+    // Pearson correlation + regression slope from EXACT integer moments:
+    // built-in corr() accumulates floats in partition order (last-ulp
+    // nondeterminism between engines/runs), so instead the five sums
+    // (Σx, Σy, Σxy, Σx², Σy²) aggregate exactly — longs/decimals over
+    // integer-valued inputs (quantity; price in cents) — and ONE final
+    // double formula runs on both engines over identical integers.
+    "stat_corr_exact" -> { (s, dir) =>
+      val xi = expr("cast(l_quantity as bigint)")
+      val yi = expr("cast(floor(l_extendedprice * 100 + 0.5d) as bigint)")
+      Tables(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n"),
+          sum(xi).as("sx"), sum(xi * xi).as("sxx"),
+          sum(yi.cast(DecimalType(38, 0))).as("sy"),
+          sum((yi * yi).cast(DecimalType(38, 0))).as("syy"),
+          sum((xi * yi).cast(DecimalType(38, 0))).as("sxy"))
+        .select(col("n"), col("sx"), col("sxx"),
+          expr("""floor((cast(n as double) * cast(sxy as double)
+                 |       - cast(sx as double) * cast(sy as double))
+                 |  / (sqrt(cast(n as double) * cast(sxx as double)
+                 |          - cast(sx as double) * cast(sx as double))
+                 |     * sqrt(cast(n as double) * cast(syy as double)
+                 |            - cast(sy as double) * cast(sy as double)))
+                 |  * 1e6 + 0.5d) / 1e6""".stripMargin).as("corr_qty_price"),
+          expr("""floor((cast(n as double) * cast(sxy as double)
+                 |       - cast(sx as double) * cast(sy as double))
+                 |  / (cast(n as double) * cast(sxx as double)
+                 |     - cast(sx as double) * cast(sx as double))
+                 |  * 1e6 + 0.5d) / 1e6""".stripMargin).as("slope_cents_per_qty"))
+    },
     // Per-group sketching: one Misra–Gries buffer PER USER inside a
     // hash aggregate — O(k) state per group on any per-group item
     // cardinality. The fixture's ≤ 6 distinct event types per user sit
@@ -619,6 +656,33 @@ object AdvancedQueries {
     "freq_heavy_hitters_by_user" ->
       """SELECT user_id, event_type, COUNT(*) AS n
         |FROM events GROUP BY user_id, event_type""".stripMargin,
+    "stat_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // 25000 AS bucket,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "stat_corr_exact" ->
+      """WITH m AS (
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |  SUM(y) AS sy, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        | FROM (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |   CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem) t)
+        |SELECT n, sx, sxx,
+        | FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  * 1e6 + 0.5) / 1e6 AS corr_qty_price,
+        | FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |  * 1e6 + 0.5) / 1e6 AS slope_cents_per_qty
+        |FROM m""".stripMargin,
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value

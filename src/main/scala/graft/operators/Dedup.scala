@@ -25,6 +25,30 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental-ingest dedup: which of `fresh`'s docs already exist
+    * (by exact content) in `known`? A Bloom filter over the known
+    * content hashes broadcasts to prune the fresh side BEFORE any
+    * shuffle — at ingest scale the fresh batch is small and the known
+    * corpus is the 100 TB side, so the win is that only bloom-positive
+    * candidates (true dups + the tiny FP fraction) reach the exact
+    * verify join; the result itself is EXACT (the semi join re-checks
+    * every candidate, so false positives drop out and the filter has
+    * no false negatives by construction). */
+  def incrementalExact(fresh: DataFrame, known: DataFrame, idCol: String,
+      textCol: String, expectedKnown: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val knownHashed = known.select(md5(col(textCol)).as("kh"))
+    val bloom = knownHashed.stat.bloomFilter("kh", expectedKnown, fpp)
+    val spark = fresh.sparkSession
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightExist = udf((h: String) => bloomBc.value.mightContainString(h))
+    fresh.select(col(idCol).as("doc_id"), md5(col(textCol)).as("fh"))
+      .filter(mightExist(col("fh"))) // narrow prune, no shuffle yet
+      .join(knownHashed.select(col("kh").as("fh")).distinct(), Seq("fh"),
+        "left_semi") // exact verify: FPs drop out here
+      .select(col("doc_id"), col("fh").as("content_hash"))
+  }
+
   /** Distinct character n-gram shingle sets per document (single-pass
     * `Shingles` kernel; empty array for texts shorter than n). */
   def shingleSets(docs: DataFrame, idCol: String, textCol: String,

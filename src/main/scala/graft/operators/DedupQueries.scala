@@ -38,6 +38,22 @@ object DedupQueries {
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
     },
+    // Incremental-ingest dedup: a synthetic "fresh batch" (every 5th doc
+    // re-ingested verbatim under a new id, plus every 7th doc mutated →
+    // genuinely novel) checked against the corpus. The Bloom filter over
+    // known hashes broadcasts and prunes fresh rows BEFORE any shuffle;
+    // an exact semi join re-verifies candidates, so the result is exact
+    // (the re-ingested rows and nothing else).
+    "dedup_incremental" -> { (s, dir) =>
+      val known = Tables(s, dir, "documents")
+      val fresh = known.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+        .unionAll(known.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 20000L).as("doc_id"),
+            concat(col("text"), lit(" NOVEL")).as("text")))
+      Dedup.incrementalExact(fresh, known, "doc_id", "text",
+        expectedKnown = 100000L)
+    },
     // n-gram Jaccard dedup, exact pairwise over df-capped shingle-join
     // candidates.
     "dedup_ngram_jaccard" -> { (s, dir) =>
@@ -202,6 +218,16 @@ object DedupQueries {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         | COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_incremental" ->
+      """WITH fresh AS (
+        | SELECT doc_id + 10000 AS doc_id, text FROM documents
+        | WHERE doc_id % 5 = 0
+        | UNION ALL
+        | SELECT doc_id + 20000 AS doc_id, text || ' NOVEL' AS text
+        | FROM documents WHERE doc_id % 7 = 3)
+        |SELECT f.doc_id, md5(f.text) AS content_hash
+        |FROM fresh f
+        |WHERE EXISTS (SELECT 1 FROM documents k WHERE k.text = f.text)""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_cluster_cc" -> ccOracle,

@@ -80,6 +80,21 @@ class LibraryApiSpec extends SparkTestBase {
     assert(plan.toLowerCase.contains("rangepartitioning"))
   }
 
+  test("Dedup.incrementalExact: exact result — bloom FPs verified away") {
+    import spark.implicits._
+    val known = (0 until 500).map(i => (i.toLong, s"known document $i"))
+      .toDF("rid", "body")
+    val fresh = Seq((1000L, "known document 42"), (1001L, "brand new text"),
+      (1002L, "known document 7"), (1003L, "also new here"))
+      .toDF("rid", "body")
+    // tiny filter + high fpp to force false positives through the bloom
+    // stage — the exact semi join must still drop them
+    val got = Dedup.incrementalExact(fresh, known, "rid", "body",
+        expectedKnown = 10L, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1000L, 1002L))
+  }
+
   test("Dedup.exact and jaccardPairs on arbitrary columns") {
     import spark.implicits._
     val docs = Seq(
