@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over the `events` stream shape
   * (event_id, ts nanos, user_id, event_type, value, props).
@@ -128,6 +128,43 @@ object StreamingOps {
         col("click_time") >= col("purchase_time") - expr("INTERVAL 4 HOURS") &&
         col("click_time") <= col("purchase_time"), joinType)
       .select(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
+  final case class UserCum(user_id: Long, event_id: Long, cum_cents: Long)
+
+  /** Spark-4 arbitrary-state API (`transformWithState`): a per-user
+    * running total carried in a typed `ValueState` — the v2 state
+    * surface (RocksDB-backed stores, typed state variables, TTL,
+    * timers) that replaces `flatMapGroupsWithState` for new code.
+    * Values accumulate as integer cents so the totals are order-exact;
+    * within a micro-batch rows sort by (ts, event_id), and state
+    * carries the prefix across batches — StreamingSpec proves
+    * multi-batch streaming ≡ the windowed batch oracle. Requires the
+    * RocksDB state-store provider when run as a stream. */
+  class RunningTotalProcessor
+      extends StatefulProcessor[Long, Event, UserCum] {
+    @transient private var cum: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[Long]("cum",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[UserCum] = {
+      var c = if (cum.exists()) cum.get() else 0L
+      val out = rows.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+        c += math.round(e.value * 100)
+        UserCum(key, e.event_id, c)
+      }
+      cum.update(c)
+      out.iterator
+    }
+  }
+
+  /** running per-user totals via [[RunningTotalProcessor]] */
+  def runningTotals(events: Dataset[Event]): Dataset[UserCum] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Custom sessionization state machine via flatMapGroupsWithState —

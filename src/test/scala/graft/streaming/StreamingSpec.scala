@@ -251,6 +251,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState (v2 state API): RocksDB ValueState carries totals across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch oracle: per-user running total in integer cents
+    val expect = events
+      .select(col("user_id"), col("event_id"),
+        expr("""sum(cast(round(value * 100, 0) as bigint)) over (
+               | partition by user_id order by ts, event_id
+               | rows between unbounded preceding and current row)""".stripMargin)
+          .as("cum_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val all = events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts, e.event_id))
+    val stream = MemoryStream[Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("tws").toString
+    // transformWithState requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = runningTotals(stream.toDS())
+      .writeStream.format("memory").queryName("tws_totals")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // three chronological micro-batches: totals for later batches must
+      // come from ValueState, not from re-seeing earlier rows
+      all.grouped(math.max(1, all.length / 3 + 1)).foreach { chunk =>
+        stream.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      val got = spark.table("tws_totals")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expect)
+      assert(got.nonEmpty)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Trigger.AvailableNow drains the backlog and self-terminates") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
