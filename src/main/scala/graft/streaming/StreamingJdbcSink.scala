@@ -117,6 +117,90 @@ object StreamingJdbcSink {
     } finally mconn.close()
   }
 
+  /** CDC upsert micro-batch: key-based MERGE as distributed keyed
+    * DELETE + batched INSERT, under the same mutex/ledger protocol as
+    * [[writeBatch]]. The batch must hold ONE row per key (compact a
+    * changelog first, e.g. the `etl_merge_latest` struct-max shape);
+    * rows replace the destination rows with matching keys, other rows
+    * are untouched. Idempotent per key even mid-crash: a replayed batch
+    * re-deletes and re-inserts the same deterministic rows. The DELETE
+    * runs distributed — each partition of the batch's key set batches
+    * `DELETE ... WHERE k1=? AND ...` on its own connection — so neither
+    * keys nor rows ever collect to the driver. */
+  def upsertBatch(df: DataFrame, batchId: Long, url: String, table: String,
+      keyCols: Seq[String], cfg: ConverterConfig = ConverterConfig(),
+      rowsPerCommit: Long = 10000L,
+      connProps: Map[String, String] = Map.empty): Boolean = {
+    require(keyCols.nonEmpty, "upsertBatch needs at least one key column")
+    val mconn = connect(url, connProps)
+    try {
+      mconn.setAutoCommit(false)
+      val mins = mconn.prepareStatement(
+        s"INSERT INTO ${mutexTable(table)} (batch_id) VALUES (?)")
+      mins.setLong(1, batchId)
+      mins.executeUpdate(); mins.close()
+      val chk = mconn.prepareStatement(
+        s"SELECT 1 FROM ${ledgerTable(table)} WHERE batch_id = ?")
+      chk.setLong(1, batchId)
+      val rs = chk.executeQuery()
+      val alreadyDone = rs.next()
+      rs.close(); chk.close()
+      if (alreadyDone) { mconn.rollback(); return false }
+      // distributed keyed delete (replaces writeBatch's batch_id delete)
+      val deleteSql = s"DELETE FROM $table WHERE " +
+        keyCols.map(k => s"$k = ?").mkString(" AND ")
+      val propsSeq = connProps.toSeq
+      val maxBatch = cfg.maxStatementsInOneJdbcBatch
+      df.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+        .distinct()
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          if (rows.hasNext) {
+            val p = new java.util.Properties()
+            propsSeq.foreach { case (k, v) => p.setProperty(k, v) }
+            val c = DriverManager.getConnection(url, p)
+            try {
+              c.setAutoCommit(false)
+              val ps = c.prepareStatement(deleteSql)
+              var n = 0
+              rows.foreach { r =>
+                keyCols.indices.foreach(i => ps.setObject(i + 1, r.get(i)))
+                ps.addBatch(); n += 1
+                if (n % maxBatch == 0) ps.executeBatch()
+              }
+              ps.executeBatch(); ps.close(); c.commit()
+            } finally c.close()
+          }
+        }
+      DataCopier.writeJdbc(df.withColumn("batch_id", lit(batchId)),
+        url, table, cfg, rowsPerCommit, connProps)
+      val mdel = mconn.prepareStatement(
+        s"DELETE FROM ${mutexTable(table)} WHERE batch_id = ?")
+      mdel.setLong(1, batchId)
+      mdel.executeUpdate(); mdel.close()
+      val lins = mconn.prepareStatement(
+        s"INSERT INTO ${ledgerTable(table)} (batch_id) VALUES (?)")
+      lins.setLong(1, batchId)
+      lins.executeUpdate(); lins.close()
+      mconn.commit()
+      true
+    } catch {
+      case t: Throwable =>
+        try mconn.rollback() catch { case _: Throwable => () }
+        throw t
+    } finally mconn.close()
+  }
+
+  /** `foreachBatch` upsert form: latest-row-per-key streams MERGE into
+    * the table. */
+  def upsertSink(url: String, table: String, keyCols: Seq[String],
+      cfg: ConverterConfig = ConverterConfig(),
+      rowsPerCommit: Long = 10000L,
+      connProps: Map[String, String] = Map.empty): (DataFrame, Long) => Unit = {
+    ensureLedger(url, table, connProps)
+    (df, batchId) =>
+      { upsertBatch(df, batchId, url, table, keyCols, cfg, rowsPerCommit, connProps); () }
+  }
+
   /** The `foreachBatch` function:
     * {{{
     * stream.writeStream.foreachBatch(StreamingJdbcSink.sink(url, "t")).start()

@@ -21,6 +21,39 @@ class StreamingSinkSpec extends SparkTestBase {
     } finally c.close()
   }
 
+  test("upsert sink: key-based MERGE — updates replace, inserts add, replay skips") {
+    import spark.implicits._
+    val c = conn()
+    c.createStatement().executeUpdate(
+      """CREATE TABLE up_t (
+        | k BIGINT NOT NULL, val VARCHAR(32), batch_id BIGINT)""".stripMargin)
+    c.close()
+    StreamingJdbcSink.ensureLedger(url, "up_t")
+    // batch 0: keys 1..5 inserted
+    val b0 = Seq((1L, "a0"), (2L, "b0"), (3L, "c0"), (4L, "d0"), (5L, "e0"))
+      .toDF("k", "val")
+    assert(StreamingJdbcSink.upsertBatch(b0, 0L, url, "up_t", Seq("k")))
+    // batch 1: keys 2,4 updated; key 6 inserted
+    val b1 = Seq((2L, "b1"), (4L, "d1"), (6L, "f1")).toDF("k", "val")
+    assert(StreamingJdbcSink.upsertBatch(b1, 1L, url, "up_t", Seq("k")))
+    assert(count("SELECT COUNT(*) FROM up_t") == 6)
+    val got = {
+      val cc = conn()
+      try {
+        val rs = cc.createStatement()
+          .executeQuery("SELECT k, val FROM up_t ORDER BY k")
+        Iterator.continually(rs)
+          .takeWhile(_.next()).map(r => r.getLong(1) -> r.getString(2)).toList
+      } finally cc.close()
+    }
+    assert(got == List(1L -> "a0", 2L -> "b1", 3L -> "c0", 4L -> "d1",
+      5L -> "e0", 6L -> "f1"))
+    // replay of batch 1 (restart) must be a no-op skip
+    assert(!StreamingJdbcSink.upsertBatch(b1, 1L, url, "up_t", Seq("k")))
+    assert(count("SELECT COUNT(*) FROM up_t") == 6)
+    assert(count("SELECT COUNT(*) FROM up_t_mutex") == 0)
+  }
+
   test("foreachBatch sink: multi-batch write, replay skip, partial-write recovery") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
