@@ -15,6 +15,26 @@ import graft.functions.{ContentChunks, CosineSim, DotProduct, MinHashSig, MisraG
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
   * }}}
   */
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Literal, ShiftLeft, ShiftRightUnsigned}
+
+  /** the Morton interleave as a raw Catalyst tree (same arithmetic as
+    * `Layout.zValue`, constructible inside a FunctionRegistry builder) */
+  private[graft] def zValueExpr(a: Expression, b: Expression,
+      bits: Int): Expression = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      val ai = ShiftLeft(
+        BitwiseAnd(ShiftRightUnsigned(a, Literal(i)), Literal(1L)),
+        Literal(2 * i))
+      val bi = ShiftLeft(
+        BitwiseAnd(ShiftRightUnsigned(b, Literal(i)), Literal(1L)),
+        Literal(2 * i + 1))
+      Add(ai, bi): Expression
+    }.reduce((x, y) => Add(x, y))
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
@@ -60,6 +80,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         val n = children(1).eval().asInstanceOf[Number].intValue()
         Shingles(children.head, n)
+      }))
+    // macro-style function: expands to the same shift/mask sum the
+    // Column API (Layout.zValue) composes — no new evaluation code, so
+    // SQL and Column callers compute identically
+    ext.injectFunction((
+      FunctionIdentifier("z_value"),
+      info("z_value", "z_value(a, b[, bits]) - Morton interleave of the low bits of two non-negative integers"),
+      (children: Seq[Expression]) => {
+        val bits = if (children.size > 2)
+          children(2).eval().asInstanceOf[Number].intValue() else 16
+        GraftExtensions.zValueExpr(children.head, children(1), bits)
       }))
     // aggregate function: the analyzer wraps the returned AggregateFunction
     // in an AggregateExpression like any built-in aggregate

@@ -29,6 +29,18 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(top.map(_.getString(0)) == Seq("a", "b", "c"))
   }
 
+  test("z_value callable from SQL ≡ the Layout.zValue Column form") {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("z_value",
+      exprs => GraftExtensions.zValueExpr(exprs.head, exprs(1), 16),
+      "built-in")
+    import spark.implicits._
+    Seq((3L, 1L), (65535L, 0L)).toDF("a", "b").createOrReplaceTempView("zv_in")
+    val got = spark.sql("SELECT z_value(a, b) FROM zv_in ORDER BY 1")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(7L, 0x55555555L))
+  }
+
   test("rolling_hash / simhash64 / minhash_sig / content_chunks callable from SQL") {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("rolling_hash",
