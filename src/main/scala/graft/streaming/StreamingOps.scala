@@ -167,6 +167,57 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class EventT(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double, event_time: java.sql.Timestamp)
+  final case class IdleUser(user_id: Long, last_seen_us: Long, n_events: Long)
+
+  /** Event-time TIMERS on the v2 state API: each user's state keeps
+    * their latest event time and (re)arms a timer `gapSeconds` past it;
+    * when the WATERMARK passes an armed timer, [[IdleUserProcessor]]
+    * emits one "user went idle" row from `handleExpiredTimer` — the
+    * push-based inactivity signal that polling can't produce without
+    * rescanning state. Timer count is one per active user (re-arming
+    * deletes the stale timer), so state stays O(active users). */
+  class IdleUserProcessor(gapSeconds: Long)
+      extends StatefulProcessor[Long, EventT, IdleUser] {
+    @transient private var last: ValueState[(Long, Long)] = _ // (maxUs, n)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[(Long, Long)]("last",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventT],
+        timers: TimerValues): Iterator[IdleUser] = {
+      val (prevUs, prevN) = if (last.exists()) last.get() else (Long.MinValue, 0L)
+      var maxUs = prevUs; var n = prevN
+      rows.foreach { e => maxUs = math.max(maxUs, e.ts / 1000); n += 1 }
+      if (maxUs > prevUs) {
+        if (prevUs != Long.MinValue)
+          getHandle.deleteTimer(prevUs / 1000 + gapSeconds * 1000)
+        getHandle.registerTimer(maxUs / 1000 + gapSeconds * 1000)
+      }
+      last.update((maxUs, n))
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[IdleUser] = {
+      val (maxUs, n) = last.get()
+      Iterator.single(IdleUser(key, maxUs, n))
+    }
+  }
+
+  /** idle-user stream via [[IdleUserProcessor]] (event-time timers) */
+  def idleUsers(events: Dataset[Event], gapSeconds: Long): Dataset[IdleUser] = {
+    val s = events.sparkSession
+    import s.implicits._
+    withEventTime(events.toDF())
+      .withWatermark("event_time", "10 minutes")
+      .as[EventT]
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleUserProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Custom sessionization state machine via flatMapGroupsWithState —
     * the "KeyValueGroupedDataset custom state" north-star surface.
     * Emits one Session row per event-batch per closed/updated session;

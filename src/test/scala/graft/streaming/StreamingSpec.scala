@@ -289,6 +289,50 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("event-time timers: idle users emit once the watermark passes their gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1800L
+    // expectation: every real user goes idle once the watermark jumps a
+    // month ahead — one row each with their true last-seen µs and count
+    val expect = events.groupBy("user_id")
+      .agg(expr("max(ts div 1000)").as("last_seen_us"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val all = events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts, e.event_id))
+    val stream = MemoryStream[Event]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = idleUsers(stream.toDS(), gap)
+      .writeStream.format("memory").queryName("idle_users")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("timers").toString)
+      .outputMode("append").start()
+    try {
+      val (first, second) = all.splitAt(all.length / 2)
+      stream.addData(first.toSeq); q.processAllAvailable()
+      // no user can be idle yet: watermark trails the stream by 10 min
+      // and every user keeps eventing through the fixture window
+      stream.addData(second.toSeq); q.processAllAvailable()
+      // sentinel user (9999) a month ahead: advances the watermark past
+      // everyone's last_ts + gap; two batches (computed → applied)
+      val far = all.last.ts + 30L * 86400L * 1000000000L
+      stream.addData(Event(999998L, far, 9999L, "noop", 0.0))
+      q.processAllAvailable()
+      stream.addData(Event(999999L, far + 1L, 9999L, "noop", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("idle_users")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got.keySet == expect.keySet, // sentinel user still active → absent
+        s"idle set mismatch: got ${got.keySet}, want ${expect.keySet}")
+      assert(got == expect)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Trigger.AvailableNow drains the backlog and self-terminates") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
