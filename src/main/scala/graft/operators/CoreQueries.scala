@@ -384,6 +384,18 @@ object CoreQueries {
     // and dense_rank(x) = 1 + #distinct keys < x, so aggregate per-key
     // counts first (one shuffle on the key), run the window over the
     // DISTINCT-KEY table only (|keys| rows — ~50 p_size values no matter
+    // Relative-position window functions: percent_rank and cume_dist per
+    // nation over supplier balances — both are ratios of exact integer
+    // ranks/counts ((rank-1)/(n-1), rank_incl/n), so the doubles are
+    // bit-identical across engines. Per-key windows only.
+    "win_percent_rank" -> { (s, dir) =>
+      val w = Window.partitionBy("s_nationkey")
+        .orderBy(col("s_acctbal"), col("s_suppkey"))
+      Tables(s, dir, "supplier").select(
+        col("s_nationkey"), col("s_suppkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    },
     // the corpus size), and broadcast-join the ranks back. An unpartitioned
     // Window.orderBy over the fact table would funnel every row through
     // one task at 100 TB; this shape never materializes a global row sort.
@@ -707,6 +719,12 @@ object CoreQueries {
         |   PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
         |FROM lineitem""".stripMargin,
+    "win_percent_rank" ->
+      """SELECT s_nationkey, s_suppkey,
+        | PERCENT_RANK() OVER w AS pr,
+        | CUME_DIST() OVER w AS cd
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)""".stripMargin,
     "win_lag_lead" ->
       """SELECT o_custkey, o_orderkey,
         | LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_key,

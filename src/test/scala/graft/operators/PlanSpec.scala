@@ -130,6 +130,13 @@ class PlanSpec extends SparkTestBase {
       s"interval side not bin-exploded:\n$plan")
   }
 
+  test("q21: self-semi/anti joins stay equi-keyed on l_orderkey (no nested loop)") {
+    val plan = planOf("q21_waiting_supplier")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"q21 self-joins degenerated to a nested loop:\n$plan")
+  }
+
   test("q17: brand partkeys broadcast-semi-filter lineitem before the avg") {
     val plan = planOf("q17_small_qty_revenue")
     assert(plan.contains("BroadcastHashJoin"), s"brand filter not broadcast:\n$plan")
