@@ -81,6 +81,23 @@ object AdvancedQueries {
       AsOf.join(purchases, signups, Seq("user_id"), "ts", "ts", Seq("signup_sec"))
         .select("event_id", "user_id", "sec", "signup_sec")
     },
+    // As-of join with a TOLERANCE (pandas merge_asof(tolerance=...)):
+    // matches older than 24 h null out. Time axis is µs on both engines
+    // (fixture ts carries sub-µs noise DuckDB truncates, so the
+    // tolerance compare must run at µs; no (user, µs) signup collisions
+    // exist, so the µs ordering stays total).
+    "asof_tolerance" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .withColumn("us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), expr("us div 1000000").as("signup_sec"),
+          col("us"))
+      AsOf.join(purchases, signups, Seq("user_id"), "us", "us",
+          Seq("signup_sec"), maxLookback = Some(lit(86400000000L)))
+        .select("event_id", "user_id", "signup_sec")
+    },
     // Exact interpolated median over integer keys (deterministic in
     // double: midpoint of two integers). Exact `percentile` buffers every
     // group's values — fine for 3 order statuses, OOM bait for
@@ -497,6 +514,13 @@ object AdvancedQueries {
       """SELECT p.event_id, p.user_id,
         | CAST(FLOOR(EPOCH(p.ts)) AS BIGINT) AS sec,
         | CAST(FLOOR(EPOCH(s.ts)) AS BIGINT) AS signup_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts""".stripMargin,
+    "asof_tolerance" ->
+      """SELECT p.event_id, p.user_id,
+        | CASE WHEN epoch_us(p.ts) - epoch_us(s.ts) <= 86400000000
+        |      THEN epoch_us(s.ts) // 1000000 END AS signup_sec
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts""".stripMargin,

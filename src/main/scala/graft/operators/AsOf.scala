@@ -34,16 +34,26 @@ import org.apache.spark.sql.functions._
   * `rightVals`. */
 object AsOf {
 
+  /** @param maxLookback optional as-of tolerance (pandas
+    *   `merge_asof(tolerance=...)`): when the matched right row is
+    *   older than `leftTime - maxLookback`, the match is dropped and
+    *   the rightVals come back NULL. Pass a literal in the time
+    *   column's domain (a number for numeric times, an INTERVAL for
+    *   timestamps). */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String],
+      maxLookback: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val leftOnly = left.columns.filterNot(keys.contains).toSeq
     // One struct per right row, carried whole through the window: the
     // window's ignoreNulls applies to the struct (null only on left
     // rows), never to the individual value columns, so every output row
-    // takes all rightVals from one right row, nulls included.
+    // takes all rightVals from one right row, nulls included. The
+    // matched right row's own time rides along as `_rt` so a tolerance
+    // can be applied after the carry.
     val rvStructType = org.apache.spark.sql.types.StructType(
-      rightVals.map(c => right.schema(c).copy(name = c)))
+      rightVals.map(c => right.schema(c).copy(name = c)) :+
+        right.schema(rightTime).copy(name = "_rt"))
     val l = left
       .withColumn("_t", col(leftTime)).withColumn("_m", lit(1))
       .select(keys.map(col) ++ Seq(col("_t"), col("_m")) ++
@@ -53,13 +63,19 @@ object AsOf {
       .withColumn("_t", col(rightTime)).withColumn("_m", lit(0))
       .select(keys.map(col) ++ Seq(col("_t"), col("_m")) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(rightVals.map(col): _*).as("_rv"): _*)
+        struct(rightVals.map(col) :+ col(rightTime).as("_rt"): _*).as("_rv"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t"), col("_m"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r)
+    val carried0 = l.unionByName(r)
       .withColumn("_rv", last(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_m") === 1)
+    val carried = maxLookback match {
+      case Some(tol) => carried0.withColumn("_rv",
+        when(col("_rv").isNotNull &&
+          col("_t") - col("_rv")("_rt") <= tol, col("_rv")))
+      case None => carried0
+    }
     rightVals
       .foldLeft(carried) { (df, c) => df.withColumn(c, col("_rv")(c)) }
       .drop("_m", "_t", "_rv")

@@ -45,6 +45,19 @@ class LibraryApiSpec extends SparkTestBase {
       "b" -> (None, "Y"))) // NULL preserved, venue from the SAME row
   }
 
+  test("AsOf.join maxLookback: stale matches null out, fresh ones survive") {
+    import spark.implicits._
+    val purchases = Seq((1L, 12L, "near"), (1L, 30L, "stale"))
+      .toDF("k", "t", "tag")
+    val quotes = Seq((1L, 10L, 100.0)).toDF("k", "qt", "price")
+    val got = AsOf.join(purchases, quotes, Seq("k"), "t", "qt",
+        Seq("price"), maxLookback = Some(lit(5L)))
+      .select("tag", "price").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map("near" -> Some(100.0), "stale" -> None))
+  }
+
   test("Dedup.minhashLshPairs rejects numHashes not divisible by bands") {
     import spark.implicits._
     val docs = Seq((1L, "some text here")).toDF("rid", "body")
