@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "misc_funcs", "1.0.0", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: the backward as-of join planned as a
+    // co-partitioned streaming merge (plans/AsOfJoinPlan.scala), plus
+    // the optimizer rule restoring column pruning through that node
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsOfColumns)
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(str) - 64-bit polynomial hash of str's UTF-8 bytes"),

@@ -81,6 +81,25 @@ object AdvancedQueries {
       AsOf.join(purchases, signups, Seq("user_id"), "ts", "ts", Seq("signup_sec"))
         .select("event_id", "user_id", "sec", "signup_sec")
     },
+    // The SAME as-of semantics through the custom physical operator
+    // (plans/AsOfJoinPlan.scala: AsOfJoinNode → AsOfJoinStrategy →
+    // AsOfJoinExec). Each side is hash-partitioned on user_id and
+    // sorted (user_id, ts) by EnsureRequirements, then one streaming
+    // merge pass per co-located partition pair attaches the latest
+    // signup — no union row widening, no window state, O(1) task
+    // memory. Oracle: DuckDB's native ASOF LEFT JOIN (independent
+    // third implementation alongside AsOf.join's union-window form).
+    "asof_merge_join" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .withColumn("sec", expr("ts div 1000000000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("sec"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("sec").as("signup_sec"), col("ts"))
+      graft.plans.AsOfMerge.join(purchases, signups, Seq("user_id"),
+          "ts", "ts", Seq("signup_sec"))
+        .select("event_id", "user_id", "sec", "signup_sec")
+    },
     // As-of join with a TOLERANCE (pandas merge_asof(tolerance=...)):
     // matches older than 24 h null out. Time axis is µs on both engines
     // (fixture ts carries sub-µs noise DuckDB truncates, so the
@@ -511,6 +530,13 @@ object AdvancedQueries {
         | FROM events) t
         |WHERE event_type = 'purchase'""".stripMargin,
     "asof_join_generic" ->
+      """SELECT p.event_id, p.user_id,
+        | CAST(FLOOR(EPOCH(p.ts)) AS BIGINT) AS sec,
+        | CAST(FLOOR(EPOCH(s.ts)) AS BIGINT) AS signup_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts""".stripMargin,
+    "asof_merge_join" ->
       """SELECT p.event_id, p.user_id,
         | CAST(FLOOR(EPOCH(p.ts)) AS BIGINT) AS sec,
         | CAST(FLOOR(EPOCH(s.ts)) AS BIGINT) AS signup_sec

@@ -1,0 +1,204 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Backward as-of join as a first-class operator: logical plan node +
+  * planner strategy + physical sort-merge execution.
+  *
+  * `graft.operators.AsOf.join` expresses the same semantics by
+  * composition (union both sides + per-key window carry) — one shuffle
+  * and one sort over |L|+|R| combined rows, plus the struct
+  * pack/unpack. This operator is the shape a native engine would run
+  * at 100 TB: each side is hash-partitioned on the join keys
+  * independently (Catalyst's EnsureRequirements inserts the exchanges
+  * and co-partitions them, exactly as for a sort-merge join), each
+  * side is sorted by (keys, time), and a single streaming merge pass
+  * zips the co-located partitions — no union row widening, no window
+  * state, no pair blow-up. Memory per task is O(1): one candidate
+  * right row.
+  *
+  * Semantics (matches `AsOf.join` and DuckDB `ASOF JOIN`):
+  * for every left row, the right row with the greatest `rightTime` <=
+  * `leftTime` within the same key group; ties at equal time take the
+  * last right row in (key, time) order. Right rows with a NULL time
+  * never match; left rows with a NULL time match nothing (NULLs sort
+  * first, so they precede every candidate). Key columns compare with
+  * the window-grouping convention: NULL keys form a group that joins
+  * to NULL-key right rows (same as `Window.partitionBy`).
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTime: Attribute,
+    rightTime: Attribute,
+    rightVals: Seq[Attribute]) extends BinaryNode {
+
+  /** every left column + the carried right values (nullable: no match) */
+  override val output: Seq[Attribute] =
+    left.output ++ rightVals.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] into [[AsOfJoinExec]]; inert on every other
+  * node. Registered via `GraftExtensions` (spark.sql.extensions) or
+  * injected by [[AsOfMerge.join]] through `experimental.extraStrategies`. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: AsOfJoinNode =>
+      AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTime, n.rightTime,
+        n.rightVals, planLater(n.left), planLater(n.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Catalyst's `ColumnPruning` cannot push projections through an
+  * unknown logical node, so a wide left table would be carried (and
+  * shuffled!) whole even when the query selects two columns. This
+  * injected optimizer rule restores pruning for [[AsOfJoinNode]]:
+  * under a Project that doesn't use all left columns, narrow the left
+  * child to the referenced columns plus the join keys and time.
+  * `ScanOperation` folds the stacked Projects at physical planning, so
+  * the prune reaches the file scan's ReadSchema. (The right side needs
+  * no rule — [[AsOfMerge.join]] already wraps it in a minimal fresh-
+  * alias Project.) */
+object PruneAsOfColumns extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, a: AsOfJoinNode) =>
+      val needed = AttributeSet(p.references ++ a.leftKeys ++ Seq(a.leftTime))
+      val keep = a.left.output.filter(needed.contains)
+      if (keep.length < a.left.output.length)
+        p.copy(child = a.copy(left = Project(keep, a.left)))
+      else p
+  }
+}
+
+/** Physical backward as-of join: requires both children clustered on
+  * the join keys and sorted by (keys, time); EnsureRequirements
+  * inserts the two hash exchanges + sorts (co-partitioned, same as
+  * SortMergeJoinExec). Execution is a single forward merge pass per
+  * co-located partition pair holding one buffered right row. */
+case class AsOfJoinExec(
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTime: Attribute,
+    rightTime: Attribute,
+    rightVals: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  private val rightValsOut: Seq[Attribute] = rightVals.map(_.withNullability(true))
+
+  override def output: Seq[Attribute] = left.output ++ rightValsOut
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  /** rows stream out in the left child's order, left partitioning intact */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val numVals = rightVals.size
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, leftOut)
+      val rKeyProj = UnsafeProjection.create(rightKeys, rightOut)
+      val lTimeProj = UnsafeProjection.create(Seq(leftTime: Attribute), leftOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rightTime: Attribute), rightOut)
+      val rValsProj = UnsafeProjection.create(rightVals, rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(leftKeys.map(_.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(leftTime.dataType))
+      val outProj = UnsafeProjection.create(output, leftOut ++ rightValsOut)
+      val joined = new JoinedRow
+      val nullVals = new GenericInternalRow(numVals)
+      val rBuf = rIter.buffered
+      // the current best match and its key, copied out of the shared
+      // projection buffers; valid while left rows stay in the same key group
+      var cand: InternalRow = null
+      var candKey: InternalRow = null
+      lIter.map { lrow =>
+        val lkey = lKeyProj(lrow)
+        if (candKey != null && keyOrd.compare(candKey, lkey) != 0) {
+          cand = null; candKey = null
+        }
+        val ltime = lTimeProj(lrow)
+        var scanning = true
+        while (scanning && rBuf.hasNext) {
+          val rkey = rKeyProj(rBuf.head)
+          val c = keyOrd.compare(rkey, lkey)
+          if (c < 0) rBuf.next() // right key group already passed — discard
+          else if (c > 0) scanning = false // future key group — stop
+          else {
+            val rtime = rTimeProj(rBuf.head)
+            if (rtime.isNullAt(0)) rBuf.next() // NULL right time never matches
+            else if (timeOrd.compare(rtime, ltime) <= 0) {
+              cand = rBuf.next().copy(); candKey = rkey.copy()
+            } else scanning = false // right row is in the left row's future
+          }
+        }
+        val vals = if (cand != null) rValsProj(cand) else nullVals
+        outProj(joined(lrow, vals))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-name-level entry point mirroring `AsOf.join`'s contract:
+  * output = every left column + `rightVals` (NULL-filled when no right
+  * row qualifies). Injects [[AsOfJoinStrategy]] into the session's
+  * experimental strategies when the `GraftExtensions` hook isn't
+  * installed, so it works on any session. */
+object AsOfMerge {
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one key column")
+    Bridge.ensureStrategy(left.sparkSession, AsOfJoinStrategy)
+    Bridge.ensureOptimizerRule(left.sparkSession, PruneAsOfColumns)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"$side column '$name' not found among ${plan.output.map(_.name).mkString(", ")}"))
+    // Self-join safety: when left and right derive from the same plan
+    // they share exprIds; the analyzer's DeduplicateRelations re-instances
+    // the right subtree but cannot remap this node's attribute fields.
+    // Referencing the right side only through FRESH aliases (alias ids
+    // survive deduplication; the alias children get remapped inside the
+    // subtree like any self-join) keeps the node's references unambiguous —
+    // and doubles as right-side column pruning.
+    val rNeeded: Seq[Attribute] =
+      ((keys :+ rightTime) ++ rightVals).map(attr(rPlan, _, "right")).distinct
+    val rAliases = rNeeded.map(a => Alias(a, a.name)())
+    val rFresh = Project(rAliases, rPlan)
+    val fresh: Map[String, Attribute] =
+      rAliases.map(al => al.name -> al.toAttribute).toMap
+    val node = AsOfJoinNode(lPlan, rFresh,
+      keys.map(attr(lPlan, _, "left")), keys.map(fresh),
+      attr(lPlan, leftTime, "left"), fresh(rightTime),
+      rightVals.map(fresh))
+    Bridge.ofRows(left.sparkSession, node)
+  }
+}
