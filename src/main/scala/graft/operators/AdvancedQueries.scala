@@ -117,6 +117,22 @@ object AdvancedQueries {
           Seq("signup_sec"), maxLookback = Some(lit(86400000000L)))
         .select("event_id", "user_id", "signup_sec")
     },
+    // NEAREST as-of (pandas merge_asof(direction='nearest')): the
+    // closest signup in either direction, ties to the earlier row.
+    // Two windowed carries (forward = backward on the negated time
+    // axis); oracle is an independent DuckDB LATERAL argmin by
+    // absolute nanosecond distance.
+    "asof_nearest" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), expr("ts div 1000000000").as("signup_sec"),
+          col("ts"))
+      AsOf.joinNearest(purchases, signups, Seq("user_id"), "ts", "ts",
+          Seq("signup_sec"))
+        .select("event_id", "user_id", "signup_sec")
+    },
     // Exact interpolated median over integer keys (deterministic in
     // double: midpoint of two integers). Exact `percentile` buffers every
     // group's values — fine for 3 order statuses, OOM bait for
@@ -536,6 +552,15 @@ object AdvancedQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts""".stripMargin,
+    "asof_nearest" ->
+      """SELECT p.event_id, p.user_id, n.signup_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT CAST(FLOOR(EPOCH(s.ts)) AS BIGINT) AS signup_sec
+        |  FROM events s
+        |  WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+        |  ORDER BY ABS(epoch_ns(s.ts) - epoch_ns(p.ts)), s.ts
+        |  LIMIT 1) n ON TRUE""".stripMargin,
     "asof_merge_join" ->
       """SELECT p.event_id, p.user_id,
         | CAST(FLOOR(EPOCH(p.ts)) AS BIGINT) AS sec,

@@ -80,4 +80,39 @@ object AsOf {
       .foldLeft(carried) { (df, c) => df.withColumn(c, col("_rv")(c)) }
       .drop("_m", "_t", "_rv")
   }
+
+  /** Nearest as-of join (pandas `merge_asof(direction='nearest')`):
+    * for every left row, the right row minimizing |leftTime − rightTime|
+    * within the key group; equal distances prefer the earlier (backward)
+    * right row. Composed as two backward carries — the forward direction
+    * is the backward as-of on the NEGATED time axis — so the cost is two
+    * windowed passes, no pair blow-up. Requires a numeric time column
+    * (timestamps: convert to epoch first, precision of your choice). */
+  def joinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+    val bVals = rightVals.map("_b_" + _)
+    val fVals = rightVals.map("_f_" + _)
+    // backward pass: latest right at-or-before, carrying the matched time
+    val rB = rightVals.zip(bVals)
+      .foldLeft(right) { case (df, (o, n)) => df.withColumn(n, col(o)) }
+      .withColumn("_b_t", col(rightTime))
+      .select((keys :+ rightTime).map(col) ++ (bVals :+ "_b_t").map(col): _*)
+    val back = join(left, rB, keys, leftTime, rightTime, bVals :+ "_b_t")
+    // forward pass: earliest right at-or-after == backward on negated times
+    val rF = rightVals.zip(fVals)
+      .foldLeft(right) { case (df, (o, n)) => df.withColumn(n, col(o)) }
+      .withColumn("_f_t", col(rightTime))
+      .withColumn("_neg_rt", -col(rightTime))
+      .select(keys.map(col) ++ (fVals ++ Seq("_f_t", "_neg_rt")).map(col): _*)
+    val both = join(back.withColumn("_neg_t", -col(leftTime)), rF, keys,
+      "_neg_t", "_neg_rt", fVals :+ "_f_t")
+    // pick the closer side; ties (and forward-missing) take backward
+    val pickB = col("_b_t").isNotNull && (col("_f_t").isNull ||
+      (col(leftTime) - col("_b_t") <= col("_f_t") - col(leftTime)))
+    rightVals.zip(bVals.zip(fVals))
+      .foldLeft(both) { case (df, (o, (b, f))) =>
+        df.withColumn(o, when(pickB, col(b)).otherwise(col(f))) }
+      .drop((bVals ++ fVals ++ Seq("_b_t", "_f_t", "_neg_t")): _*)
+  }
 }

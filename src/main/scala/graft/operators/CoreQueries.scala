@@ -396,6 +396,28 @@ object CoreQueries {
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"))
     },
+    // NTILE bucketing (partitioned window — no global sort).
+    "win_ntile" -> { (s, dir) =>
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_orderkey"))
+      Tables(s, dir, "orders").select(
+        col("o_orderstatus"), col("o_orderkey"),
+        ntile(8).over(w).as("bucket"))
+    },
+    // Deterministic per-group MODE: explicit count + argmax with a
+    // lexicographic tie-break, so both engines resolve ties identically
+    // (the built-in mode() leaves ties implementation-defined). Two
+    // map-side-combinable aggregations — no value buffering per group.
+    "agg_mode" -> { (s, dir) =>
+      val counts = Tables(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("n"))
+    },
     // the corpus size), and broadcast-join the ranks back. An unpartitioned
     // Window.orderBy over the fact table would funnel every row through
     // one task at 100 TB; this shape never materializes a global row sort.
@@ -725,6 +747,17 @@ object CoreQueries {
         | CUME_DIST() OVER w AS cd
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)""".stripMargin,
+    "win_ntile" ->
+      """SELECT o_orderstatus, o_orderkey,
+        | NTILE(8) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS bucket
+        |FROM orders""".stripMargin,
+    "agg_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+        |FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |        ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |                           ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        |      FROM orders GROUP BY 1, 2)
+        |WHERE rn = 1""".stripMargin,
     "win_lag_lead" ->
       """SELECT o_custkey, o_orderkey,
         | LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_key,

@@ -24,6 +24,28 @@ class LibraryApiSpec extends SparkTestBase {
       "c" -> None))       // key 2 has no quotes at all
   }
 
+  test("AsOf.joinNearest: picks the closer side, ties prefer backward, " +
+      "one-sided groups still match") {
+    import spark.implicits._
+    val purchases = Seq((1L, 10L, "a"), (1L, 16L, "b"), (2L, 5L, "c"),
+        (3L, 9L, "d"), (4L, 1L, "e"))
+      .toDF("k", "t", "tag")
+    val quotes = Seq((1L, 7L, 70.0), (1L, 12L, 120.0), // a: |10-7|=3 > |12-10|=2 → 120
+        (2L, 50L, 500.0),                              // c: only forward → 500
+        (3L, 6L, 60.0), (3L, 12L, 121.0))              // d: |9-6|=3 == |12-9|=3 → tie → backward 60
+      .toDF("k", "qt", "price")
+    val got = AsOf.joinNearest(purchases, quotes, Seq("k"), "t", "qt", Seq("price"))
+      .select("tag", "price").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map(
+      "a" -> Some(120.0), // forward row is closer
+      "b" -> Some(120.0), // backward row is closer
+      "c" -> Some(500.0), // nothing behind — forward match
+      "d" -> Some(60.0),  // exact tie → earlier (backward) row
+      "e" -> None))       // key 4 has no quotes
+  }
+
   test("AsOf.join: NULL right value is carried as NULL; multi-col values " +
       "come from the same matched row") {
     import spark.implicits._
