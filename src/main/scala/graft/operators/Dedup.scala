@@ -203,4 +203,31 @@ object Dedup {
     sym.unpersist()
     labels
   }
+
+  /** SemDeDup-style semantic dedup (public recipe: k-means-cluster the
+    * embeddings, call a pair a near-duplicate only when its cosine
+    * clears `tau` WITHIN a cluster, keep one representative per
+    * connected component). The centroid-bucket equi-join bounds the
+    * pairwise stage to per-bucket cardinality — no global cartesian;
+    * missing cross-bucket near-dups is the published trade, and bucket
+    * count grows with the corpus so bucket size stays bounded.
+    *
+    * Input: `vectors` as (`vec_id`, `v: array<double>`); `centroids` as
+    * produced by [[Similarity.meanCentroids]] (broadcast — small).
+    * Output: (`vec_id`, `cluster_id` = min vec_id of its near-dup
+    * component, `keep` = is that representative). */
+  def semanticClusters(vectors: DataFrame, centroids: DataFrame,
+      tau: Double): DataFrame = {
+    val assign = Similarity.ivfAssign(vectors, centroids)
+    val av = vectors.join(assign, "vec_id")
+    val a = av.select(col("centroid"), col("vec_id").as("a_id"), col("v").as("va"))
+    val b = av.select(col("centroid"), col("vec_id").as("b_id"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("centroid"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(SketchExpressions.cosine_sim(col("va"), col("vb")) >= lit(tau))
+      .select("a_id", "b_id")
+    connectedComponents(vectors.select(col("vec_id").as("id")), pairs)
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("keep"))
+  }
 }

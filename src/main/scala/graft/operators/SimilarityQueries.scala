@@ -66,6 +66,20 @@ object SimilarityQueries {
           .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v")))
       Similarity.ivfAssign(e, cent)
     },
+    // SemDeDup-style semantic dedup: IVF-cluster the embeddings, call a
+    // pair near-duplicate when cosine >= 0.3 WITHIN a cluster, keep the
+    // min-id representative per connected component. The centroid
+    // equi-join bounds the pairwise stage to per-bucket cardinality;
+    // the 0.3 threshold clears both engines' float noise by ~2e-4 on
+    // this fixture. Oracle: the full pipeline (rounded centroids →
+    // argmin assign → in-bucket cosine pairs → recursive-CTE CC).
+    "dedup_semantic" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val cent = Similarity.meanCentroids(
+        Tables(s, dir, "embeddings")
+          .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v")))
+      Dedup.semanticClusters(e, cent, tau = 0.3)
+    },
     // IVF search: probe only the query's centroid bucket, exact top-3
     // within it. Oracle: the full IVF pipeline (rounded centroids →
     // argmin assignment → bucket probe → cosine top-3) is expressible in
@@ -211,6 +225,40 @@ object SimilarityQueries {
         |  ROW_NUMBER() OVER (PARTITION BY vec_id
         |    ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
         | FROM v, cent2) t WHERE rn = 1""".stripMargin,
+    "dedup_semantic" ->
+      """WITH RECURSIVE m AS (
+        | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
+        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+        |   CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings) t GROUP BY 1, 2),
+        |cent AS (
+        | SELECT label AS c_label, list(m ORDER BY dim) AS c FROM m GROUP BY label),
+        |cent2 AS (
+        | SELECT c_label, c,
+        |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
+        | FROM cent),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assign AS (
+        | SELECT vec_id, c_label AS centroid FROM (
+        |  SELECT vec_id, c_label,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id
+        |     ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
+        |  FROM v, cent2) t WHERE rn = 1),
+        |pairs AS (
+        | SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        | FROM assign a JOIN assign b ON a.centroid = b.centroid
+        | JOIN v va ON va.vec_id = a.vec_id
+        | JOIN v vb ON vb.vec_id = b.vec_id
+        | WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(va.v, vb.v) >= 0.3),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        | SELECT vec_id, vec_id FROM embeddings
+        | UNION
+        | SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+        |SELECT id AS vec_id, MIN(r) AS cluster_id, (id = MIN(r)) AS keep
+        |FROM reach GROUP BY id""".stripMargin,
     "sim_ann_ivf" ->
       """WITH m AS (
         | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (

@@ -57,4 +57,23 @@ class DedupSpec extends SparkTestBase {
     val total = out.agg(sum("n_copies")).collect()(0).getLong(0)
     assert(total == Tables(spark, sfDir, "documents").count())
   }
+
+  test("semanticClusters: transitive near-dups share a cluster, bucket " +
+      "boundary separates, keep marks the min id") {
+    import spark.implicits._
+    // two well-separated directions; label = the direction family
+    val vectors = Seq(
+      (1L, Seq(1.0, 0.0), 0),   // 1 ~ 2 ~ 3 chain: cos(1,3) = 0.92 < tau,
+      (2L, Seq(0.9, 0.1), 0),   //   so only transitivity groups all three
+      (3L, Seq(0.7, 0.3), 0),
+      (7L, Seq(0.0, 1.0), 1),   // other bucket
+      (9L, Seq(0.05, 1.0), 1))  // near 7 → clusters with it
+      .toDF("vec_id", "v", "label")
+    val cent = Similarity.meanCentroids(vectors.select(col("label"), col("v")))
+    val got = Dedup.semanticClusters(vectors.select("vec_id", "v"), cent, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (7L, 7L, true), (9L, 7L, false)))
+  }
 }
