@@ -396,6 +396,17 @@ object CoreQueries {
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"))
     },
+    // FIRST_VALUE / LAST_VALUE / NTH_VALUE over an explicit frame.
+    "win_first_last" -> { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_key"),
+        last(col("o_orderkey")).over(w).as("last_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+    },
     // NTILE bucketing (partitioned window — no global sort).
     "win_ntile" -> { (s, dir) =>
       val w = Window.partitionBy("o_orderstatus")
@@ -747,6 +758,14 @@ object CoreQueries {
         | CUME_DIST() OVER w AS cd
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)""".stripMargin,
+    "win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        | FIRST_VALUE(o_orderkey) OVER w AS first_key,
+        | LAST_VALUE(o_orderkey) OVER w AS last_key,
+        | NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "win_ntile" ->
       """SELECT o_orderstatus, o_orderkey,
         | NTILE(8) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS bucket

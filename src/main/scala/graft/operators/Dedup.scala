@@ -87,6 +87,36 @@ object Dedup {
     verifyJaccard(cand, sets, num, den)
   }
 
+  /** Shingle-CONTAINMENT near-dup pairs (a_id < b_id): catches
+    * document-inside-document duplication that symmetric Jaccard misses —
+    * a short doc fully quoted inside a long one has low Jaccard
+    * (|∩|/|∪| is diluted by the big doc) but containment ≈ 1.
+    * Candidates come from the same df-capped shingle equi-join as
+    * [[jaccardPairs]]; verification keeps pairs with
+    * den·|a∩b| >= num·min(|a|,|b|) in integer form. `contained_id`
+    * names the smaller-set document (ties → a_id) — the one a
+    * keep-the-superset policy would drop. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, dfCap: Int = 40, num: Int = 9, den: Int = 10): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val sh = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("sh")
+    val rareSh = sh.join(rare, "sh")
+    val cand = rareSh.select(col("doc_id").as("a_id"), col("sh"))
+      .join(rareSh.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("shs").as("sa")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("shs").as("sb")), Seq("b_id"))
+      .filter(lit(den) * size(array_intersect(col("sa"), col("sb"))) >=
+        lit(num) * least(size(col("sa")), size(col("sb"))))
+      .select(col("a_id"), col("b_id"),
+        when(size(col("sa")) <= size(col("sb")), col("a_id"))
+          .otherwise(col("b_id")).as("contained_id"))
+  }
+
   /** Drop rows whose bucket (key columns) holds more than cap documents.
     * The over-cap set is ≤ corpus/cap rows by construction, so it always
     * broadcasts and the banded table never shuffles for this filter. */
@@ -157,14 +187,17 @@ object Dedup {
     * through the pair graph as its `cluster_id`, so "keep one doc per
     * near-dup cluster" is `filter(id === cluster_id)`.
     *
-    * Algorithm: iterative min-label propagation. Each round joins the
-    * symmetrized edge list with current labels, takes the per-vertex min
-    * over neighbors, and stops when no label changed — O(diameter)
-    * rounds, each one shuffle keyed by vertex id. Near-dup clusters are
-    * shallow (dup graphs are dense cliques, diameter 2–3 in practice),
-    * so the round count stays small at any corpus size; `localCheckpoint`
-    * cuts the growing lineage each round (on a cluster prefer
-    * `checkpoint` with a checkpoint dir for fault tolerance).
+    * Algorithm: iterative min-label propagation with POINTER JUMPING.
+    * Each round (a) joins the symmetrized edge list with current labels
+    * and takes the per-vertex min over neighbors, then (b) jumps every
+    * label to its label's label (path halving: l(v) ← l(l(v))). Edge
+    * propagation alone needs O(diameter) rounds — a long chain costs a
+    * full shuffle per hop; the jump step collapses label paths
+    * geometrically, so convergence is O(log diameter) rounds. Each
+    * round is two shuffles keyed by vertex/label id, and stops when no
+    * label changed; `localCheckpoint` cuts the growing lineage each
+    * round (on a cluster prefer `checkpoint` with a checkpoint dir for
+    * fault tolerance).
     *
     * Input: `vertices` with column `id`; `edges` with columns
     * (`a_id`, `b_id`). Output: (`id`, `cluster_id`). */
@@ -189,9 +222,18 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min("nl").as("nbr_min"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer jump: follow the label one more hop (its own current
+      // label), halving every label path — labels only decrease, so
+      // the convergence probe stays monotone
+      val updated = propagated.alias("p")
+        .join(propagated.select(col("id").as("cluster_id"),
+          col("cluster_id").as("jump")).alias("j"), Seq("cluster_id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("jump"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(false)
       val newSum = labelSum(updated)

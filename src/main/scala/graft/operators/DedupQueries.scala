@@ -60,6 +60,15 @@ object DedupQueries {
       Dedup.jaccardPairs(docs(s, dir, 100), "doc_id", "text",
         dfCap = ShingleDfCap)
     },
+    // Containment dedup: den·|a∩b| >= num·min(|a|,|b|) — catches a
+    // short doc quoted inside a long one, where symmetric Jaccard is
+    // diluted by the big doc. Same df-capped candidate stage (every
+    // qualifying fixture pair shares >= 2 rare shingles); contained_id
+    // is the doc a keep-the-superset policy drops.
+    "dedup_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(docs(s, dir, 100), "doc_id", "text",
+        dfCap = ShingleDfCap)
+    },
     // MinHash + LSH: single-pass signatures, 16 bands of 2, candidates
     // exact-jaccard-verified (bands ARE the candidate stage). Same final
     // predicate as dedup_ngram_jaccard, so the LSH stage is measured by
@@ -229,6 +238,20 @@ object DedupQueries {
         |FROM fresh f
         |WHERE EXISTS (SELECT 1 FROM documents k WHERE k.text = f.text)""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_containment" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  unnest(list_distinct([substr(text, CAST(i AS INT), 3)
+        |                        for i in range(1, length(text) - 1)])) AS s
+        | FROM documents WHERE doc_id < 100
+        |), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        | CASE WHEN ca.n <= cb.n THEN a_id ELSE b_id END AS contained_id
+        |FROM inter JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
+        |WHERE 10 * i >= 9 * LEAST(ca.n, cb.n)""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_cluster_cc" -> ccOracle,
     "dedup_embedding_topk" ->

@@ -58,6 +58,24 @@ class DedupSpec extends SparkTestBase {
     assert(total == Tables(spark, sfDir, "documents").count())
   }
 
+  test("containmentPairs: doc-inside-doc found where symmetric jaccard misses") {
+    import spark.implicits._
+    val small = "the quick brown fox jumps over the lazy dog"
+    // varied filler → many distinct shingles: small is fully contained
+    // but the union is dominated by the big doc, diluting jaccard
+    val big = small + " " + (0 until 120).map(i => f"tok$i%03d").mkString(" ")
+    val docsDf = Seq((1L, small), (2L, big), (3L, "completely unrelated text here"))
+      .toDF("doc_id", "text")
+    // symmetric jaccard at 3/8 misses the pair (intersection is tiny vs union)
+    val jac = Dedup.jaccardPairs(docsDf, "doc_id", "text", dfCap = 1000)
+    assert(jac.count() == 0)
+    // containment of the smaller side is ~1.0 → found, and the small doc
+    // is named as the contained (droppable) one
+    val con = Dedup.containmentPairs(docsDf, "doc_id", "text", dfCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(con.toSeq == Seq((1L, 2L, 1L)))
+  }
+
   test("semanticClusters: transitive near-dups share a cluster, bucket " +
       "boundary separates, keep marks the min id") {
     import spark.implicits._
