@@ -117,6 +117,22 @@ object AdvancedQueries {
           Seq("signup_sec"), maxLookback = Some(lit(86400000000L)))
         .select("event_id", "user_id", "signup_sec")
     },
+    // The tolerance surface through the custom merge operator —
+    // same semantics and oracle as asof_tolerance (24 h lookback at
+    // µs precision), nulling stale matches above the exec.
+    "asof_merge_tolerance" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .withColumn("us", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), expr("us div 1000000").as("signup_sec"),
+          col("us"))
+      graft.plans.AsOfMerge.joinWithTolerance(purchases, signups,
+          Seq("user_id"), "us", "us", Seq("signup_sec"),
+          maxLookback = lit(86400000000L))
+        .select("event_id", "user_id", "signup_sec")
+    },
     // NEAREST as-of (pandas merge_asof(direction='nearest')): the
     // closest signup in either direction, ties to the earlier row.
     // Two windowed carries (forward = backward on the negated time
@@ -569,6 +585,13 @@ object AdvancedQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts""".stripMargin,
     "asof_tolerance" ->
+      """SELECT p.event_id, p.user_id,
+        | CASE WHEN epoch_us(p.ts) - epoch_us(s.ts) <= 86400000000
+        |      THEN epoch_us(s.ts) // 1000000 END AS signup_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts""".stripMargin,
+    "asof_merge_tolerance" ->
       """SELECT p.event_id, p.user_id,
         | CASE WHEN epoch_us(p.ts) - epoch_us(s.ts) <= 86400000000
         |      THEN epoch_us(s.ts) // 1000000 END AS signup_sec

@@ -531,6 +531,21 @@ object CoreQueries {
         array_contains(expr("transform(embedding, x -> x > 0F)"), lit(true))
           .as("has_positive"))
     },
+    // Map function surface (map build, data-dependent element_at,
+    // map_keys/map_values, map_concat). Map outputs stay scalar for the
+    // driver's row-sorter, same as arrays above.
+    "scalar_map" -> { (s, dir) =>
+      Tables(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("map('qty', l_quantity, 'tax', l_tax)").as("m"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("element_at(m, if(l_linenumber % 2 = 0, 'qty', 'tax'))")
+            .as("picked"),
+          expr("cast(size(map_concat(m, map('ln', cast(l_linenumber as double)))) as bigint)")
+            .as("m_size"),
+          expr("array_join(map_keys(m), ',')").as("ks"),
+          expr("aggregate(map_values(m), 0D, (a, x) -> a + x)").as("vsum"))
+    },
     "scalar_datetime" -> { (s, dir) =>
       val d = col("o_orderdate").cast(DateType)
       Tables(s, dir, "orders").select(
@@ -838,6 +853,13 @@ object CoreQueries {
         | list_aggregate(CAST(embedding AS DOUBLE[]), 'sum') >= 0 AS nonneg_sum,
         | list_contains([x > 0 for x in embedding], true) AS has_positive
         |FROM embeddings""".stripMargin,
+    "scalar_map" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_linenumber % 2 = 0 THEN l_quantity ELSE l_tax END AS picked,
+        | CAST(3 AS BIGINT) AS m_size,
+        | 'qty,tax' AS ks,
+        | l_quantity + l_tax AS vsum
+        |FROM lineitem WHERE l_orderkey < 200""".stripMargin,
     "scalar_datetime" ->
       """SELECT o_orderkey,
         | CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS plus30,

@@ -201,4 +201,22 @@ object AsOfMerge {
       rightVals.map(fresh))
     Bridge.ofRows(left.sparkSession, node)
   }
+
+  /** [[join]] with `AsOf.join`'s `maxLookback` tolerance: matches older
+    * than `leftTime - maxLookback` null out (all rightVals together —
+    * they come from one matched row). Implemented by carrying the
+    * matched right time through the merge and nulling stale rows above
+    * the exec, so the physical operator stays tolerance-free. */
+  def joinWithTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, rightVals: Seq[String],
+      maxLookback: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    val carried = join(left, right.withColumn("_mt", col(rightTime)),
+      keys, leftTime, rightTime, rightVals :+ "_mt")
+    val fresh = col("_mt").isNotNull &&
+      col(leftTime) - col("_mt") <= maxLookback
+    rightVals.foldLeft(carried) { (df, v) =>
+      df.withColumn(v, when(fresh, col(v)))
+    }.drop("_mt")
+  }
 }
