@@ -231,11 +231,23 @@ private[sources] class GraftJdbcDataWriter(writeSchema: StructType,
 private[sources] class GraftJdbcScanBuilder(fullSchema: StructType,
     opts: GraftJdbcOptions) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggSql: Option[(Seq[String], Seq[String], StructType)] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT n executes on the database (`FETCH FIRST n ROWS ONLY` per
+    * partition query — each of the k partitions returns at most n rows
+    * instead of its whole PK slice). Partial when partitioned: Spark
+    * still applies the global limit over the ≤ k·n returned rows. */
+  override def pushLimit(l: Int): Boolean = {
+    if (aggSql.isDefined) return false // LIMIT over partial aggs is wrong
+    limit = Some(l)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = opts.partitions > 1
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     if (aggSql.isDefined) return // agg pushdown already fixed the schema
@@ -299,19 +311,21 @@ private[sources] class GraftJdbcScanBuilder(fullSchema: StructType,
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
 
   override def build(): Scan = GraftJdbcScan(required, pushed, opts,
-    aggSql.map(a => (a._1, a._2)))
+    aggSql.map(a => (a._1, a._2)), limit)
 }
 
 private[sources] case class GraftJdbcScan(required: StructType,
     pushed: Array[Filter], opts: GraftJdbcOptions,
-    agg: Option[(Seq[String], Seq[String])] = None) extends Scan with Batch {
+    agg: Option[(Seq[String], Seq[String])] = None,
+    limit: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-jdbc ${opts.table} PushedFilters: [${pushed.mkString(", ")}]" +
       agg.map(a => s" PushedAggregates: [${a._2.mkString(", ")}]" +
         (if (a._1.nonEmpty) s" GroupBy: [${a._1.mkString(", ")}]" else ""))
-        .getOrElse("")
+        .getOrElse("") +
+      limit.map(l => s" PushedLimit: $l").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts: Seq[String] =
@@ -326,7 +340,7 @@ private[sources] case class GraftJdbcScan(required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftJdbcReaderFactory(required,
-      pushed.flatMap(GraftJdbcSource.compileFilter), opts, agg)
+      pushed.flatMap(GraftJdbcSource.compileFilter), opts, agg, limit)
 }
 
 private[sources] case class GraftJdbcInputPartition(predicate: String)
@@ -334,31 +348,34 @@ private[sources] case class GraftJdbcInputPartition(predicate: String)
 
 private[sources] case class GraftJdbcReaderFactory(required: StructType,
     filterSql: Array[String], opts: GraftJdbcOptions,
-    agg: Option[(Seq[String], Seq[String])])
+    agg: Option[(Seq[String], Seq[String])],
+    limit: Option[Int] = None)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftJdbcPartitionReader(required, filterSql,
-      p.asInstanceOf[GraftJdbcInputPartition].predicate, opts, agg)
+      p.asInstanceOf[GraftJdbcInputPartition].predicate, opts, agg, limit)
 }
 
 /** Executor-side reader: one connection per partition, streaming the
   * partition's disjoint PK slice (plus pushed filters) as InternalRows. */
 private[sources] class GraftJdbcPartitionReader(required: StructType,
     filterSql: Array[String], predicate: String, opts: GraftJdbcOptions,
-    agg: Option[(Seq[String], Seq[String])])
+    agg: Option[(Seq[String], Seq[String])],
+    limit: Option[Int] = None)
   extends PartitionReader[InternalRow] {
 
   private val conn = opts.connect()
   private val stmt = conn.createStatement()
   private val rs: ResultSet = {
     val where = (predicate +: filterSql.toSeq).mkString("(", ") AND (", ")")
+    val fetch = limit.map(l => s" FETCH FIRST $l ROWS ONLY").getOrElse("")
     val sql = agg match {
       case Some((groups, aggExprs)) =>
         val sel = (groups ++ aggExprs).mkString(", ")
         val gby = if (groups.nonEmpty) s" GROUP BY ${groups.mkString(", ")}" else ""
         s"SELECT $sel FROM ${opts.table} WHERE $where$gby"
       case None =>
-        s"SELECT ${required.fieldNames.mkString(", ")} FROM ${opts.table} WHERE $where"
+        s"SELECT ${required.fieldNames.mkString(", ")} FROM ${opts.table} WHERE $where$fetch"
     }
     stmt.executeQuery(sql)
   }

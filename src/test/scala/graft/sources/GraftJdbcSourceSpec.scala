@@ -103,6 +103,20 @@ class GraftJdbcSourceSpec extends SparkTestBase {
     assert(df.collect()(0).getLong(0) == 1000L)
   }
 
+  test("limit pushdown: FETCH FIRST reaches each partition query, " +
+      "global limit still exact") {
+    setup()
+    val df = read().limit(7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 7"), s"limit not pushed:\n$plan")
+    assert(df.collect().length == 7) // partial push: Spark applies the final 7
+    // limit composes with a pushed filter
+    val filtered = read().filter(col("a") >= 100L).limit(3)
+    assert(filtered.queryExecution.executedPlan.toString.contains("PushedLimit: 3"))
+    val rows = filtered.collect()
+    assert(rows.length == 3 && rows.forall(_.getLong(0) >= 100L))
+  }
+
   test("V2 write: batched INSERT round-trips through the source") {
     setup()
     val c = DriverManager.getConnection(url)
