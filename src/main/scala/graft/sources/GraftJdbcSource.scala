@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, AggregateFunc, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -231,12 +231,15 @@ private[sources] class GraftJdbcDataWriter(writeSchema: StructType,
 private[sources] class GraftJdbcScanBuilder(fullSchema: StructType,
     opts: GraftJdbcOptions) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN with SupportsPushDownOffset {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggSql: Option[(Seq[String], Seq[String], StructType)] = None
   private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
+  private var orderBySql: Seq[String] = Nil
 
   /** LIMIT n executes on the database (`FETCH FIRST n ROWS ONLY` per
     * partition query — each of the k partitions returns at most n rows
@@ -248,6 +251,36 @@ private[sources] class GraftJdbcScanBuilder(fullSchema: StructType,
     true
   }
   override def isPartiallyPushed(): Boolean = opts.partitions > 1
+
+  /** ORDER BY cols LIMIT n (top-n — the reference's keyset-pagination
+    * probe shape, O1/O3) executes on the database when every sort key
+    * is a plain source column: each partition returns its own ordered
+    * top-n and Spark merges — partial, same contract as pushLimit. */
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    if (aggSql.isDefined) return false
+    val compiled = orders.toSeq.map { so =>
+      (fieldOf(so.expression()), so.direction, so.nullOrdering) match {
+        case (Some(f), dir, nulls) =>
+          val d = if (dir == SortDirection.ASCENDING) "ASC" else "DESC"
+          val n = if (nulls == NullOrdering.NULLS_FIRST) "NULLS FIRST"
+                  else "NULLS LAST"
+          Some(s"${f.name} $d $n")
+        case _ => None
+      }
+    }
+    if (compiled.exists(_.isEmpty)) return false
+    orderBySql = compiled.flatten
+    limit = Some(l)
+    true
+  }
+
+  /** OFFSET is only correct on the database when there is a single
+    * partition (a per-partition offset would drop rows per slice). */
+  override def pushOffset(o: Int): Boolean = {
+    if (aggSql.isDefined || opts.partitions > 1) return false
+    offset = Some(o)
+    true
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     if (aggSql.isDefined) return // agg pushdown already fixed the schema
@@ -311,13 +344,15 @@ private[sources] class GraftJdbcScanBuilder(fullSchema: StructType,
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
 
   override def build(): Scan = GraftJdbcScan(required, pushed, opts,
-    aggSql.map(a => (a._1, a._2)), limit)
+    aggSql.map(a => (a._1, a._2)), limit, offset, orderBySql)
 }
 
 private[sources] case class GraftJdbcScan(required: StructType,
     pushed: Array[Filter], opts: GraftJdbcOptions,
     agg: Option[(Seq[String], Seq[String])] = None,
-    limit: Option[Int] = None) extends Scan with Batch {
+    limit: Option[Int] = None,
+    offset: Option[Int] = None,
+    orderBy: Seq[String] = Nil) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -325,7 +360,9 @@ private[sources] case class GraftJdbcScan(required: StructType,
       agg.map(a => s" PushedAggregates: [${a._2.mkString(", ")}]" +
         (if (a._1.nonEmpty) s" GroupBy: [${a._1.mkString(", ")}]" else ""))
         .getOrElse("") +
-      limit.map(l => s" PushedLimit: $l").getOrElse("")
+      (if (orderBy.nonEmpty) s" PushedTopN: [${orderBy.mkString(", ")}]" else "") +
+      limit.map(l => s" PushedLimit: $l").getOrElse("") +
+      offset.map(o => s" PushedOffset: $o").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts: Seq[String] =
@@ -340,7 +377,8 @@ private[sources] case class GraftJdbcScan(required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftJdbcReaderFactory(required,
-      pushed.flatMap(GraftJdbcSource.compileFilter), opts, agg, limit)
+      pushed.flatMap(GraftJdbcSource.compileFilter), opts, agg, limit,
+      offset, orderBy)
 }
 
 private[sources] case class GraftJdbcInputPartition(predicate: String)
@@ -349,11 +387,14 @@ private[sources] case class GraftJdbcInputPartition(predicate: String)
 private[sources] case class GraftJdbcReaderFactory(required: StructType,
     filterSql: Array[String], opts: GraftJdbcOptions,
     agg: Option[(Seq[String], Seq[String])],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    offset: Option[Int] = None,
+    orderBy: Seq[String] = Nil)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftJdbcPartitionReader(required, filterSql,
-      p.asInstanceOf[GraftJdbcInputPartition].predicate, opts, agg, limit)
+      p.asInstanceOf[GraftJdbcInputPartition].predicate, opts, agg, limit,
+      offset, orderBy)
 }
 
 /** Executor-side reader: one connection per partition, streaming the
@@ -361,21 +402,32 @@ private[sources] case class GraftJdbcReaderFactory(required: StructType,
 private[sources] class GraftJdbcPartitionReader(required: StructType,
     filterSql: Array[String], predicate: String, opts: GraftJdbcOptions,
     agg: Option[(Seq[String], Seq[String])],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    offset: Option[Int] = None,
+    orderBy: Seq[String] = Nil)
   extends PartitionReader[InternalRow] {
 
   private val conn = opts.connect()
   private val stmt = conn.createStatement()
   private val rs: ResultSet = {
     val where = (predicate +: filterSql.toSeq).mkString("(", ") AND (", ")")
-    val fetch = limit.map(l => s" FETCH FIRST $l ROWS ONLY").getOrElse("")
+    val oby = if (orderBy.nonEmpty) s" ORDER BY ${orderBy.mkString(", ")}" else ""
+    val off = offset.map(o => s" OFFSET $o ROWS").getOrElse("")
+    // standard SQL:2008 fetch clause. When Spark pushes BOTH, the pushed
+    // limit already includes the offset (it pushed top-(l+o) first), and
+    // the contract is "first limit rows, then skip offset" — in one SQL
+    // query that is OFFSET o FETCH NEXT (limit - o).
+    val fetch = limit.map(l =>
+      offset.fold(s" FETCH FIRST $l ROWS ONLY")(o =>
+        s" FETCH NEXT ${l - o} ROWS ONLY")).getOrElse("")
     val sql = agg match {
       case Some((groups, aggExprs)) =>
         val sel = (groups ++ aggExprs).mkString(", ")
         val gby = if (groups.nonEmpty) s" GROUP BY ${groups.mkString(", ")}" else ""
         s"SELECT $sel FROM ${opts.table} WHERE $where$gby"
       case None =>
-        s"SELECT ${required.fieldNames.mkString(", ")} FROM ${opts.table} WHERE $where$fetch"
+        s"SELECT ${required.fieldNames.mkString(", ")} FROM ${opts.table}" +
+          s" WHERE $where$oby$off$fetch"
     }
     stmt.executeQuery(sql)
   }

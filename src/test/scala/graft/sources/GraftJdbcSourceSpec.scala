@@ -117,6 +117,37 @@ class GraftJdbcSourceSpec extends SparkTestBase {
     assert(rows.length == 3 && rows.forall(_.getLong(0) >= 100L))
   }
 
+  test("top-n pushdown: ORDER BY + LIMIT compile to the source; " +
+      "per-partition top-n merges to the exact global answer") {
+    setup()
+    val df = read().orderBy(col("a").desc, col("b").asc).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toUpperCase.contains("PUSHEDTOPN: [A DESC") && plan.contains("PushedLimit: 5"),
+      s"top-n not pushed:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+    // rows are (a = i/4, b = i%4): global top-5 by (a desc, b asc)
+    assert(got.toSeq == Seq((249L, 0L), (249L, 1L), (249L, 2L), (249L, 3L),
+      (248L, 0L)))
+  }
+
+  test("offset pushdown: single-partition reads push OFFSET, " +
+      "partitioned reads refuse it") {
+    setup()
+    val one = spark.read.format("graft-jdbc")
+      .option("url", url).option("dbtable", "t")
+      .option("pk", "a,b").option("partitions", "1").load()
+      .orderBy("a", "b").offset(10).limit(4)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedOffset: 10"), s"offset not pushed:\n$plan")
+    assert(one.collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSeq ==
+      (10 until 14).map(i => (i.toLong / 4, i.toLong % 4)))
+    // with 4 partitions a per-partition OFFSET would drop rows — refused
+    val many = read().orderBy("a", "b").offset(10).limit(4)
+    assert(!many.queryExecution.executedPlan.toString.contains("PushedOffset"))
+    assert(many.collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSeq ==
+      (10 until 14).map(i => (i.toLong / 4, i.toLong % 4)))
+  }
+
   test("V2 write: batched INSERT round-trips through the source") {
     setup()
     val c = DriverManager.getConnection(url)
