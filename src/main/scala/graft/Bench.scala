@@ -17,7 +17,7 @@ object Bench {
     "win_running_total", "o2_offset_pagination", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "sim_topk_bruteforce",
     "sim_ann_lsh", "sim_ann_ivf", "text_langid", "text_chunk_dedup",
-    "vec_centroids", "mm_frame_sample")
+    "vec_centroids", "mm_frame_sample", "asof_merge_join", "dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,6 +28,11 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: session/codegen/parquet-reader init lands here
+    // instead of inflating the alphabetically-first query's slot
+    try SparkEntry.queries("q14_promo_share")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

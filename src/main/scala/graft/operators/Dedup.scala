@@ -210,10 +210,17 @@ object Dedup {
     // sum is strictly monotone while anything changes — one cheap
     // aggregate per round doubles as the action that materializes the
     // lazy checkpoint, keeping the loop at ONE job per round.
-    def labelSum(df: DataFrame): java.math.BigDecimal = df
-      .agg(sum(col("cluster_id").cast(DecimalType(38, 0))).as("s"))
-      .first().getDecimal(0)
-    var labels = vertices.select(col("id"), col("id").as("cluster_id"))
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("cluster_id").cast(DecimalType(38, 0))).as("s"))
+        .first().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // no edges at all
+    }
+    // Iterate only over vertices that appear in an edge: a pair-free
+    // vertex can never change its label, and near-dup graphs are sparse
+    // (most of a corpus is in no pair), so the per-round shuffle domain
+    // is |edge endpoints|, not |corpus|. Singletons reattach at the end.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint(false)
     var prevSum = labelSum(labels)
     var converged = false
@@ -222,10 +229,14 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min("nl").as("nbr_min"))
+      // lazy-checkpoint the propagated labels so the jump's self-join
+      // reads ONE materialization instead of recomputing the edge join
+      // in both branches
       val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
+        .localCheckpoint(false)
       // pointer jump: follow the label one more hop (its own current
       // label), halving every label path — labels only decrease, so
       // the convergence probe stays monotone
@@ -243,7 +254,10 @@ object Dedup {
       i += 1
     }
     sym.unpersist()
-    labels
+    vertices.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** SemDeDup-style semantic dedup (public recipe: k-means-cluster the

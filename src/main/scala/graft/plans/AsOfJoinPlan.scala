@@ -189,6 +189,18 @@ object AsOfMerge {
     // survive deduplication; the alias children get remapped inside the
     // subtree like any self-join) keeps the node's references unambiguous —
     // and doubles as right-side column pruning.
+    // the merge compares key/time rows with a shared natural ordering —
+    // both sides must agree on types exactly (no implicit coercion here)
+    keys.foreach { k =>
+      val (l, r) = (attr(lPlan, k, "left"), attr(rPlan, k, "right"))
+      require(l.dataType == r.dataType,
+        s"as-of key '$k' type mismatch: left ${l.dataType} vs right ${r.dataType}")
+    }
+    require(attr(lPlan, leftTime, "left").dataType ==
+        attr(rPlan, rightTime, "right").dataType,
+      s"as-of time type mismatch: left '$leftTime' is " +
+        s"${attr(lPlan, leftTime, "left").dataType}, right '$rightTime' is " +
+        s"${attr(rPlan, rightTime, "right").dataType}")
     val rNeeded: Seq[Attribute] =
       ((keys :+ rightTime) ++ rightVals).map(attr(rPlan, _, "right")).distinct
     val rAliases = rNeeded.map(a => Alias(a, a.name)())

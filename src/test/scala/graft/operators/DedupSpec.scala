@@ -58,6 +58,16 @@ class DedupSpec extends SparkTestBase {
     assert(total == Tables(spark, sfDir, "documents").count())
   }
 
+  test("connectedComponents: a 200-node chain converges within maxIter " +
+      "(pointer jumping — pure edge propagation would need 200 rounds)") {
+    import spark.implicits._
+    val verts = (0L until 200L).toDF("id")
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(verts, edges)
+    assert(labels.filter(col("cluster_id") =!= 0L).count() == 0)
+    assert(labels.count() == 200)
+  }
+
   test("containmentPairs: doc-inside-doc found where symmetric jaccard misses") {
     import spark.implicits._
     val small = "the quick brown fox jumps over the lazy dog"

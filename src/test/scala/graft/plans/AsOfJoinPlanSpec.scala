@@ -73,12 +73,13 @@ class AsOfJoinPlanSpec extends SparkTestBase {
   test("PruneAsOfColumns: unused left columns are pruned down to the scan") {
     val lineitem = Tables(spark, sfDir, "lineitem") // 16 columns
     val orders = Tables(spark, sfDir, "orders")
-      .select(col("o_custkey").as("l_orderkey"), col("o_orderdate"), col("o_totalprice"))
-    // join carries all 16 lineitem columns into the node; the query only
+      .select(col("o_custkey").as("l_orderkey"),
+        col("o_orderkey").cast("int").as("o_seq"), col("o_orderdate"))
+    // join carries all lineitem columns into the node; the query only
     // uses 2 — the injected rule must narrow the left side to
     // {l_quantity} + key {l_orderkey} + time {l_linenumber}
     val df = AsOfMerge.join(lineitem, orders, Seq("l_orderkey"),
-        "l_linenumber", "o_totalprice", Seq("o_orderdate"))
+        "l_linenumber", "o_seq", Seq("o_orderdate"))
       .select("l_quantity", "o_orderdate")
     val plan = df.queryExecution.executedPlan.toString
     val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
