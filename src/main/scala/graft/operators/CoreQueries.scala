@@ -419,6 +419,13 @@ object CoreQueries {
     // lexicographic tie-break, so both engines resolve ties identically
     // (the built-in mode() leaves ties implementation-defined). Two
     // map-side-combinable aggregations — no value buffering per group.
+    // Boolean/conditional aggregates: count_if, bool_and, bool_or.
+    "agg_boolean" -> { (s, dir) =>
+      Tables(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        expr("count_if(l_quantity > 25)").as("n_big"),
+        expr("bool_and(l_quantity > 0)").as("all_pos"),
+        expr("bool_or(l_discount > 0.05)").as("any_disc"))
+    },
     "agg_mode" -> { (s, dir) =>
       val counts = Tables(s, dir, "orders")
         .groupBy("o_orderstatus", "o_orderpriority").agg(count(lit(1)).as("n"))
@@ -785,6 +792,12 @@ object CoreQueries {
       """SELECT o_orderstatus, o_orderkey,
         | NTILE(8) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS bucket
         |FROM orders""".stripMargin,
+    "agg_boolean" ->
+      """SELECT l_returnflag,
+        | CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+        | BOOL_AND(l_quantity > 0) AS all_pos,
+        | BOOL_OR(l_discount > 0.05) AS any_disc
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "agg_mode" ->
       """SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
         |FROM (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
