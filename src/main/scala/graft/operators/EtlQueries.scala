@@ -155,6 +155,28 @@ object EtlQueries {
       minutes.join(counts, Seq("minute"), "left")
         .select(col("minute"), coalesce(col("cnt"), lit(0L)).as("n"))
     },
+    // Gap filling: a dense per-user hour spine (sequence over each
+    // user's own [min, max] hour — bounded by span/granularity, not the
+    // global range), missing hours flagged and the last observed event
+    // carried forward. Integer aggregates keep both engines bit-equal
+    // (a double SUM would drift with aggregation order).
+    "ev_gap_fill" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .filter(col("user_id") < 10)
+        .withColumn("hr", expr("ts div 3600000000000"))
+      val hourly = ev.groupBy("user_id", "hr").agg(count(lit(1)).as("n"),
+        max("event_id").as("last_event"))
+      val spans = hourly.groupBy("user_id")
+        .agg(min("hr").as("lo"), max("hr").as("hi"))
+      val spine = spans.select(col("user_id"),
+        explode(expr("sequence(lo, hi)")).as("hr"))
+      val w = Window.partitionBy("user_id").orderBy("hr")
+      spine.join(hourly, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"), col("n").isNull.as("is_gap"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("last_event"), ignoreNulls = true).over(w)
+            .as("carried_event"))
+    },
     // JSON payload extraction from the props column.
     "ev_json_extract" -> { (s, dir) =>
       Tables(s, dir, "events").select(
@@ -309,6 +331,20 @@ object EtlQueries {
         |FROM (SELECT unnest(range((SELECT MIN(minute) FROM m),
         |                          (SELECT MAX(minute) FROM m) + 1)) AS minute) g
         |LEFT JOIN c ON g.minute = c.minute""".stripMargin,
+    "ev_gap_fill" ->
+      """WITH e AS (SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hr,
+        |                  event_id
+        |           FROM events WHERE user_id < 10),
+        |h AS (SELECT user_id, hr, COUNT(*) AS n, MAX(event_id) AS last_event
+        |      FROM e GROUP BY 1, 2),
+        |s AS (SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi FROM h GROUP BY 1),
+        |g AS (SELECT s.user_id, unnest(range(lo, hi + 1)) AS hr FROM s)
+        |SELECT g.user_id, g.hr, h.n IS NULL AS is_gap,
+        | CAST(COALESCE(h.n, 0) AS BIGINT) AS n,
+        | LAST_VALUE(h.last_event IGNORE NULLS) OVER (
+        |   PARTITION BY g.user_id ORDER BY g.hr
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_event
+        |FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr""".stripMargin,
     "ev_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events""".stripMargin,
