@@ -90,6 +90,26 @@ class AsOfJoinPlanSpec extends SparkTestBase {
       s"left scan not pruned: $leftRead")
   }
 
+  test("randomized equivalence: merge exec ≡ union-window form across seeds") {
+    import spark.implicits._
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val left = Seq.fill(300)((rnd.nextInt(6).toLong, rnd.nextInt(80).toLong,
+        rnd.nextInt(1000))).toDF("k", "t", "payload")
+      // right (k, t) kept unique so tie-breaking is well-defined in both
+      // implementations
+      val right = rnd.shuffle((0 until 90).toList).take(60)
+        .map(t => (rnd.nextInt(6).toLong, t.toLong, rnd.nextInt(1000)))
+        .distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        .toDF("k", "t", "v")
+      val a = AsOfMerge.join(left, right, Seq("k"), "t", "t", Seq("v"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val b = AsOf.join(left, right, Seq("k"), "t", "t", Seq("v"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(a.length == 300 && a.sameElements(b), s"diverged at seed $seed")
+    }
+  }
+
   test("composite keys and key groups split across many partitions") {
     import spark.implicits._
     val left = (0L until 400L).map(i => (i % 7, i % 3, i, s"L$i"))
