@@ -29,6 +29,17 @@ object Bridge {
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
   }
 
+  /** Test-only visibility shims: the extension-builder accessors are
+    * `private[sql]`, but a spec needs to assert what a configured
+    * `SparkSessionExtensions` would contribute to a session. */
+  def builtPlannerStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
+  def builtOptimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
+
   /** Idempotently add an optimizer rule to the session (the
     * programmatic twin of `injectOptimizerRule`). */
   def ensureOptimizerRule(spark: org.apache.spark.sql.SparkSession,

@@ -15,6 +15,16 @@ class GraftExtensionsSpec extends SparkTestBase {
     new GraftExtensions().apply(ext) // must not throw; builders validated below
   }
 
+  test("GraftExtensions registers the as-of strategy and pruning rule") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    import org.apache.spark.sql.graftbridge.Bridge
+    assert(Bridge.builtPlannerStrategies(ext, spark)
+      .contains(graft.plans.AsOfJoinStrategy))
+    assert(Bridge.builtOptimizerRules(ext, spark)
+      .contains(graft.plans.PruneAsOfColumns))
+  }
+
   test("heavy_hitters callable from SQL as an aggregate") {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("heavy_hitters",
