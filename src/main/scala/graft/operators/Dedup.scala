@@ -271,10 +271,18 @@ object Dedup {
     * Input: `vectors` as (`vec_id`, `v: array<double>`); `centroids` as
     * produced by [[Similarity.meanCentroids]] (broadcast — small).
     * Output: (`vec_id`, `cluster_id` = min vec_id of its near-dup
-    * component, `keep` = is that representative). */
+    * component, `keep` = is that representative).
+    *
+    * `bucketCap` is the hot-bucket skew guard (same design as the LSH
+    * band cap): a centroid bucket larger than the cap skips the
+    * pairwise stage entirely — its members stay singletons — because an
+    * O(bucket²) blow-up on one degenerate centroid would dominate the
+    * job. Size the centroid count so buckets stay well under the cap
+    * (k ≈ corpus/1000 in the SemDeDup recipe). */
   def semanticClusters(vectors: DataFrame, centroids: DataFrame,
-      tau: Double): DataFrame = {
-    val assign = Similarity.ivfAssign(vectors, centroids)
+      tau: Double, bucketCap: Int = 100000): DataFrame = {
+    val assign = capBuckets(
+      Similarity.ivfAssign(vectors, centroids), Seq("centroid"), bucketCap)
     val av = vectors.join(assign, "vec_id")
     val a = av.select(col("centroid"), col("vec_id").as("a_id"), col("v").as("va"))
     val b = av.select(col("centroid"), col("vec_id").as("b_id"), col("v").as("vb"))

@@ -68,6 +68,24 @@ class DedupSpec extends SparkTestBase {
     assert(labels.count() == 200)
   }
 
+  test("semanticClusters bucketCap: an oversized bucket skips pairing, " +
+      "its members stay singletons") {
+    import spark.implicits._
+    val vectors = Seq(
+      (1L, Seq(1.0, 0.0), 0), (2L, Seq(0.99, 0.01), 0), (3L, Seq(0.98, 0.02), 0),
+      (7L, Seq(0.0, 1.0), 1), (9L, Seq(0.01, 1.0), 1))
+      .toDF("vec_id", "v", "label")
+    val cent = Similarity.meanCentroids(vectors.select(col("label"), col("v")))
+    val got = Dedup.semanticClusters(vectors.select("vec_id", "v"), cent,
+        tau = 0.9, bucketCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // bucket 0 has 3 members (> cap) → no pairs there; bucket 1 (2 ≤ cap)
+    // still clusters normally
+    assert(got == Set(
+      (1L, 1L, true), (2L, 2L, true), (3L, 3L, true),
+      (7L, 7L, true), (9L, 7L, false)))
+  }
+
   test("containmentPairs: doc-inside-doc found where symmetric jaccard misses") {
     import spark.implicits._
     val small = "the quick brown fox jumps over the lazy dog"
