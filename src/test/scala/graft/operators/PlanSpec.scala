@@ -233,4 +233,18 @@ class PlanSpec extends SparkTestBase {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("asof_nearest: two windowed carries, no nested-loop or cartesian join") {
+    val plan = planOf("asof_nearest")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"pair blow-up:\n$plan")
+    assert(plan.contains("WindowExec") || plan.contains("Window"),
+      s"no windowed carry:\n$plan")
+  }
+
+  test("ev_gap_fill: the user filter reaches the events scan") {
+    val plan = planOf("ev_gap_fill")
+    assert(plan.contains("LessThan(user_id,10"), s"filter not pushed:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"spine join degenerated:\n$plan")
+  }
 }
