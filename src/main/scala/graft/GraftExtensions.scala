@@ -46,6 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // co-partitioned streaming merge (plans/AsOfJoinPlan.scala), plus
     // the optimizer rule restoring column pruning through that node
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsOfColumns)
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),

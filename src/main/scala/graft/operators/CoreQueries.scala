@@ -364,6 +364,17 @@ object CoreQueries {
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "rn")
     },
+    // The SAME top-k-per-group semantics through the custom bounded-heap
+    // operator (plans/TopKPerKeyPlan.scala): one hash exchange, NO sort —
+    // each task streams its partition once keeping k rows per key.
+    // Shares win_topk_per_group's DuckDB oracle.
+    "win_topk_heap" -> { (s, dir) =>
+      graft.plans.TopK.perKey(
+        Tables(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    },
     "win_running_total" -> { (s, dir) =>
       val w = Window.partitionBy("l_suppkey")
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
@@ -764,6 +775,11 @@ object CoreQueries {
         |EXCEPT SELECT o_custkey AS custkey FROM orders
         | WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'""".stripMargin,
     "win_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t WHERE rn <= 3""".stripMargin,
+    "win_topk_heap" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
         | SELECT o_custkey, o_orderkey,
         |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn

@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.{SparkTestBase, Tables}
+
+/** The bounded-heap top-k operator: equivalence with the window form,
+  * plan shape (no sort, no window), and edge semantics. */
+class TopKPerKeySpec extends SparkTestBase {
+
+  test("heap top-k ≡ window row_number filter on the orders fixture") {
+    val orders = Tables(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val viaHeap = TopK.perKey(orders, Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+      .select("o_custkey", "o_orderkey", "rn")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3).select("o_custkey", "o_orderkey", "rn")
+    val a = viaHeap.collect().map(_.toSeq).sortBy(_.toString)
+    val b = viaWindow.collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.length == b.length && a.length > 0 && a.sameElements(b))
+  }
+
+  test("plan: TopKPerKey exec, one hash exchange, no sort, no window") {
+    val orders = Tables(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    val df = TopK.perKey(orders, Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"no heap exec:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Sort "),
+      s"fell back to sort/window:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"expected one key exchange:\n$plan")
+  }
+
+  test("groups smaller than k emit all rows; ranks are 1-based and dense") {
+    import spark.implicits._
+    val df = Seq((1L, 30.0), (1L, 10.0), (1L, 20.0), (1L, 5.0), (2L, 1.0))
+      .toDF("k", "v")
+    val got = TopK.perKey(df, Seq("k"), Seq(col("v").desc), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 30.0, 1L), (1L, 20.0, 2L), (1L, 10.0, 3L), // v=5.0 evicted
+      (2L, 1.0, 1L)))                                  // short group kept whole
+  }
+
+  test("keys split across many partitions still produce exact global top-k") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i % 13, i))
+      .toDF("k", "v").repartition(17)
+    val got = TopK.perKey(df, Seq("k"), Seq(col("v").desc), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = (0L until 1000L).groupBy(_ % 13).flatMap { case (k, vs) =>
+      vs.sorted(Ordering[Long].reverse).take(2).zipWithIndex
+        .map { case (v, i) => (k, v, (i + 1).toLong) }
+    }.toSet
+    assert(got == expect)
+  }
+}
