@@ -64,15 +64,16 @@ object AsOfJoinStrategy extends SparkStrategy {
 }
 
 /** Catalyst's `ColumnPruning` cannot push projections through an
-  * unknown logical node, so a wide left table would be carried (and
+  * unknown logical node, so a wide input would be carried (and
   * shuffled!) whole even when the query selects two columns. This
-  * injected optimizer rule restores pruning for [[AsOfJoinNode]]:
-  * under a Project that doesn't use all left columns, narrow the left
-  * child to the referenced columns plus the join keys and time.
-  * `ScanOperation` folds the stacked Projects at physical planning, so
-  * the prune reaches the file scan's ReadSchema. (The right side needs
-  * no rule — [[AsOfMerge.join]] already wraps it in a minimal fresh-
-  * alias Project.) */
+  * injected optimizer rule restores pruning for the custom operators:
+  * under a Project that doesn't use all of a child's columns, narrow
+  * that child to the referenced columns plus whatever the operator
+  * itself consumes (keys/time/sort columns). `ScanOperation` folds the
+  * stacked Projects at physical planning, so the prune reaches the
+  * file scan's ReadSchema. (The as-of right side needs no rule —
+  * [[AsOfMerge.join]] already wraps it in a minimal fresh-alias
+  * Project.) */
 object PruneAsOfColumns extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.AttributeSet
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -81,6 +82,13 @@ object PruneAsOfColumns extends org.apache.spark.sql.catalyst.rules.Rule[Logical
       val keep = a.left.output.filter(needed.contains)
       if (keep.length < a.left.output.length)
         p.copy(child = a.copy(left = Project(keep, a.left)))
+      else p
+    case p @ Project(_, t: TopKPerKeyNode) =>
+      val needed = AttributeSet(
+        p.references ++ t.keys ++ t.order.flatMap(_.references))
+      val keep = t.child.output.filter(needed.contains)
+      if (keep.length < t.child.output.length)
+        p.copy(child = t.copy(child = Project(keep, t.child)))
       else p
   }
 }

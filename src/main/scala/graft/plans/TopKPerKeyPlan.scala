@@ -116,6 +116,7 @@ object TopK {
     require(k > 0, s"k must be positive, got $k")
     require(keys.nonEmpty, "top-k per key requires at least one key column")
     Bridge.ensureStrategy(df.sparkSession, TopKPerKeyStrategy)
+    Bridge.ensureOptimizerRule(df.sparkSession, PruneAsOfColumns)
     // Resolve the caller's sort columns by analyzing a throwaway
     // sortWithinPartitions plan — its Sort node carries fully-resolved
     // catalyst SortOrders against the child this node will wrap.

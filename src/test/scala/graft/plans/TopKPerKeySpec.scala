@@ -35,6 +35,19 @@ class TopKPerKeySpec extends SparkTestBase {
       s"expected one key exchange:\n$plan")
   }
 
+  test("pruning rule: unused input columns are pruned down to the scan") {
+    val orders = Tables(spark, sfDir, "orders") // 6 columns, no pre-select
+    val df = TopK.perKey(orders, Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+      .select("o_orderkey", "rn")
+    val plan = df.queryExecution.executedPlan.toString
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse(
+      fail(s"no scan found:\n$plan"))
+    assert(read.contains("o_custkey") && read.contains("o_totalprice") &&
+      !read.contains("o_orderdate") && !read.contains("o_orderpriority"),
+      s"input not pruned: $read")
+  }
+
   test("groups smaller than k emit all rows; ranks are 1-based and dense") {
     import spark.implicits._
     val df = Seq((1L, 30.0), (1L, 10.0), (1L, 20.0), (1L, 5.0), (2L, 1.0))
