@@ -60,6 +60,16 @@ object DedupQueries {
       Dedup.jaccardPairs(docs(s, dir, 100), "doc_id", "text",
         dfCap = ShingleDfCap)
     },
+    // Cluster-size profile over the CC output — the dedup report a
+    // pipeline actually emits: how many clusters of each size, rows
+    // kept (one per cluster) and rows dropped.
+    "dedup_cluster_stats" -> { (s, dir) =>
+      val labels = queries("dedup_cluster_cc")(s, dir)
+      labels.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("rows_kept", col("n_clusters"))
+        .withColumn("rows_dropped", (col("sz") - 1) * col("n_clusters"))
+    },
     // Containment dedup: den·|a∩b| >= num·min(|a|,|b|) — catches a
     // short doc quoted inside a long one, where symmetric Jaccard is
     // diluted by the big doc. Same df-capped candidate stage (every
@@ -254,6 +264,20 @@ object DedupQueries {
         |WHERE 10 * i >= 9 * LEAST(ca.n, cb.n)""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_cluster_cc" -> ccOracle,
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        | SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+        | UNION
+        | SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+        |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |sizes AS (SELECT cluster_id, COUNT(*) AS sz FROM labels GROUP BY 1)
+        |SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        | CAST(COUNT(*) AS BIGINT) AS rows_kept,
+        | CAST((sz - 1) * COUNT(*) AS BIGINT) AS rows_dropped
+        |FROM sizes GROUP BY sz""".stripMargin,
     "dedup_embedding_topk" ->
       """SELECT a_id, b_id, ROW_NUMBER() OVER (ORDER BY cos DESC, a_id, b_id) AS rnk
         |FROM (
