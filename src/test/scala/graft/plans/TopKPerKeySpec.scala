@@ -59,6 +59,22 @@ class TopKPerKeySpec extends SparkTestBase {
       (2L, 1.0, 1L)))                                  // short group kept whole
   }
 
+  test("null sort values follow the window form's null ordering") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5.0), "a"), (1L, None, "b"), (1L, Some(9.0), "c"),
+        (1L, Some(1.0), "d"))
+      .toDF("k", "v", "tag")
+    val viaHeap = TopK.perKey(df, Seq("k"), Seq(col("v").desc, col("tag")), k = 2)
+      .select("tag", "rn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy(col("v").desc, col("tag"))
+    val viaWindow = df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 2)
+      .select("tag", "rn").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaHeap == viaWindow)
+    assert(viaHeap == Set(("c", 1L), ("a", 2L))) // desc → NULLS LAST, evicted
+  }
+
   test("keys split across many partitions still produce exact global top-k") {
     import spark.implicits._
     val df = (0L until 1000L).map(i => (i % 13, i))
