@@ -24,6 +24,21 @@ object CurationQueries {
     "cur_quality_filter" -> { (s, dir) =>
       Curation.qualityFilter(Tables(s, dir, "documents"), "doc_id", "text")
     },
+    // The gate's per-rule failure report — which rule rejects how many
+    // docs (one corpus pass, map-side-combinable conditional counts).
+    "cur_quality_report" -> { (s, dir) =>
+      val t = col("text")
+      Tables(s, dir, "documents").select(
+          length(t).cast("long").as("nc"),
+          TextAnalysis.tokenCount(t).as("nt"),
+          TextAnalysis.charClassCount(t, "[.,!?;:]").as("np"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("count_if(nc < 300)").as("fail_min_chars"),
+          expr("count_if(nt < 30)").as("fail_min_tokens"),
+          expr("count_if(np * 1000 > nc * 50)").as("fail_punct"),
+          expr("count_if(nc >= 300 and nt >= 30 and np * 1000 <= nc * 50)")
+            .as("n_pass"))
+    },
     // Source balancing: the 5 lowest-id docs per source.
     "cur_source_quota" -> { (s, dir) =>
       Curation.groupQuota(Tables(s, dir, "documents"), "doc_id", "source", 5)
@@ -92,6 +107,22 @@ object CurationQueries {
         |   ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS b
         |  FROM documents) t0) t1
         |GROUP BY split""".stripMargin,
+    "cur_quality_report" ->
+      """WITH t AS (
+        | SELECT CAST(length(text) AS BIGINT) AS nc,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |  END AS nt,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |       AS BIGINT) AS np
+        | FROM documents)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(COUNT(*) FILTER (WHERE nc < 300) AS BIGINT) AS fail_min_chars,
+        | CAST(COUNT(*) FILTER (WHERE nt < 30) AS BIGINT) AS fail_min_tokens,
+        | CAST(COUNT(*) FILTER (WHERE np * 1000 > nc * 50) AS BIGINT) AS fail_punct,
+        | CAST(COUNT(*) FILTER (WHERE nc >= 300 AND nt >= 30
+        |                         AND np * 1000 <= nc * 50) AS BIGINT) AS n_pass
+        |FROM t""".stripMargin,
     "cur_quality_filter" ->
       """SELECT doc_id, n_chars_f, n_tokens, n_punct FROM (
         | SELECT doc_id,
