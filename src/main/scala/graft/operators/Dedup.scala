@@ -1,8 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{BinaryType, DecimalType}
 import graft.functions.SketchExpressions
 
 /** User-facing deduplication library: DataFrame in → DataFrame out, no
@@ -38,12 +41,23 @@ object Dedup {
       textCol: String, expectedKnown: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
     val knownHashed = known.select(md5(col(textCol)).as("kh"))
-    val bloom = knownHashed.stat.bloomFilter("kh", expectedKnown, fpp)
-    val spark = fresh.sparkSession
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightExist = udf((h: String) => bloomBc.value.mightContainString(h))
+    // Build the filter with Spark's native BloomFilterAggregate over
+    // xxhash64(content-hash); membership is the codegen'd
+    // BloomFilterMightContain expression — the per-row path stays inside
+    // whole-stage codegen (no boxed UDF). numBits follows the standard
+    // -n·ln(p)/ln²2 sizing the fpp implies.
+    val numBits = math.max(64L, math.ceil(
+      -expectedKnown * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = knownHashed
+      .select(Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("kh"))),
+        Literal(expectedKnown), Literal(numBits)).toAggregateExpression()))
+      .head().getAs[Array[Byte]](0)
+    val mightExist = Bridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, BinaryType),
+      Bridge.expression(xxhash64(col("fh")))))
     fresh.select(col(idCol).as("doc_id"), md5(col(textCol)).as("fh"))
-      .filter(mightExist(col("fh"))) // narrow prune, no shuffle yet
+      .filter(mightExist) // narrow prune, no shuffle yet
       .join(knownHashed.select(col("kh").as("fh")).distinct(), Seq("fh"),
         "left_semi") // exact verify: FPs drop out here
       .select(col("doc_id"), col("fh").as("content_hash"))
@@ -280,18 +294,33 @@ object Dedup {
     * job. Size the centroid count so buckets stay well under the cap
     * (k ≈ corpus/1000 in the SemDeDup recipe). */
   def semanticClusters(vectors: DataFrame, centroids: DataFrame,
+      tau: Double, bucketCap: Int = 100000): DataFrame =
+    semanticClustersAssigned(vectors, Similarity.ivfAssign(vectors, centroids),
+      tau, bucketCap)
+
+  /** As [[semanticClusters]] but taking a precomputed IVF assignment
+    * (`vec_id`, `centroid`) — callers that already ran the coarse
+    * quantizer (e.g. the shared ANN stage every registered similarity
+    * query reuses) skip re-planning the centroid aggregate. The bucketed
+    * vectors+assignment join feeds BOTH sides of the pair generation, so
+    * it is persisted for the duration of the component search and
+    * released once the labels are checkpointed. */
+  def semanticClustersAssigned(vectors: DataFrame, assignment: DataFrame,
       tau: Double, bucketCap: Int = 100000): DataFrame = {
-    val assign = capBuckets(
-      Similarity.ivfAssign(vectors, centroids), Seq("centroid"), bucketCap)
-    val av = vectors.join(assign, "vec_id")
+    val assign = capBuckets(assignment, Seq("centroid"), bucketCap)
+    val av = vectors.join(assign, "vec_id").persist()
     val a = av.select(col("centroid"), col("vec_id").as("a_id"), col("v").as("va"))
     val b = av.select(col("centroid"), col("vec_id").as("b_id"), col("v").as("vb"))
     val pairs = a.join(b, Seq("centroid"))
       .filter(col("a_id") < col("b_id"))
       .filter(SketchExpressions.cosine_sim(col("va"), col("vb")) >= lit(tau))
       .select("a_id", "b_id")
-    connectedComponents(vectors.select(col("vec_id").as("id")), pairs)
-      .select(col("id").as("vec_id"), col("cluster_id"),
-        (col("id") === col("cluster_id")).as("keep"))
+    // connectedComponents runs its label rounds eagerly (convergence
+    // probes are actions) and returns checkpointed labels, so `av` can
+    // be released as soon as it returns.
+    val cc = connectedComponents(vectors.select(col("vec_id").as("id")), pairs)
+    av.unpersist(false)
+    cc.select(col("id").as("vec_id"), col("cluster_id"),
+      (col("id") === col("cluster_id")).as("keep"))
   }
 }

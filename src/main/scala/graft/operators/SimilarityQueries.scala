@@ -31,6 +31,31 @@ object SimilarityQueries {
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
 
+  /** Shared coarse-quantizer stages, computed ONCE per (session, fixture
+    * dir) and persisted: the rounded per-label mean centroids and the
+    * full IVF assignment (`vec_id` → nearest centroid). Every registered
+    * ANN query (`ivf_assign`, `sim_ann_ivf`, `sim_ann_ivf_probe2`,
+    * `sim_ann_ivfpq`, `sim_ann_pq`, `vec_pq_assign`, `dedup_semantic`)
+    * reads these instead of re-planning the centroid posexplode
+    * aggregate, so each query's plan contains at most ONE centroid
+    * HashAggregate (zero once warm — an InMemoryTableScan). This is the
+    * 100 TB shape too: train the coarse quantizer once, reuse it for
+    * every search — both stages are tiny (k centroid rows; one
+    * (vec_id, centroid) pair per vector, no floats). */
+  private val stageCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private[graft] def sharedStages(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    stageCache.getOrElseUpdate((s, dir), {
+      val cent = Similarity.meanCentroids(
+        Tables(s, dir, "embeddings")
+          .select(col("label"),
+            expr("transform(embedding, x -> cast(x as double))").as("v")))
+        .persist()
+      val assign = Similarity.ivfAssign(vecs(s, dir), cent).persist()
+      (cent, assign)
+    })
+
   private def querySide(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("va"))
@@ -59,13 +84,7 @@ object SimilarityQueries {
     // per-label mean centroids, so both engines score from identical
     // inputs. At 100 TB the corpus is bucketed by centroid once, and
     // queries probe only their nearest bucket(s) (sim_ann_ivf).
-    "ivf_assign" -> { (s, dir) =>
-      val e = vecs(s, dir)
-      val cent = Similarity.meanCentroids(
-        Tables(s, dir, "embeddings")
-          .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v")))
-      Similarity.ivfAssign(e, cent)
-    },
+    "ivf_assign" -> { (s, dir) => sharedStages(s, dir)._2 },
     // SemDeDup-style semantic dedup: IVF-cluster the embeddings, call a
     // pair near-duplicate when cosine >= 0.3 WITHIN a cluster, keep the
     // min-id representative per connected component. The centroid
@@ -74,18 +93,14 @@ object SimilarityQueries {
     // this fixture. Oracle: the full pipeline (rounded centroids →
     // argmin assign → in-bucket cosine pairs → recursive-CTE CC).
     "dedup_semantic" -> { (s, dir) =>
-      val e = vecs(s, dir)
-      val cent = Similarity.meanCentroids(
-        Tables(s, dir, "embeddings")
-          .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v")))
-      Dedup.semanticClusters(e, cent, tau = 0.3)
+      Dedup.semanticClustersAssigned(vecs(s, dir), sharedStages(s, dir)._2, tau = 0.3)
     },
     // IVF search: probe only the query's centroid bucket, exact top-3
     // within it. Oracle: the full IVF pipeline (rounded centroids →
     // argmin assignment → bucket probe → cosine top-3) is expressible in
     // DuckDB SQL; SimilaritySpec additionally checks recall vs brute force.
     "sim_ann_ivf" -> { (s, dir) =>
-      val assign = queries("ivf_assign")(s, dir)
+      val assign = sharedStages(s, dir)._2
       val v = vecs(s, dir).join(assign, "vec_id")
       val q = v.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("v").as("va"), col("centroid"))
@@ -98,14 +113,16 @@ object SimilarityQueries {
     // vectors near bucket boundaries, at 2× bounded probe cost.
     "sim_ann_ivf_probe2" -> { (s, dir) =>
       val e = vecs(s, dir)
-      val cent = Similarity.meanCentroids(
-        Tables(s, dir, "embeddings")
-          .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v")))
+      val (cent, assign) = sharedStages(s, dir)
+      // query side probes its 2 nearest buckets (a fresh, tiny argmin
+      // over the shared centroids); the corpus keeps its shared
+      // single-bucket assignment — per-vector argmin is independent, so
+      // filtering the shared assignment equals assigning the filtered set.
       val q = e.filter(col("vec_id") < 10)
         .join(Similarity.ivfAssignN(e.filter(col("vec_id") < 10), cent, 2), "vec_id")
         .select(col("vec_id").as("query_id"), col("v").as("va"), col("centroid"))
       val c = e.filter(col("vec_id") >= 10)
-        .join(Similarity.ivfAssign(e.filter(col("vec_id") >= 10), cent), "vec_id")
+        .join(assign, "vec_id")
         .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("centroid"))
       Similarity.ivfTopK(q, c, k = 3)
     },
@@ -147,11 +164,7 @@ object SimilarityQueries {
     // 4 small codes instead of 64 floats; the codebook broadcasts and
     // the corpus is scanned once.
     "vec_pq_assign" -> { (s, dir) =>
-      val e = vecs(s, dir)
-      val cent = Similarity.meanCentroids(
-        Tables(s, dir, "embeddings")
-          .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v")))
-      Similarity.pqAssign(e, cent, blocks = 4, dim = 64)
+      Similarity.pqAssign(vecs(s, dir), sharedStages(s, dir)._1, blocks = 4, dim = 64)
     },
     // PQ asymmetric-distance search: corpus represented only by its PQ
     // codes; each query broadcasts a per-(block, code) distance table
@@ -160,9 +173,7 @@ object SimilarityQueries {
     // quantize to ints before summing so the 4-way add is order-free.
     "sim_ann_pq" -> { (s, dir) =>
       val e = vecs(s, dir)
-      val cent = Similarity.meanCentroids(
-        Tables(s, dir, "embeddings")
-          .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v")))
+      val cent = sharedStages(s, dir)._1
       val codes = Similarity.pqAssign(e.filter(col("vec_id") >= 10), cent,
           blocks = 4, dim = 64)
         .withColumnRenamed("vec_id", "neighbor_id")
@@ -174,10 +185,7 @@ object SimilarityQueries {
     // end, with an exact SQL oracle.
     "sim_ann_ivfpq" -> { (s, dir) =>
       val e = vecs(s, dir)
-      val cent = Similarity.meanCentroids(
-        Tables(s, dir, "embeddings")
-          .select(col("label"), expr("transform(embedding, x -> cast(x as double))").as("v")))
-      val assign = Similarity.ivfAssign(e, cent)
+      val (cent, assign) = sharedStages(s, dir)
       val q = querySide(e)
         .join(assign.withColumnRenamed("vec_id", "query_id"), "query_id")
       val codes = Similarity.pqAssign(e.filter(col("vec_id") >= 10), cent,
