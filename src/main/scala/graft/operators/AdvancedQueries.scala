@@ -521,16 +521,35 @@ object AdvancedQueries {
         .select(col("event_id"), explode(array(col("b"), col("b") - 1)).as("win"))
         .groupBy("win").agg(count(lit(1)).as("n"))
     },
-    // Approximate distinct-count (HLL). No oracle: Spark's HLL++ and
-    // DuckDB's approx sketches legitimately differ; AdvancedSpec bounds
-    // the relative error against the exact count instead.
+    // Approximate distinct-count (HLL). Spark's HLL++ and DuckDB's
+    // approx sketches legitimately differ, so the sketch VALUES can't
+    // hash-match an oracle; instead the query emits the exact counts
+    // plus within-tolerance booleans over the HLL++ estimates (rsd 0.02,
+    // deterministic — no RNG in the sketch), and the oracle asserts the
+    // same exact counts with `true` literals. A drifting estimate flips
+    // a boolean and fails the hash compare, so the approximate aggregate
+    // is driver-auditable; AdvancedSpec additionally pins the numeric
+    // error bound.
     "approx_distinct_parts" -> { (s, dir) =>
       Tables(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        count_distinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+        .select(col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.05)).as("parts_within_5pct"),
+          (abs(col("ao") - col("exact_orders")) <=
+            col("exact_orders") * lit(0.05)).as("orders_within_5pct"))
     })
 
   val oracles: Map[String, String] = Map(
+    "approx_distinct_parts" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+        | COUNT(DISTINCT l_orderkey) AS exact_orders,
+        | true AS parts_within_5pct,
+        | true AS orders_within_5pct
+        |FROM lineitem""".stripMargin,
     "sql_q6_forecast_revenue" ->
       """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |                       CAST(l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue
