@@ -87,6 +87,28 @@ private[sources] object GraftJdbcSource {
     case _ => None
   }
 
+  /** Run every matching dialect's `beforeFetch` hook (the snapshot-pin
+    * contract) on a freshly opened connection. `JdbcDialects.get` wraps
+    * multiple matches in an `AggregatedDialect` that does NOT delegate
+    * `beforeFetch` — so a session hook would silently vanish the moment
+    * a second dialect matches the URL; unwrap it (the member list is a
+    * private field, hence the narrow reflective read) and invoke each
+    * member's hook. Falls back to the resolved dialect's own hook if the
+    * internals ever change shape. */
+  def beforeFetchHooks(url: String, conn: java.sql.Connection,
+      props: Map[String, String]): Unit = {
+    val d = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    val members =
+      if (d.getClass.getName == "org.apache.spark.sql.jdbc.AggregatedDialect")
+        try {
+          val f = d.getClass.getDeclaredField("dialects")
+          f.setAccessible(true)
+          f.get(d).asInstanceOf[Seq[org.apache.spark.sql.jdbc.JdbcDialect]]
+        } catch { case _: Exception => Seq(d) }
+      else Seq(d)
+    members.foreach(_.beforeFetch(conn, props))
+  }
+
   /** Compile a Spark source filter to a WHERE fragment; None = keep it
     * in Spark. Only plain column references are compiled (no nested). */
   def compileFilter(f: Filter): Option[String] = {
@@ -254,17 +276,29 @@ private[sources] class GraftJdbcScanBuilder(fullSchema: StructType,
 
   /** ORDER BY cols LIMIT n (top-n — the reference's keyset-pagination
     * probe shape, O1/O3) executes on the database when every sort key
-    * is a plain source column: each partition returns its own ordered
-    * top-n and Spark merges — partial, same contract as pushLimit. */
+    * is a plain source column of an order-unambiguous type: each
+    * partition returns its own ordered top-n and Spark merges — partial,
+    * same contract as pushLimit. String/binary keys are NOT pushed —
+    * when fully pushed (one partition) Spark drops its own Sort and
+    * trusts the database ordering, and a collation-configured database
+    * can order text differently from Spark's binary UTF-8 compare,
+    * silently changing which rows the top-n keeps. Identifiers are
+    * quoted through the URL's JdbcDialect. */
   override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
     if (aggSql.isDefined) return false
+    def orderUnambiguous(dt: DataType): Boolean = dt match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType |
+           BooleanType => true
+      case _ => false
+    }
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(opts.url)
     val compiled = orders.toSeq.map { so =>
       (fieldOf(so.expression()), so.direction, so.nullOrdering) match {
-        case (Some(f), dir, nulls) =>
+        case (Some(f), dir, nulls) if orderUnambiguous(f.dataType) =>
           val d = if (dir == SortDirection.ASCENDING) "ASC" else "DESC"
           val n = if (nulls == NullOrdering.NULLS_FIRST) "NULLS FIRST"
                   else "NULLS LAST"
-          Some(s"${f.name} $d $n")
+          Some(s"${dialect.quoteIdentifier(f.name)} $d $n")
         case _ => None
       }
     }
@@ -275,9 +309,14 @@ private[sources] class GraftJdbcScanBuilder(fullSchema: StructType,
   }
 
   /** OFFSET is only correct on the database when there is a single
-    * partition (a per-partition offset would drop rows per slice). */
+    * partition (a per-partition offset would drop rows per slice).
+    * With a limit already pushed (`df.limit(m).offset(n)` — "first m
+    * rows, then skip n"), n >= m means an empty result; the combined
+    * fetch clause would be a malformed `FETCH NEXT ${m - n}`, so the
+    * offset stays in Spark (which applies it over the m limited rows). */
   override def pushOffset(o: Int): Boolean = {
     if (aggSql.isDefined || opts.partitions > 1) return false
+    if (limit.exists(_ <= o)) return false
     offset = Some(o)
     true
   }
@@ -398,7 +437,15 @@ private[sources] case class GraftJdbcReaderFactory(required: StructType,
 }
 
 /** Executor-side reader: one connection per partition, streaming the
-  * partition's disjoint PK slice (plus pushed filters) as InternalRows. */
+  * partition's disjoint PK slice (plus pushed filters) as InternalRows.
+  * Before the partition query runs, the URL's JdbcDialect `beforeFetch`
+  * hook executes on THIS connection with the source options — the same
+  * per-partition contract the stock JDBC source honors, so
+  * `graft.readTimestamp` / `graft.maxStalenessSeconds` pin every
+  * parallel slice of one table to one snapshot (SpannerDialect.
+  * beforeFetch; reference pins every partitioned read —
+  * SRC/data/DataCopier.java:87-106). Without it, N tasks under
+  * concurrent writes can observe N different database states. */
 private[sources] class GraftJdbcPartitionReader(required: StructType,
     filterSql: Array[String], predicate: String, opts: GraftJdbcOptions,
     agg: Option[(Seq[String], Seq[String])],
@@ -407,7 +454,9 @@ private[sources] class GraftJdbcPartitionReader(required: StructType,
     orderBy: Seq[String] = Nil)
   extends PartitionReader[InternalRow] {
 
+  SpannerDialect.register() // idempotent; executors resolve the URL fresh
   private val conn = opts.connect()
+  GraftJdbcSource.beforeFetchHooks(opts.url, conn, opts.raw)
   private val stmt = conn.createStatement()
   private val rs: ResultSet = {
     val where = (predicate +: filterSql.toSeq).mkString("(", ") AND (", ")")

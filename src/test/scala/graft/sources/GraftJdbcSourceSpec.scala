@@ -3,7 +3,26 @@ package graft.sources
 import java.sql.DriverManager
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects}
 import graft.SparkTestBase
+
+/** Records the per-connection beforeFetch calls the V2 reader must make
+  * (the snapshot-pin contract) — scoped to one in-memory Derby URL so it
+  * never shadows the stock Derby dialect elsewhere. */
+object PinRecordingDialect extends JdbcDialect {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile var lastProps: Map[String, String] = Map.empty
+  override def canHandle(url: String): Boolean = url.contains("graftDsv2Pin")
+  override def beforeFetch(connection: java.sql.Connection,
+      properties: Map[String, String]): Unit = {
+    calls.incrementAndGet()
+    lastProps = properties
+  }
+  @volatile private var registered = false
+  def register(): Unit = synchronized {
+    if (!registered) { JdbcDialects.registerDialect(this); registered = true }
+  }
+}
 
 /** The DataSource V2 JDBC read against embedded Derby: partition
   * planning over a composite PK, checksum fidelity, column pruning,
@@ -122,8 +141,8 @@ class GraftJdbcSourceSpec extends SparkTestBase {
     setup()
     val df = read().orderBy(col("a").desc, col("b").asc).limit(5)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.toUpperCase.contains("PUSHEDTOPN: [A DESC") && plan.contains("PushedLimit: 5"),
-      s"top-n not pushed:\n$plan")
+    assert(plan.toUpperCase.contains("PUSHEDTOPN: [\"A\" DESC") &&
+      plan.contains("PushedLimit: 5"), s"top-n not pushed:\n$plan")
     val got = df.collect().map(r => (r.getLong(0), r.getInt(1).toLong))
     // rows are (a = i/4, b = i%4): global top-5 by (a desc, b asc)
     assert(got.toSeq == Seq((249L, 0L), (249L, 1L), (249L, 2L), (249L, 3L),
@@ -146,6 +165,68 @@ class GraftJdbcSourceSpec extends SparkTestBase {
     assert(!many.queryExecution.executedPlan.toString.contains("PushedOffset"))
     assert(many.collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSeq ==
       (10 until 14).map(i => (i.toLong / 4, i.toLong % 4)))
+  }
+
+  test("top-n on a string sort key is NOT pushed (collation can differ " +
+      "from Spark's binary ordering)") {
+    setup()
+    val one = spark.read.format("graft-jdbc")
+      .option("url", url).option("dbtable", "t")
+      .option("pk", "a,b").option("partitions", "1").load()
+      .orderBy(col("s").desc).limit(5)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedTopN"), s"string top-n wrongly pushed:\n$plan")
+    // Spark orders: row999 > row998 > ... in binary UTF-8
+    assert(one.collect().map(_.getString(2)).toSeq ==
+      Seq("row999", "row998", "row997", "row996", "row995"))
+  }
+
+  test("limit(m).offset(n) with n >= m refuses the offset push " +
+      "(would be a malformed FETCH NEXT <= 0) and returns empty") {
+    setup()
+    val one = spark.read.format("graft-jdbc")
+      .option("url", url).option("dbtable", "t")
+      .option("pk", "a,b").option("partitions", "1").load()
+    val degenerate = one.orderBy("a", "b").limit(4).offset(10)
+    val plan = degenerate.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedOffset"), s"offset wrongly pushed:\n$plan")
+    assert(degenerate.collect().isEmpty) // first 4 rows, then skip 10
+    // the healthy direction still pushes both and stays exact
+    val healthy = one.orderBy("a", "b").limit(10).offset(4)
+    val hplan = healthy.queryExecution.executedPlan.toString
+    assert(hplan.contains("PushedOffset: 4"), s"offset not pushed:\n$hplan")
+    assert(healthy.collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSeq ==
+      (4 until 10).map(i => (i.toLong / 4, i.toLong % 4)))
+  }
+
+  test("dialect beforeFetch (snapshot-pin contract) runs on every " +
+      "partition connection with the source options") {
+    val pinUrl = "jdbc:derby:memory:graftDsv2Pin;create=true"
+    val c = DriverManager.getConnection(pinUrl)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate("DROP TABLE t") catch { case _: Exception => }
+      st.executeUpdate(
+        "CREATE TABLE t (a BIGINT NOT NULL, v DOUBLE, PRIMARY KEY (a))")
+      val ps = c.prepareStatement("INSERT INTO t VALUES (?, ?)")
+      for (i <- 0 until 100) { ps.setLong(1, i); ps.setDouble(2, i); ps.addBatch() }
+      ps.executeBatch(); st.close()
+    } finally c.close()
+    PinRecordingDialect.register()
+    PinRecordingDialect.calls.set(0)
+    val df = spark.read.format("graft-jdbc")
+      .option("url", pinUrl).option("dbtable", "t")
+      .option("pk", "a").option("partitions", "4")
+      .option(SpannerDialect.ReadTimestampProperty, "2026-01-01T00:00:00Z")
+      .load()
+    assert(df.count() == 100)
+    assert(PinRecordingDialect.calls.get() == 4,
+      s"beforeFetch ran ${PinRecordingDialect.calls.get()} times, want 4 " +
+        "(one per partition connection)")
+    assert(PinRecordingDialect.lastProps.exists {
+      case (k, v) => k.equalsIgnoreCase(SpannerDialect.ReadTimestampProperty) &&
+        v == "2026-01-01T00:00:00Z"
+    }, s"pin option missing from beforeFetch props: ${PinRecordingDialect.lastProps}")
   }
 
   test("V2 write: batched INSERT round-trips through the source") {
