@@ -30,7 +30,9 @@ case class TopKPerKeyNode(
     keys: Seq[Attribute],
     order: Seq[SortOrder],
     k: Int,
-    rankAttr: Attribute) extends UnaryNode {
+    rankAttr: Attribute,
+    maxKeysPerPartition: Long = TopK.DefaultMaxKeysPerPartition)
+  extends UnaryNode {
   override val output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
@@ -41,7 +43,8 @@ case class TopKPerKeyNode(
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: TopKPerKeyNode =>
-      TopKPerKeyExec(n.keys, n.order, n.k, n.rankAttr, planLater(n.child)) :: Nil
+      TopKPerKeyExec(n.keys, n.order, n.k, n.rankAttr, planLater(n.child),
+        n.maxKeysPerPartition) :: Nil
     case _ => Nil
   }
 }
@@ -49,13 +52,28 @@ object TopKPerKeyStrategy extends SparkStrategy {
 /** Physical bounded-heap top-k: requires the child clustered on the
   * keys (hash exchange, NO sort); each task streams its partition once,
   * keeping per key a size-k priority queue whose head is the current
-  * rank-worst row, then emits each group's survivors in rank order. */
+  * rank-worst row, then emits each group's survivors in rank order.
+  *
+  * Task memory is O(distinct-keys-per-partition × k × row size) in
+  * plain JVM heap — deliberately outside Spark's task memory manager
+  * (the win over the window form is exactly "no sort, no spill
+  * machinery"). That bound is enforced, not hoped for:
+  * `maxKeysPerPartition` (default [[TopK.DefaultMaxKeysPerPartition]],
+  * configurable via `spark.graft.topk.maxKeysPerPartition`) fails the
+  * task with a sizing-and-remediation message instead of letting a
+  * high-cardinality key column OOM the executor, where the window
+  * row_number form it replaces would have spilled via external sort.
+  * Sizing rule (PERF.md "Known deliberate bounds"): keys/partition ≈
+  * distinct keys ÷ shuffle partitions; keep keys × k × avg row bytes
+  * well under the executor's per-task heap share. */
 case class TopKPerKeyExec(
     keys: Seq[Attribute],
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    maxKeysPerPartition: Long = TopK.DefaultMaxKeysPerPartition)
+  extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
 
@@ -68,6 +86,7 @@ case class TopKPerKeyExec(
     val childOut = child.output
     val kk = k
     val ord = order
+    val maxKeys = maxKeysPerPartition
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keys, childOut)
       // compare(a, b) < 0 ⇔ a ranks before b; the PQ dequeues the MAX
@@ -84,6 +103,13 @@ case class TopKPerKeyExec(
               heap.dequeue(); heap.enqueue(row.copy())
             }
           case None =>
+            if (heaps.size >= maxKeys) throw new IllegalStateException(
+              s"TopKPerKeyExec exceeded $maxKeys distinct keys in one " +
+                "partition (task memory is O(keys × k) on plain JVM heap). " +
+                "Raise spark.sql.shuffle.partitions so fewer keys land per " +
+                "task, raise spark.graft.topk.maxKeysPerPartition if the " +
+                "heap fits, or use the window row_number form (sorts but " +
+                "spills) for extreme key cardinality.")
             val heap = mutable.PriorityQueue.empty[InternalRow](rowOrd)
             heap.enqueue(row.copy())
             heaps.put(key.copy(), heap)
@@ -111,10 +137,22 @@ case class TopKPerKeyExec(
   * every input column plus a 1-based `rn` rank column, at most k rows
   * per key group. Plain (non-SortOrder) columns order ascending. */
 object TopK {
+  /** Per-partition distinct-key ceiling before the exec fails with a
+    * sizing message instead of OOMing (see [[TopKPerKeyExec]] Scaladoc).
+    * 2M keys × k=10 × ~100 B rows ≈ 2 GB/task worst case — inside a
+    * typical executor's task share; override per session with
+    * `spark.graft.topk.maxKeysPerPartition`. */
+  val DefaultMaxKeysPerPartition: Long = 2000000L
+
   def perKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
       k: Int, rankCol: String = "rn"): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(keys.nonEmpty, "top-k per key requires at least one key column")
+    require(orderBy.nonEmpty, "top-k per key requires at least one ordering " +
+      "column — with no order the k kept rows per key are arbitrary")
+    require(!df.columns.contains(rankCol),
+      s"rank column '$rankCol' collides with an existing input column; " +
+        "pass a different rankCol")
     Bridge.ensureStrategy(df.sparkSession, TopKPerKeyStrategy)
     Bridge.ensureOptimizerRule(df.sparkSession, PruneAsOfColumns)
     // Resolve the caller's sort columns by analyzing a throwaway
@@ -130,8 +168,13 @@ object TopK {
     def attr(name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
         s"column '$name' not found among ${plan.output.map(_.name).mkString(", ")}"))
+    val maxKeys = df.sparkSession.conf
+      .getOption("spark.graft.topk.maxKeysPerPartition")
+      .map(_.toLong).getOrElse(DefaultMaxKeysPerPartition)
+    require(maxKeys > 0,
+      s"spark.graft.topk.maxKeysPerPartition must be positive, got $maxKeys")
     val node = TopKPerKeyNode(plan, keys.map(attr), order, k,
-      AttributeReference(rankCol, LongType, nullable = false)())
+      AttributeReference(rankCol, LongType, nullable = false)(), maxKeys)
     Bridge.ofRows(df.sparkSession, node)
   }
 }

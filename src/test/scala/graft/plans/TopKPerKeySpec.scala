@@ -87,4 +87,36 @@ class TopKPerKeySpec extends SparkTestBase {
     }.toSet
     assert(got == expect)
   }
+
+  test("high key cardinality works under the default bound; the " +
+      "configurable per-partition cap fails with a sizing message") {
+    import spark.implicits._
+    // every row its own key: 50k heaps across tasks — fine by default
+    val wide = (0L until 50000L).map(i => (i, i)).toDF("k", "v")
+    assert(TopK.perKey(wide, Seq("k"), Seq(col("v")), k = 1).count() == 50000L)
+    // cap far below the per-partition key count → clear failure, no OOM
+    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "10")
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        TopK.perKey(wide.coalesce(1), Seq("k"), Seq(col("v")), k = 1).count()
+      }
+      assert(e.getMessage.contains("distinct keys in one partition") ||
+        Option(e.getCause).exists(_.getMessage
+          .contains("distinct keys in one partition")),
+        s"wrong failure: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+  }
+
+  test("API validation: empty order and rank-column collision are rejected") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("k", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      TopK.perKey(df, Seq("k"), Seq.empty, k = 1)
+    }
+    assert(e1.getMessage.contains("ordering"))
+    val e2 = intercept[IllegalArgumentException] {
+      TopK.perKey(df, Seq("k"), Seq(col("v")), k = 1, rankCol = "v")
+    }
+    assert(e2.getMessage.contains("collides"))
+  }
 }
