@@ -34,6 +34,16 @@ import org.apache.spark.sql.functions._
   * `rightVals`. */
 object AsOf {
 
+  /** A column-name prefix no input column starts with, so helper
+    * columns can never silently overwrite (or be confused with) user
+    * data. Deterministic: the shortest run of underscores that is not a
+    * prefix of any existing name. */
+  private[graft] def freshPrefix(cols: Iterable[String]): String = {
+    var p = "_"
+    while (cols.exists(_.startsWith(p))) p += "_"
+    p
+  }
+
   /** @param maxLookback optional as-of tolerance (pandas
     *   `merge_asof(tolerance=...)`): when the matched right row is
     *   older than `leftTime - maxLookback`, the match is dropped and
@@ -44,41 +54,48 @@ object AsOf {
       leftTime: String, rightTime: String,
       rightVals: Seq[String],
       maxLookback: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val dup = rightVals.filter(left.columns.contains)
+    require(dup.isEmpty, "rightVals collide with left columns: " +
+      dup.mkString(", ") + " — rename before the as-of join")
     val leftOnly = left.columns.filterNot(keys.contains).toSeq
+    // helper columns get a prefix no input column starts with
+    val p = freshPrefix(left.columns ++ right.columns)
+    val (tc, mc, rvc) = (p + "t", p + "m", p + "rv")
     // One struct per right row, carried whole through the window: the
     // window's ignoreNulls applies to the struct (null only on left
     // rows), never to the individual value columns, so every output row
     // takes all rightVals from one right row, nulls included. The
-    // matched right row's own time rides along as `_rt` so a tolerance
-    // can be applied after the carry.
+    // matched right row's own time rides along as `_rt` (a struct FIELD,
+    // private to the helper struct — no column namespace contact) so a
+    // tolerance can be applied after the carry.
     val rvStructType = org.apache.spark.sql.types.StructType(
       rightVals.map(c => right.schema(c).copy(name = c)) :+
         right.schema(rightTime).copy(name = "_rt"))
     val l = left
-      .withColumn("_t", col(leftTime)).withColumn("_m", lit(1))
-      .select(keys.map(col) ++ Seq(col("_t"), col("_m")) ++
+      .withColumn(tc, col(leftTime)).withColumn(mc, lit(1))
+      .select(keys.map(col) ++ Seq(col(tc), col(mc)) ++
         leftOnly.map(col) :+
-        lit(null).cast(rvStructType).as("_rv"): _*)
+        lit(null).cast(rvStructType).as(rvc): _*)
     val r = right
-      .withColumn("_t", col(rightTime)).withColumn("_m", lit(0))
-      .select(keys.map(col) ++ Seq(col("_t"), col("_m")) ++
+      .withColumn(tc, col(rightTime)).withColumn(mc, lit(0))
+      .select(keys.map(col) ++ Seq(col(tc), col(mc)) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(rightVals.map(col) :+ col(rightTime).as("_rt"): _*).as("_rv"): _*)
+        struct(rightVals.map(col) :+ col(rightTime).as("_rt"): _*).as(rvc): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_m"))
+      .orderBy(col(tc), col(mc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried0 = l.unionByName(r)
-      .withColumn("_rv", last(col("_rv"), ignoreNulls = true).over(w))
-      .filter(col("_m") === 1)
+      .withColumn(rvc, last(col(rvc), ignoreNulls = true).over(w))
+      .filter(col(mc) === 1)
     val carried = maxLookback match {
-      case Some(tol) => carried0.withColumn("_rv",
-        when(col("_rv").isNotNull &&
-          col("_t") - col("_rv")("_rt") <= tol, col("_rv")))
+      case Some(tol) => carried0.withColumn(rvc,
+        when(col(rvc).isNotNull &&
+          col(tc) - col(rvc)("_rt") <= tol, col(rvc)))
       case None => carried0
     }
     rightVals
-      .foldLeft(carried) { (df, c) => df.withColumn(c, col("_rv")(c)) }
-      .drop("_m", "_t", "_rv")
+      .foldLeft(carried) { (df, c) => df.withColumn(c, col(rvc)(c)) }
+      .drop(mc, tc, rvc)
   }
 
   /** Nearest as-of join (pandas `merge_asof(direction='nearest')`):
@@ -91,28 +108,31 @@ object AsOf {
   def joinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       rightVals: Seq[String]): DataFrame = {
-    val bVals = rightVals.map("_b_" + _)
-    val fVals = rightVals.map("_f_" + _)
+    // helper columns get a prefix no input column starts with
+    val p = freshPrefix(left.columns ++ right.columns)
+    val bVals = rightVals.map(p + "b_" + _)
+    val fVals = rightVals.map(p + "f_" + _)
+    val (bt, ft, negT, negRt) = (p + "bt", p + "ft", p + "negt", p + "negrt")
     // backward pass: latest right at-or-before, carrying the matched time
     val rB = rightVals.zip(bVals)
       .foldLeft(right) { case (df, (o, n)) => df.withColumn(n, col(o)) }
-      .withColumn("_b_t", col(rightTime))
-      .select((keys :+ rightTime).map(col) ++ (bVals :+ "_b_t").map(col): _*)
-    val back = join(left, rB, keys, leftTime, rightTime, bVals :+ "_b_t")
+      .withColumn(bt, col(rightTime))
+      .select((keys :+ rightTime).map(col) ++ (bVals :+ bt).map(col): _*)
+    val back = join(left, rB, keys, leftTime, rightTime, bVals :+ bt)
     // forward pass: earliest right at-or-after == backward on negated times
     val rF = rightVals.zip(fVals)
       .foldLeft(right) { case (df, (o, n)) => df.withColumn(n, col(o)) }
-      .withColumn("_f_t", col(rightTime))
-      .withColumn("_neg_rt", -col(rightTime))
-      .select(keys.map(col) ++ (fVals ++ Seq("_f_t", "_neg_rt")).map(col): _*)
-    val both = join(back.withColumn("_neg_t", -col(leftTime)), rF, keys,
-      "_neg_t", "_neg_rt", fVals :+ "_f_t")
+      .withColumn(ft, col(rightTime))
+      .withColumn(negRt, -col(rightTime))
+      .select(keys.map(col) ++ (fVals ++ Seq(ft, negRt)).map(col): _*)
+    val both = join(back.withColumn(negT, -col(leftTime)), rF, keys,
+      negT, negRt, fVals :+ ft)
     // pick the closer side; ties (and forward-missing) take backward
-    val pickB = col("_b_t").isNotNull && (col("_f_t").isNull ||
-      (col(leftTime) - col("_b_t") <= col("_f_t") - col(leftTime)))
+    val pickB = col(bt).isNotNull && (col(ft).isNull ||
+      (col(leftTime) - col(bt) <= col(ft) - col(leftTime)))
     rightVals.zip(bVals.zip(fVals))
       .foldLeft(both) { case (df, (o, (b, f))) =>
         df.withColumn(o, when(pickB, col(b)).otherwise(col(f))) }
-      .drop((bVals ++ fVals ++ Seq("_b_t", "_f_t", "_neg_t")): _*)
+      .drop((bVals ++ fVals ++ Seq(bt, ft, negT)): _*)
   }
 }

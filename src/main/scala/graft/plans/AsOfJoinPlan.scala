@@ -231,12 +231,16 @@ object AsOfMerge {
       leftTime: String, rightTime: String, rightVals: Seq[String],
       maxLookback: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.functions.{col, when}
-    val carried = join(left, right.withColumn("_mt", col(rightTime)),
-      keys, leftTime, rightTime, rightVals :+ "_mt")
-    val fresh = col("_mt").isNotNull &&
-      col(leftTime) - col("_mt") <= maxLookback
+    // collision-free matched-time column (a user column named `_mt`
+    // would otherwise be silently overwritten)
+    val mt = graft.operators.AsOf.freshPrefix(
+      left.columns ++ right.columns) + "mt"
+    val carried = join(left, right.withColumn(mt, col(rightTime)),
+      keys, leftTime, rightTime, rightVals :+ mt)
+    val fresh = col(mt).isNotNull &&
+      col(leftTime) - col(mt) <= maxLookback
     rightVals.foldLeft(carried) { (df, v) =>
       df.withColumn(v, when(fresh, col(v)))
-    }.drop("_mt")
+    }.drop(mt)
   }
 }

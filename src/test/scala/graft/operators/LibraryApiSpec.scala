@@ -46,6 +46,36 @@ class LibraryApiSpec extends SparkTestBase {
       "e" -> None))       // key 4 has no quotes
   }
 
+  test("AsOf helpers keep user columns named like their internals intact " +
+      "(collision-free temp names)") {
+    import spark.implicits._
+    // hostile names: every historical helper-column name appears as data
+    val purchases = Seq((1L, 10L, "keep_t", "keep_mt", 7L))
+      .toDF("k", "t", "_t", "_mt", "_neg_t")
+    val quotes = Seq((1L, 5L, 50.0, "keep_bt"))
+      .toDF("k", "qt", "price", "_b_t")
+    val viaJoin = AsOf.join(purchases, quotes, Seq("k"), "t", "qt", Seq("price"))
+    assert(viaJoin.columns.toSet ==
+      Set("k", "t", "_t", "_mt", "_neg_t", "price"))
+    val r1 = viaJoin.collect()(0)
+    assert(r1.getAs[String]("_t") == "keep_t" &&
+      r1.getAs[String]("_mt") == "keep_mt" &&
+      r1.getAs[Long]("_neg_t") == 7L &&
+      r1.getAs[Double]("price") == 50.0)
+    val viaNearest = AsOf.joinNearest(
+      purchases.drop("_mt"), quotes, Seq("k"), "t", "qt", Seq("price"))
+    val r2 = viaNearest.collect()(0)
+    assert(viaNearest.columns.toSet == Set("k", "t", "_t", "_neg_t", "price"))
+    assert(r2.getAs[String]("_t") == "keep_t" &&
+      r2.getAs[Double]("price") == 50.0)
+    // a rightVals/left collision now fails fast instead of corrupting
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(purchases, quotes.withColumnRenamed("price", "t"),
+        Seq("k"), "t", "qt", Seq("t"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("AsOf.join: NULL right value is carried as NULL; multi-col values " +
       "come from the same matched row") {
     import spark.implicits._
