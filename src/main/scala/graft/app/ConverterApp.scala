@@ -13,14 +13,32 @@ import graft.copy.{CopyPlanner, DataCopier}
 import graft.ddl.DdlGenerator
 
 /** The reference's `Converter.main` re-expressed (SURVEY §3.1): given a
-  * source (fixture parquet dir standing in for the source database) and
-  * a destination JDBC URL, run the 3-stage pipeline
+  * source and a destination JDBC URL, run the 3-stage pipeline
   * tables → (indexes) → data with mode gates, then report totals.
   *
-  * Usage: ConverterApp <sfDir> <jdbcUrl> [mode]
-  *   e.g.  /root/testdata/sf0.001 "jdbc:derby:/tmp/graftdb;create=true" DropAndRecreate
+  * Usage: ConverterApp <source> <destJdbcUrl> [mode] [--yes]
+  *
+  * `source` is either
+  *  - a JDBC URL (`jdbc:…`) — the reference's real day-one flow
+  *    (`SRC/Converter.java:57-58`): the source catalog is introspected
+  *    (`Catalog.introspectAll` — tables, columns, PKs, secondary
+  *    indexes; source discovery `SRC/data/DataCopier.java:108-126`),
+  *    DDL runs against the destination, and each table is read as a
+  *    PK-range-partitioned Spark scan (`DataCopier.readJdbc`) and
+  *    batch-INSERTed; or
+  *  - a fixture parquet directory (testing convenience) — schemas come
+  *    from the parquet footers and the fixture PK/index registry.
+  *
+  *   e.g.  "jdbc:derby:memory:srcdb" "jdbc:derby:/tmp/graftdb" DropAndRecreate --yes
   */
 object ConverterApp {
+
+  /** Source/destination dialect from the URL scheme (the reference keys
+    * the same decision off its configuration's DatabaseType). */
+  private[app] def dialectFor(url: String): Dialect =
+    if (url.toLowerCase.startsWith("jdbc:cloudspanner:")) Dialect.Spanner
+    else if (url.toLowerCase.startsWith("jdbc:postgresql:")) Dialect.PostgreSql
+    else Dialect.Derby
 
   /** Destructive-mode gate — the reference interactively confirms before
     * dropping objects (Converter.java:43-56,85-110); headless Spark jobs
@@ -57,41 +75,75 @@ object ConverterApp {
   }
 
   def main(args: Array[String]): Unit = {
-    val acked = args.contains("--yes")
-    val positional = args.filterNot(_.startsWith("--"))
-    val sfDir = positional(0)
-    val url = positional(1)
-    val mode = if (positional.length > 2) ConvertMode.parse(positional(2))
-      else ConvertMode.SkipExisting
-    requireDestructiveAck(mode, acked) match {
-      case Left(err) => System.err.println(s"[convert] ABORT: $err"); sys.exit(2)
-      case Right(()) => ()
-    }
-    val cfg = ConverterConfig(tableConvertMode = mode, dataConvertMode = mode)
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(args, spark)
+    catch { case e: IllegalArgumentException =>
+      System.err.println(s"[convert] ABORT: ${e.getMessage}"); spark.stop(); sys.exit(2)
+    }
+    spark.stop()
+  }
 
-    // tables whose schemas are JDBC-expressible (arrays are carried as
-    // zero-size opaque values by the reference and unsupported by most
-    // JDBC destinations — embeddings stays parquet-only)
-    val tables = Tables.names.filterNot(_ == "embeddings")
-    // (l_orderkey, l_linenumber) is NOT unique in the fixture data, so
-    // lineitem is effectively PK-less for a constrained destination —
-    // the reference skips PK-less tables (TableConverter.java:246-250,
-    // GenericJdbcTableWorker.java:32-36) and so do we.
-    val enforceablePks = Tables.primaryKeys + ("lineitem" -> Seq.empty)
+  /** The full pipeline against a caller-provided session (main wraps
+    * this with session lifecycle + exit codes; tests call it directly). */
+  def run(args: Array[String], spark: SparkSession): Unit = {
+    val acked = args.contains("--yes")
+    val positional = args.filterNot(_.startsWith("--"))
+    val source = positional(0)
+    val url = positional(1)
+    val mode = if (positional.length > 2) ConvertMode.parse(positional(2))
+      else ConvertMode.SkipExisting
+    requireDestructiveAck(mode, acked) match {
+      case Left(err) => throw new IllegalArgumentException(err)
+      case Right(()) => ()
+    }
+    val cfg = ConverterConfig(tableConvertMode = mode, dataConvertMode = mode)
+
+    // --- source discovery: one (TableSpec, partitioned read) per table.
+    val srcIsJdbc = source.toLowerCase.startsWith("jdbc:")
+    val srcConn =
+      if (srcIsJdbc) Some(DriverManager.getConnection(source)) else None
+    val sourceTables: Seq[(graft.catalog.TableSpec, () => org.apache.spark.sql.DataFrame)] =
+      srcConn match {
+        case Some(c) =>
+          // the reference's real flow: introspect the live source catalog
+          // (tables/columns/PKs/indexes) and read each table as a
+          // PK-range-partitioned scan pushed down to the source
+          Catalog.introspectAll(c, dialectFor(source)).map { spec =>
+            (spec, () => DataCopier.readJdbc(spark, source, spec,
+              new java.util.Properties(), cfg.maxNumberOfWorkers, None))
+          }
+        case None =>
+          // fixture mode: schemas from parquet footers, PKs/indexes from
+          // the fixture registry. Tables whose schemas aren't
+          // JDBC-expressible stay parquet-only (arrays are carried as
+          // zero-size opaque values by the reference and unsupported by
+          // most JDBC destinations — embeddings).
+          // (l_orderkey, l_linenumber) is NOT unique in the fixture data,
+          // so lineitem is effectively PK-less for a constrained
+          // destination — the reference skips PK-less tables
+          // (TableConverter.java:246-250, GenericJdbcTableWorker.java:
+          // 32-36) and so do we.
+          val enforceablePks = Tables.primaryKeys + ("lineitem" -> Seq.empty)
+          Tables.names.filterNot(_ == "embeddings").map { t =>
+            val df = Tables(spark, source, t)
+            (specFromStruct(t, df.schema, enforceablePks(t),
+              Tables.indexes.getOrElse(t, Nil)), () => Tables(spark, source, t))
+          }
+      }
 
     // Derby: ask for DB creation via properties (a ";create=true" URL
     // attribute doesn't survive sbt's command parsing).
     val connProps = new java.util.Properties()
     if (url.startsWith("jdbc:derby:")) connProps.setProperty("create", "true")
+    val destDialect = dialectFor(url)
     val conn = DriverManager.getConnection(url, connProps)
     try {
       conn.setAutoCommit(true)
-      val existing = Catalog.listTables(conn, Dialect.Derby)
+      val existing = Catalog.listTables(conn, destDialect)
         .map(_._2.toUpperCase).toSet
 
       val t0 = System.currentTimeMillis()
@@ -99,20 +151,22 @@ object ConverterApp {
       // --- phase 1 (sequential, driver-side): DDL with mode gates (J2).
       // The reference also runs DDL before any data moves
       // (Converter.java:69-83).
-      final case class Plan(table: String, spec: graft.catalog.TableSpec,
+      final case class Plan(spec: graft.catalog.TableSpec,
+          read: () => org.apache.spark.sql.DataFrame,
           copyData: Boolean, reason: String)
       // tables stage + index stage 2 run from the same spec: DdlGenerator
       // emits CREATE TABLE then CREATE INDEX per table (Converter.java:
       // 69-83 runs IndexConverter right after TableConverter), and the
       // carried indexes raise the per-row mutation count in rows-per-commit
       // (X3/A5 — each secondary index is one extra mutation per row).
-      val plans = tables.map { t =>
-        val df = Tables(spark, sfDir, t)
-        val spec = specFromStruct(t, df.schema, enforceablePks(t),
-          Tables.indexes.getOrElse(t, Nil))
-        if (!spec.hasPrimaryKey) Plan(t, spec, copyData = false, "no primary key")
+      val plans = sourceTables.map { case (spec0, read) =>
+        // destination tables are unqualified: the source schema (e.g.
+        // Derby APP) has no meaning in the destination catalog
+        val spec = spec0.copy(schema = None)
+        val t = spec.name
+        if (!spec.hasPrimaryKey) Plan(spec, read, copyData = false, "no primary key")
         else {
-          val script = DdlGenerator.script(spec, Dialect.Derby, mode,
+          val script = DdlGenerator.script(spec, destDialect, mode,
             existing.contains(t.toUpperCase), cfg) match {
             case Left(err) => throw new IllegalStateException(err)
             case Right(s) => s
@@ -129,8 +183,8 @@ object ConverterApp {
             }
           if (mode == ConvertMode.SkipAll ||
               (mode == ConvertMode.SkipExisting && destCount > 0))
-            Plan(t, spec, copyData = false, s"mode=$mode, destRows=$destCount")
-          else Plan(t, spec, copyData = true, "")
+            Plan(spec, read, copyData = false, s"mode=$mode, destRows=$destCount")
+          else Plan(spec, read, copyData = true, "")
         }
       }
 
@@ -143,13 +197,13 @@ object ConverterApp {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       val futures = plans.map { p =>
         if (!p.copyData) Future {
-          println(s"[convert] ${p.table}: data skipped (${p.reason})")
+          println(s"[convert] ${p.spec.name}: data skipped (${p.reason})")
           (0L, 0L)
         } else Future {
           val rpc = CopyPlanner.rowsPerCommit(p.spec, cfg)
-          val df = Tables(spark, sfDir, p.table)
-          val report = DataCopier.writeJdbc(df, url, p.table, cfg, rpc)
-          println(s"[convert] ${p.table}: ${report.records} records, " +
+          val df = p.read()
+          val report = DataCopier.writeJdbc(df, url, p.spec.name, cfg, rpc)
+          println(s"[convert] ${p.spec.name}: ${report.records} records, " +
             s"${report.bytes} bytes, rowsPerCommit=$rpc, ${report.elapsedMillis} ms")
           (report.records, report.bytes)
         }
@@ -159,7 +213,9 @@ object ConverterApp {
       pool.shutdown()
       println(s"[convert] TOTAL: ${results.map(_._1).sum} records, " +
         s"${results.map(_._2).sum} bytes, ${System.currentTimeMillis() - t0} ms")
-    } finally conn.close()
-    spark.stop()
+    } finally {
+      conn.close()
+      srcConn.foreach(c => try c.close() catch { case _: Exception => })
+    }
   }
 }

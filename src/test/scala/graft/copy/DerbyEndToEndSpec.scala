@@ -189,6 +189,75 @@ class DerbyEndToEndSpec extends SparkTestBase {
     st.close(); c.close()
   }
 
+  test("ConverterApp JDBC→JDBC: introspect a live Derby source, DDL + " +
+      "partitioned copy to a Derby destination — zero parquet") {
+    val srcUrl = "jdbc:derby:memory:graftJ2Jsrc"
+    val dstUrl = "jdbc:derby:memory:graftJ2Jdst"
+    // --- seed the SOURCE database: 2 PK tables (one with a secondary
+    // index, one composite-PK) + 1 PK-less table the app must skip
+    val sc = DriverManager.getConnection(srcUrl + ";create=true")
+    try {
+      val st = sc.createStatement()
+      for (t <- Seq("ACCOUNTS", "LEDGER", "NOTES"))
+        try st.executeUpdate(s"DROP TABLE $t") catch { case _: Exception => }
+      st.executeUpdate(
+        """CREATE TABLE accounts (
+          | acct_id BIGINT NOT NULL, owner VARCHAR(40), balance DOUBLE,
+          | PRIMARY KEY (acct_id))""".stripMargin)
+      st.executeUpdate("CREATE INDEX idx_accounts_owner ON accounts (owner)")
+      st.executeUpdate(
+        """CREATE TABLE ledger (
+          | acct_id BIGINT NOT NULL, seq INTEGER NOT NULL, amount DOUBLE,
+          | PRIMARY KEY (acct_id, seq))""".stripMargin)
+      st.executeUpdate("CREATE TABLE notes (txt VARCHAR(40))") // no PK
+      val pa = sc.prepareStatement("INSERT INTO accounts VALUES (?, ?, ?)")
+      for (i <- 0 until 500) {
+        pa.setLong(1, i); pa.setString(2, s"owner$i"); pa.setDouble(3, i * 1.25)
+        pa.addBatch()
+      }
+      pa.executeBatch()
+      val pl = sc.prepareStatement("INSERT INTO ledger VALUES (?, ?, ?)")
+      for (i <- 0 until 1200) {
+        pl.setLong(1, i % 100); pl.setInt(2, i / 100); pl.setDouble(3, i * 0.5)
+        pl.addBatch()
+      }
+      pl.executeBatch()
+      st.executeUpdate("INSERT INTO notes VALUES ('skip me')")
+      st.close()
+    } finally sc.close()
+
+    // --- the reference's real two-URL flow, end to end
+    graft.app.ConverterApp.run(
+      Array(srcUrl, dstUrl, "DropAndRecreate", "--yes"), spark)
+
+    // --- verify the DESTINATION over JDBC only
+    val dc = DriverManager.getConnection(dstUrl)
+    try {
+      def one(sql: String): (Long, Double) = {
+        val rs = dc.createStatement().executeQuery(sql)
+        rs.next(); val r = (rs.getLong(1), rs.getDouble(2)); rs.close(); r
+      }
+      val (na, sa) = one(
+        "SELECT COUNT(*), SUM(balance) FROM accounts")
+      assert(na == 500L && math.abs(sa - (0 until 500).map(_ * 1.25).sum) < 1e-6)
+      val (ol, _) = one("SELECT COUNT(*), SUM(LENGTH(owner)) FROM accounts")
+      assert(ol == 500L)
+      val (nl, sl) = one("SELECT COUNT(*), SUM(amount) FROM ledger")
+      assert(nl == 1200L && math.abs(sl - (0 until 1200).map(_ * 0.5).sum) < 1e-6)
+      // the secondary index carried through stage-2 DDL
+      val seen = Catalog.introspectTable(dc, Some("APP"), "ACCOUNTS")
+      assert(seen.indexes.exists(i =>
+        i.name.equalsIgnoreCase("idx_accounts_owner") &&
+          i.columns.map(_._1.toUpperCase) == Seq("OWNER")))
+      // composite PK survived
+      assert(Catalog.introspectTable(dc, Some("APP"), "LEDGER")
+        .primaryKey.map(_.toUpperCase) == Seq("ACCT_ID", "SEQ"))
+      // the PK-less table was skipped, as the reference does
+      assert(!Catalog.listTables(dc, Dialect.Derby)
+        .map(_._2.toUpperCase).contains("NOTES"))
+    } finally dc.close()
+  }
+
   test("DropAndRecreate without an explicit ack aborts before any DDL") {
     import graft.app.ConverterApp
     assert(ConverterApp.requireDestructiveAck(
