@@ -21,6 +21,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.select("centroid").distinct().count() > 1)
   }
 
+  test("ANN family shares ONE persisted IVF-assign stage; no centroid " +
+      "aggregate is re-planned outside the cache") {
+    val (c1, a1) = SimilarityQueries.sharedStages(spark, sfDir)
+    val (c2, a2) = SimilarityQueries.sharedStages(spark, sfDir)
+    assert((c1 eq c2) && (a1 eq a2), "sharedStages must memoize per (session, dir)")
+    assert(c1.storageLevel.useMemory && a1.storageLevel.useMemory,
+      "shared stages must be persisted")
+    // r3 finding: sim_ann_ivf planned the posexplode centroid aggregate
+    // 2-4x per query. Now the only posexplode lives inside the cached
+    // stage — the query's own physical tree has NO Generate node and
+    // reads the assignment via InMemoryTableScan.
+    for (q <- Seq("ivf_assign", "sim_ann_ivf", "sim_ann_ivf_probe2")) {
+      val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+      assert(plan.collectWithSubqueries {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.isEmpty, s"$q re-plans an explode outside the cached stage:\n$plan")
+      assert(plan.toString.contains("InMemoryTableScan"),
+        s"$q does not read the shared cached stage:\n$plan")
+    }
+  }
+
   test("sim_ann_ivf returns ranked neighbors from the query's bucket only") {
     val assign = SparkEntry.queries("ivf_assign")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
