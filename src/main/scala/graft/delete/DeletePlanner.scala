@@ -79,6 +79,12 @@ object DeletePlanner {
     connProps.foreach { case (k, v) => p.setProperty(k, v) }
     val conn = DriverManager.getConnection(url, p)
     try {
+      // the reference pins EVERY partitioned read path; the probe
+      // connection honors the same snapshot options as the readers
+      // (boundaries only affect balance — ranges are half-open — but a
+      // pinned probe sees the same state the pinned scan will)
+      graft.sources.JdbcHooks.beforeFetchAll(conn = conn, url = url,
+        props = connProps)
       val st = conn.createStatement()
       try {
         val rs0 = st.executeQuery(s"SELECT COUNT(*) FROM $table")

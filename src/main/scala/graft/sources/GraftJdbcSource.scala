@@ -87,28 +87,6 @@ private[sources] object GraftJdbcSource {
     case _ => None
   }
 
-  /** Run every matching dialect's `beforeFetch` hook (the snapshot-pin
-    * contract) on a freshly opened connection. `JdbcDialects.get` wraps
-    * multiple matches in an `AggregatedDialect` that does NOT delegate
-    * `beforeFetch` — so a session hook would silently vanish the moment
-    * a second dialect matches the URL; unwrap it (the member list is a
-    * private field, hence the narrow reflective read) and invoke each
-    * member's hook. Falls back to the resolved dialect's own hook if the
-    * internals ever change shape. */
-  def beforeFetchHooks(url: String, conn: java.sql.Connection,
-      props: Map[String, String]): Unit = {
-    val d = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
-    val members =
-      if (d.getClass.getName == "org.apache.spark.sql.jdbc.AggregatedDialect")
-        try {
-          val f = d.getClass.getDeclaredField("dialects")
-          f.setAccessible(true)
-          f.get(d).asInstanceOf[Seq[org.apache.spark.sql.jdbc.JdbcDialect]]
-        } catch { case _: Exception => Seq(d) }
-      else Seq(d)
-    members.foreach(_.beforeFetch(conn, props))
-  }
-
   /** Compile a Spark source filter to a WHERE fragment; None = keep it
     * in Spark. Only plain column references are compiled (no nested). */
   def compileFilter(f: Filter): Option[String] = {
@@ -456,7 +434,7 @@ private[sources] class GraftJdbcPartitionReader(required: StructType,
 
   SpannerDialect.register() // idempotent; executors resolve the URL fresh
   private val conn = opts.connect()
-  GraftJdbcSource.beforeFetchHooks(opts.url, conn, opts.raw)
+  JdbcHooks.beforeFetchAll(opts.url, conn, opts.raw)
   private val stmt = conn.createStatement()
   private val rs: ResultSet = {
     val where = (predicate +: filterSql.toSeq).mkString("(", ") AND (", ")")

@@ -220,9 +220,13 @@ class GraftJdbcSourceSpec extends SparkTestBase {
       .option(SpannerDialect.ReadTimestampProperty, "2026-01-01T00:00:00Z")
       .load()
     assert(df.count() == 100)
-    assert(PinRecordingDialect.calls.get() == 4,
-      s"beforeFetch ran ${PinRecordingDialect.calls.get()} times, want 4 " +
-        "(one per partition connection)")
+    // 4 partition-reader connections + the split-point probe connection(s)
+    // (the reference pins every partitioned read path, probes included;
+    // Spark may invoke planInputPartitions more than once, so the probe
+    // count is a lower bound, not an exact figure)
+    assert(PinRecordingDialect.calls.get() >= 5,
+      s"beforeFetch ran ${PinRecordingDialect.calls.get()} times, want >= 5 " +
+        "(one per partition connection plus the boundary probe)")
     assert(PinRecordingDialect.lastProps.exists {
       case (k, v) => k.equalsIgnoreCase(SpannerDialect.ReadTimestampProperty) &&
         v == "2026-01-01T00:00:00Z"
