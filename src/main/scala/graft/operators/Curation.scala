@@ -89,6 +89,52 @@ object Curation {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Exact-match decontamination: which training docs are a benchmark
+    * doc verbatim, up to case and whitespace (lowercase + trim +
+    * collapse runs)? The cheap companion to the n-gram overlap check
+    * ([[decontaminate]]) — it catches whole-document leaks that were
+    * lightly reformatted. Benchmark hashes broadcast (eval suites are
+    * metadata-sized next to a 100 TB corpus), so the corpus is one
+    * narrow scan + a broadcast semi join — no shuffle at all.
+    * Output: (idCol, `content_hash`) for each contaminated train doc. */
+  def decontaminateExact(train: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def norm(c: Column): Column =
+      md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+    train.select(col(idCol), norm(col(textCol)).as("content_hash"))
+      .join(broadcast(benchmark.select(norm(col(textCol)).as("content_hash"))
+        .distinct()), Seq("content_hash"), "left_semi")
+      .select(col(idCol), col("content_hash"))
+  }
+
+  /** Epoch-aware mixture expansion: each group's docs are emitted
+    * `epochs` times, where epochs is a per-group per-mille target
+    * (2500‰ = 2.5 epochs → every doc twice, a deterministic
+    * content-hash-selected half a third time; 400‰ = downsample to
+    * 0.4 epochs). This is the "repeat high-quality sources, subsample
+    * the rest" mixing step a training-data pipeline runs last. The
+    * fractional part uses the same integer content-hash predicate as
+    * [[stratifiedHashSample]] — no RNG, reproducible everywhere — and
+    * the expansion is a narrow `explode(sequence(...))` over one scan:
+    * output size is exactly sum(epochs·|group|), no shuffle.
+    * Output: (idCol, groupCol, `copy_id` ∈ [0, n_copies)). */
+  def epochMix(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, epochsPerMilleByGroup: Map[String, Int],
+      defaultPerMille: Int = 1000): DataFrame = {
+    val e = epochsPerMilleByGroup.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPerMille)) { case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit(r)).otherwise(acc)
+      }
+    // whole epochs + one deterministic fractional copy; integer halves
+    // ((e - e%1000)/1000 is exact), so no float ever decides a copy
+    val copies = ((e - e % 1000) / 1000).cast("long") +
+      when(hashBucket(col(textCol), 1000) < e % 1000, 1L).otherwise(0L)
+    docs.select(col(idCol), col(groupCol), copies.as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col(idCol), col(groupCol),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_id"))
+  }
+
   /** Temperature-flattened mixture sampling at α = 1/2: each domain
     * keeps ~sqrt(n_d / n_max) of its docs, so oversized domains are
     * downsampled toward a flatter mixture while the largest stays whole

@@ -74,6 +74,27 @@ object CurationQueries {
         d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
         "doc_id", "text", k = 5)
     },
+    // Exact-match decontamination up to case/whitespace: the train side
+    // is docs >= 50 plus re-ingested copies of every third benchmark doc
+    // (upper-cased, extra whitespace — the "lightly reformatted leak"),
+    // which the normalized-hash broadcast semi join must catch.
+    "decon_exact" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val bench = d.filter(col("doc_id") < 50)
+      val train = d.filter(col("doc_id") >= 50).select(col("doc_id"), col("text"))
+        .unionAll(bench.filter(col("doc_id") % 3 === 1)
+          .select((col("doc_id") + 30000L).as("doc_id"),
+            concat(lit("  "), regexp_replace(upper(col("text")), " ", "  "))
+              .as("text")))
+      Curation.decontaminateExact(train, bench, "doc_id", "text")
+    },
+    // Epoch-aware mixing: src0 repeats 2.5 epochs, src1 downsamples to
+    // 0.4, everything else passes through once — deterministic
+    // content-hash fractions, narrow explode, no shuffle.
+    "cur_epoch_mix" -> { (s, dir) =>
+      Curation.epochMix(Tables(s, dir, "documents"), "doc_id", "source",
+        "text", Map("src0" -> 2500, "src1" -> 400))
+    },
     // Sequence packing with document splitting: per-source 256-token
     // training sequences; straddling docs emit one row per covered
     // sequence with the in-doc token span.
@@ -153,6 +174,34 @@ object CurationQueries {
       """SELECT o_orderkey,
         | ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
         |FROM orders""".stripMargin,
+    "decon_exact" ->
+      """WITH norm AS (
+        | SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        | FROM documents),
+        |bench AS (SELECT DISTINCT h FROM norm WHERE doc_id < 50),
+        |train AS (
+        | SELECT doc_id, h FROM norm WHERE doc_id >= 50
+        | UNION ALL
+        | SELECT doc_id + 30000,
+        |  md5(regexp_replace(lower(trim('  ' ||
+        |    replace(upper(text), ' ', '  '))), '\s+', ' ', 'g'))
+        | FROM documents WHERE doc_id < 50 AND doc_id % 3 = 1)
+        |SELECT t.doc_id, t.h AS content_hash
+        |FROM train t WHERE t.h IN (SELECT h FROM bench)""".stripMargin,
+    "cur_epoch_mix" ->
+      """SELECT doc_id, source, unnest(range(n_copies)) AS copy_id FROM (
+        | SELECT doc_id, source,
+        |  (e - e % 1000) // 1000
+        |   + CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000
+        |            < e % 1000 THEN 1 ELSE 0 END AS n_copies
+        | FROM (
+        |  SELECT doc_id, source, text,
+        |   CASE WHEN source = 'src0' THEN 2500
+        |        WHEN source = 'src1' THEN 400
+        |        ELSE 1000 END AS e
+        |  FROM documents) t0) t1
+        |WHERE n_copies > 0""".stripMargin,
     // CAST back to BIGINT: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
     // renders as float64 — the driver's value hash then sees 500.0 vs 500.
     "cur_token_shards" ->

@@ -323,4 +323,28 @@ object Dedup {
     cc.select(col("id").as("vec_id"), col("cluster_id"),
       (col("id") === col("cluster_id")).as("keep"))
   }
+
+  /** Representative selection: per near-dup cluster, keep the member
+    * with the highest quality score (ties → lowest id) — the policy a
+    * real pipeline applies after clustering, where "one doc per
+    * cluster" should keep the BEST copy (longest, cleanest), not an
+    * arbitrary one. The argmax is a single `max(struct(score, -id))`
+    * aggregate, so it map-side combines and needs exactly one shuffle
+    * keyed by cluster — no per-cluster sort, no window. Ordering is
+    * exact when `score` is integral (the registered query uses token
+    * counts).
+    *
+    * Input: `labels` (idCol, `cluster_id`) as produced by
+    * [[connectedComponents]]; `quality` (idCol, scoreCol). Output:
+    * (`cluster_id`, `keep_id`, `keep_score`, `n_members`). */
+  def keepBest(labels: DataFrame, quality: DataFrame, idCol: String,
+      scoreCol: String): DataFrame =
+    labels.join(quality, idCol)
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negId")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("best.negId")).as("keep_id"),
+        col("best.s").as("keep_score"), col("n_members"))
 }

@@ -111,6 +111,20 @@ object DedupQueries {
       Dedup.connectedComponents(verts, pairs)
         .select(col("id").as("doc_id"), col("cluster_id"))
     },
+    // Representative selection on top of the CC clusters: keep the
+    // highest-token-count member per cluster (ties → lowest doc_id).
+    // One struct-max aggregate — map-side combinable, one shuffle keyed
+    // by cluster, no per-cluster sort.
+    "dedup_keep_best" -> { (s, dir) =>
+      val d = docs(s, dir, 100)
+      val labels = Dedup.connectedComponents(
+        d.select(col("doc_id").as("id")),
+        Dedup.jaccardPairs(d, "doc_id", "text", dfCap = ShingleDfCap))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val quality = d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Dedup.keepBest(labels, quality, "doc_id", "n_tokens")
+    },
     // Embedding cosine near-dup: top-20 most-similar pairs in a bounded
     // subset (cast to double, exact-ordered with PK tiebreaks). The
     // unbounded scale path is LSH-bucketed (see sim_ann_lsh).
@@ -231,8 +245,33 @@ object DedupQueries {
       |JOIN sg sb ON sb.doc_id = b_id
       |WHERE bit_count(xor(sa.s, sb.s)) <= 16""".stripMargin
 
+  // CC labels (the ccOracle fixpoint) + token-count argmax per cluster.
+  private val keepBestOracle =
+    s"""WITH RECURSIVE $jaccardCtes,
+      |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      |          UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(id, r) AS (
+      | SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+      | UNION
+      | SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+      |labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      |q AS (
+      | SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+      |  END AS n_tokens
+      | FROM documents WHERE doc_id < 100)
+      |SELECT cluster_id, keep_id, keep_score, n_members FROM (
+      | SELECT l.cluster_id, q.doc_id AS keep_id, q.n_tokens AS keep_score,
+      |  ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+      |                     ORDER BY q.n_tokens DESC, q.doc_id) AS rn,
+      |  CAST(COUNT(*) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS n_members
+      | FROM labels l JOIN q ON q.doc_id = l.id) t
+      |WHERE rn = 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_simhash" -> simhashOracle,
+    "dedup_keep_best" -> keepBestOracle,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         | COUNT(*) AS n_copies

@@ -456,4 +456,65 @@ class LibraryApiSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == kept)
   }
+
+  test("Dedup.keepBest: highest score wins per cluster, ties take lowest id, " +
+      "singletons keep themselves") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
+      (7L, 7L), (9L, 7L),                          // cluster 7
+      (5L, 5L))                                    // singleton
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 10L), (2L, 40L), (3L, 40L), // tie at 40 → id 2
+      (7L, 3L), (9L, 8L), (5L, 1L))
+      .toDF("doc_id", "score")
+    val got = Dedup.keepBest(labels, quality, "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 40L, 3L)),  // tie on score → lowest doc_id
+      7L -> ((9L, 8L, 2L)),   // strictly best score
+      5L -> ((5L, 1L, 1L))))  // singleton
+  }
+
+  test("Curation.decontaminateExact: catches case/whitespace-mangled copies, " +
+      "passes genuinely novel docs") {
+    import spark.implicits._
+    val bench = Seq((1L, "the quick brown fox"), (2L, "hello world"))
+      .toDF("id", "body")
+    val train = Seq(
+      (10L, "THE  quick   Brown fox "), // mangled copy of bench 1
+      (11L, "hello world"),             // verbatim copy of bench 2
+      (12L, "hello worlds"),            // near, but NOT a match
+      (13L, "completely different"))
+      .toDF("id", "body")
+    val hits = Curation.decontaminateExact(train, bench, "id", "body")
+      .select("id").as[Long].collect().toSet
+    assert(hits == Set(10L, 11L))
+  }
+
+  test("Curation.epochMix: whole epochs replicate exactly, fractional part " +
+      "is deterministic, downsampled groups shrink") {
+    import spark.implicits._
+    val docs = ((0 until 100).map(i => (i.toLong, s"hot doc $i", "hot")) ++
+      (0 until 100).map(i => (i + 1000L, s"cold doc $i", "cold")))
+      .toDF("doc_id", "text", "src")
+    val out = Curation.epochMix(docs, "doc_id", "src", "text",
+      Map("hot" -> 2300, "cold" -> 250))
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hot: every doc twice (200) plus ~30% once more; cold: ~25% once
+    assert(bySrc("hot") >= 200L && bySrc("hot") < 300L)
+    assert(bySrc.getOrElse("cold", 0L) < 100L)
+    // every hot doc appears at least twice with dense copy_ids 0..n-1
+    val hotCopies = out.filter(col("src") === "hot")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("copy_id").as("mx"))
+      .collect()
+    assert(hotCopies.length == 100)
+    hotCopies.foreach { r =>
+      assert(r.getLong(1) >= 2L && r.getLong(2) == r.getLong(1) - 1)
+    }
+    // determinism
+    assert(Curation.epochMix(docs, "doc_id", "src", "text",
+      Map("hot" -> 2300, "cold" -> 250)).count() == out.count())
+  }
 }
