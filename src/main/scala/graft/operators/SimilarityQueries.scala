@@ -126,6 +126,29 @@ object SimilarityQueries {
         .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("centroid"))
       Similarity.ivfTopK(q, c, k = 3)
     },
+    // ANN quality evaluation: per-query recall of the IVF search against
+    // brute-force ground truth — the metric that decides whether an
+    // index's probe count is adequate before a 100 TB rollout. Both
+    // sides are tiny per-query top-k lists (k rows per query), so the
+    // comparison join costs nothing next to the searches themselves;
+    // the IVF side reuses the shared assign stage. Integer outputs
+    // (hits, truth size) keep the comparison float-free.
+    "sim_recall_at_k" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val truth = Similarity.bruteForceTopK(querySide(e), corpusSide(e), k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val v = e.join(sharedStages(s, dir)._2, "vec_id")
+      val q = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("va"), col("centroid"))
+      val c = v.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("centroid"))
+      val ann = Similarity.ivfTopK(q, c, k = 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      truth.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          count(lit(1)).as("n_truth"))
+    },
     // Per-label centroids: posexplode + (label, dim) aggregate — the
     // standard distributed "mean vector per class" shape (one shuffle
     // keyed by (label, dim); reassembly is a cheap driver-side sort or
@@ -296,6 +319,55 @@ object SimilarityQueries {
         | JOIN v cv ON cv.vec_id = c.vec_id
         | WHERE q.vec_id < 10 AND c.vec_id >= 10
         |) t WHERE rnk <= 3""".stripMargin,
+    // The sim_ann_ivf pipeline and the brute-force pipeline, joined into
+    // a per-query hit count — recall@3 audit with all-integer outputs.
+    "sim_recall_at_k" ->
+      """WITH m AS (
+        | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
+        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+        |   CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings) t GROUP BY 1, 2),
+        |cent AS (
+        | SELECT label AS c_label, list(m ORDER BY dim) AS c FROM m GROUP BY label),
+        |cent2 AS (
+        | SELECT c_label, c,
+        |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
+        | FROM cent),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assign AS (
+        | SELECT vec_id, c_label AS centroid FROM (
+        |  SELECT vec_id, c_label,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id
+        |     ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
+        |  FROM v, cent2) t WHERE rn = 1),
+        |ann AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(qv.v, cv.v) DESC, c.vec_id) AS rnk
+        |  FROM assign q
+        |  JOIN assign c ON q.centroid = c.centroid
+        |  JOIN v qv ON qv.vec_id = q.vec_id
+        |  JOIN v cv ON cv.vec_id = c.vec_id
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10
+        | ) t WHERE rnk <= 3),
+        |truth AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                     CAST(c.embedding AS DOUBLE[])) DESC,
+        |              c.vec_id) AS rnk
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10
+        | ) t WHERE rnk <= 3)
+        |SELECT t.query_id,
+        | CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_hits,
+        | CAST(COUNT(*) AS BIGINT) AS n_truth
+        |FROM truth t LEFT JOIN ann a
+        | ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        |GROUP BY 1""".stripMargin,
     "sim_ann_ivf_probe2" ->
       """WITH m AS (
         | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (

@@ -32,7 +32,8 @@ class SimilaritySpec extends SparkTestBase {
     // 2-4x per query. Now the only posexplode lives inside the cached
     // stage — the query's own physical tree has NO Generate node and
     // reads the assignment via InMemoryTableScan.
-    for (q <- Seq("ivf_assign", "sim_ann_ivf", "sim_ann_ivf_probe2")) {
+    for (q <- Seq("ivf_assign", "sim_ann_ivf", "sim_ann_ivf_probe2",
+        "sim_recall_at_k")) {
       val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
       assert(plan.collectWithSubqueries {
         case g: org.apache.spark.sql.execution.GenerateExec => g
@@ -64,6 +65,22 @@ class SimilaritySpec extends SparkTestBase {
     // recovery can't drop; on this fixture it strictly improves for at
     // least one query or stays equal
     assert(r2 >= r1, s"probe2 recall $r2 < probe1 recall $r1")
+  }
+
+  test("sim_recall_at_k ≡ hand-computed overlap of IVF vs brute force") {
+    val brute = topk("sim_topk_bruteforce").map { case (q, ns) =>
+      q -> ns.take(3).toSet // truth at k=3
+    }
+    val ivf = topk("sim_ann_ivf")
+    val got = SparkEntry.queries("sim_recall_at_k")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == brute.keySet, "one recall row per query")
+    got.foreach { case (q, (hits, truth)) =>
+      assert(truth == 3L, s"query $q truth size $truth != 3")
+      val expected = ivf.getOrElse(q, Seq.empty).count(brute(q).contains).toLong
+      assert(hits == expected, s"query $q: got $hits hits, expected $expected")
+      assert(hits >= 0L && hits <= 3L)
+    }
   }
 
   test("lsh ANN candidates overlap brute-force top-5 (sanity recall)") {
