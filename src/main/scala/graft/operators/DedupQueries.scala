@@ -32,6 +32,26 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String, maxDocId: Int): DataFrame =
     Tables(s, dir, "documents").filter(col("doc_id") < maxDocId)
 
+  /** Shared near-dup cluster labels (jaccard pairs → connected
+    * components over docs < 100), computed once per (session, fixture
+    * dir) and persisted — `dedup_cluster_cc`, `dedup_cluster_stats` and
+    * `dedup_keep_best` all consume the same labeling, and the CC label
+    * rounds are the expensive part (iterative jobs), so re-planning them
+    * per query tripled the family's cost. Same memoization shape as the
+    * ANN family's shared IVF-assign stage. */
+  private val ccCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def ccLabels(s: SparkSession, dir: String): DataFrame =
+    ccCache.getOrElseUpdate((s, dir), {
+      val d = docs(s, dir, 100)
+      Dedup.connectedComponents(
+        d.select(col("doc_id").as("id")),
+        Dedup.jaccardPairs(d, "doc_id", "text", dfCap = ShingleDfCap))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .persist()
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content, keep lowest PK per group —
     // one shuffle on the content hash, scales to any corpus size.
@@ -64,7 +84,7 @@ object DedupQueries {
     // pipeline actually emits: how many clusters of each size, rows
     // kept (one per cluster) and rows dropped.
     "dedup_cluster_stats" -> { (s, dir) =>
-      val labels = queries("dedup_cluster_cc")(s, dir)
+      val labels = ccLabels(s, dir)
       labels.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
         .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
         .withColumn("rows_kept", col("n_clusters"))
@@ -104,26 +124,15 @@ object DedupQueries {
     // through the pair graph. Iterative min-label propagation (one
     // shuffle per round, rounds = graph diameter); the oracle computes
     // the same fixpoint with a recursive CTE.
-    "dedup_cluster_cc" -> { (s, dir) =>
-      val pairs = Dedup.jaccardPairs(docs(s, dir, 100), "doc_id", "text",
-        dfCap = ShingleDfCap)
-      val verts = docs(s, dir, 100).select(col("doc_id").as("id"))
-      Dedup.connectedComponents(verts, pairs)
-        .select(col("id").as("doc_id"), col("cluster_id"))
-    },
+    "dedup_cluster_cc" -> { (s, dir) => ccLabels(s, dir) },
     // Representative selection on top of the CC clusters: keep the
     // highest-token-count member per cluster (ties → lowest doc_id).
     // One struct-max aggregate — map-side combinable, one shuffle keyed
     // by cluster, no per-cluster sort.
     "dedup_keep_best" -> { (s, dir) =>
-      val d = docs(s, dir, 100)
-      val labels = Dedup.connectedComponents(
-        d.select(col("doc_id").as("id")),
-        Dedup.jaccardPairs(d, "doc_id", "text", dfCap = ShingleDfCap))
-        .select(col("id").as("doc_id"), col("cluster_id"))
-      val quality = d.select(col("doc_id"),
+      val quality = docs(s, dir, 100).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-      Dedup.keepBest(labels, quality, "doc_id", "n_tokens")
+      Dedup.keepBest(ccLabels(s, dir), quality, "doc_id", "n_tokens")
     },
     // Embedding cosine near-dup: top-20 most-similar pairs in a bounded
     // subset (cast to double, exact-ordered with PK tiebreaks). The

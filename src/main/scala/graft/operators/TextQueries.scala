@@ -59,6 +59,16 @@ object TextQueries {
           .when(sFr > 0, "fr")
           .otherwise("unk").as("pred_lang"))
     },
+    // Language-ID accuracy audit: the prediction joined back to the
+    // corpus's ground-truth lang column as a confusion matrix — one
+    // narrow map + one metadata-sized aggregate, same shape at any
+    // corpus size.
+    "text_langid_eval" -> { (s, dir) =>
+      queries("text_langid")(s, dir).select("doc_id", "pred_lang")
+        .join(Tables(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+    },
     "text_fingerprint" -> { (s, dir) =>
       Tables(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -192,6 +202,25 @@ object TextQueries {
     s"CAST((length(p) - length(replace(p, '$token', ''))) / ${token.length} AS BIGINT)"
   }
 
+  /** the full langid pipeline as SQL — shared by the prediction query
+    * and the accuracy audit */
+  private val langidSql: String = {
+    val en = Seq("the", "and", "of").map(occSql).mkString(" + ")
+    val es = Seq("el", "la", "los").map(occSql).mkString(" + ")
+    val de = Seq("der", "und", "die").map(occSql).mkString(" + ")
+    val fr = Seq("le", "les", "des").map(occSql).mkString(" + ")
+    s"""SELECT doc_id, s_en, s_es, s_de, s_fr,
+       | CASE WHEN s_en >= GREATEST(s_es, s_de, s_fr) AND s_en > 0 THEN 'en'
+       |      WHEN s_es >= GREATEST(s_de, s_fr) AND s_es > 0 THEN 'es'
+       |      WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+       |      WHEN s_fr > 0 THEN 'fr'
+       |      ELSE 'unk' END AS pred_lang
+       |FROM (
+       | SELECT doc_id, $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr
+       | FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents) t0
+       |) t1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "text_token_count" ->
       """SELECT doc_id,
@@ -213,22 +242,15 @@ object TextQueries {
         | CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
         | CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_spaces
         |FROM documents""".stripMargin,
-    "text_langid" -> {
-      val en = Seq("the", "and", "of").map(occSql).mkString(" + ")
-      val es = Seq("el", "la", "los").map(occSql).mkString(" + ")
-      val de = Seq("der", "und", "die").map(occSql).mkString(" + ")
-      val fr = Seq("le", "les", "des").map(occSql).mkString(" + ")
-      s"""SELECT doc_id, s_en, s_es, s_de, s_fr,
-         | CASE WHEN s_en >= GREATEST(s_es, s_de, s_fr) AND s_en > 0 THEN 'en'
-         |      WHEN s_es >= GREATEST(s_de, s_fr) AND s_es > 0 THEN 'es'
-         |      WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
-         |      WHEN s_fr > 0 THEN 'fr'
-         |      ELSE 'unk' END AS pred_lang
-         |FROM (
-         | SELECT doc_id, $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr
-         | FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents) t0
-         |) t1""".stripMargin
-    },
+    "text_langid" -> langidSql,
+    // Prediction vs the corpus's ground-truth lang column, as a
+    // confusion-matrix count — the audit that decides whether the
+    // heuristic is good enough to gate a language-filtered corpus.
+    "text_langid_eval" ->
+      s"""WITH pred AS ($langidSql)
+         |SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM documents d JOIN pred p USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
     // h = Σ b_i·31^(n-1-i) mod 2^64 in HUGEINT, re-signed to BIGINT.

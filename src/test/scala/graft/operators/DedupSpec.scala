@@ -52,6 +52,21 @@ class DedupSpec extends SparkTestBase {
     assert(sig(0).length == 8)
   }
 
+  test("cluster family (cc / stats / keep_best) shares ONE persisted " +
+      "CC-labels stage") {
+    val a = DedupQueries.ccLabels(spark, sfDir)
+    val b = DedupQueries.ccLabels(spark, sfDir)
+    assert(a eq b, "ccLabels must memoize per (session, dir)")
+    assert(a.storageLevel.useMemory, "shared CC labels must be persisted")
+    // consumers read the cached stage instead of re-running label rounds
+    for (q <- Seq("dedup_cluster_stats", "dedup_keep_best")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(plan.toString.contains("InMemoryTableScan"),
+        s"$q does not read the shared CC-labels stage:\n$plan")
+    }
+  }
+
   test("dedup_exact groups every document exactly once") {
     val out = graft.SparkEntry.queries("dedup_exact")(spark, sfDir)
     val total = out.agg(sum("n_copies")).collect()(0).getLong(0)
