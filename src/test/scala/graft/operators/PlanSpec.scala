@@ -161,6 +161,28 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for rate join:\n$plan")
   }
 
+  test("decon_exact: normalized bench hashes broadcast-semi-join — zero shuffle") {
+    val plan = planOf("decon_exact")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"bench hashes not a broadcast semi join:\n$plan")
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("SortMergeJoin"),
+      s"decon_exact shuffles — should be scan + broadcast semi only:\n$plan")
+  }
+
+  test("cur_epoch_mix: pure narrow explode — no exchange of any kind") {
+    val plan = planOf("cur_epoch_mix")
+    assert(plan.contains("Generate"), s"no explode in plan:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"cur_epoch_mix shuffles — must stay a narrow map:\n$plan")
+  }
+
+  test("dedup_keep_best: struct-max argmax aggregates map-side (partial phase)") {
+    val plan = planOf("dedup_keep_best")
+    assert(plan.contains("partial_max") || plan.contains("partial max"),
+      s"keep-best argmax lacks a map-side partial phase:\n$plan")
+    assert(!plan.contains("Window"), s"keep-best must not window-sort:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // One key owns ~90% of the fact rows; with the skew thresholds scaled
     // to fixture size, AQE's runtime re-plan must split that partition
