@@ -363,4 +363,28 @@ class StreamingSpec extends SparkTestBase {
     val expect = EtlQueries.queries("ev_sessionize")(spark, sfDir).count()
     assert(nSessions == expect)
   }
+
+  test("exact decontamination runs as a stream-static join: contaminated " +
+      "docs flagged as they arrive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static benchmark side (broadcast, as in batch)
+    val bench = Seq((1L, "the quick brown fox"), (2L, "hello world"))
+      .toDF("id", "body")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.operators.Curation.decontaminateExact(
+        stream.toDF().toDF("id", "body"), bench, "id", "body")
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData((10L, "THE  quick   Brown fox "), (11L, "novel text"))
+      q.processAllAvailable()
+      stream.addData((12L, "hello world"), (13L, "more novel text"))
+      q.processAllAvailable()
+      val hits = spark.table("decon_stream")
+        .select("id").as[Long].collect().toSet
+      // same verdicts the batch form gives, incrementally per micro-batch
+      assert(hits == Set(10L, 12L), s"wrong contamination set: $hits")
+    } finally q.stop()
+  }
 }
