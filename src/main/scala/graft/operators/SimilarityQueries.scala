@@ -149,6 +149,22 @@ object SimilarityQueries {
         .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
           count(lit(1)).as("n_truth"))
     },
+    // One Lloyd iteration of k-means: re-estimate each centroid as the
+    // mean of the vectors currently assigned to it (the shared IVF
+    // assignment). Iterating this step IS k-means training — the
+    // "train the coarse quantizer" path that produces the centroids a
+    // production IVF index uses (the registered queries seed from
+    // per-label means purely because the fixture ships labels). Same
+    // one-shuffle posexplode aggregate shape as vec_centroids; assigned
+    // membership counts come out alongside for empty-cluster handling.
+    "vec_kmeans_step" -> { (s, dir) =>
+      vecs(s, dir).join(sharedStages(s, dir)._2, "vec_id")
+        .select(col("centroid"), posexplode(col("v")))
+        .groupBy(col("centroid"), col("pos").as("dim"))
+        .agg(round(avg(col("col")), 4).as("new_m"),
+          count(lit(1)).as("n"))
+        .select("centroid", "dim", "new_m", "n")
+    },
     // Per-label centroids: posexplode + (label, dim) aggregate — the
     // standard distributed "mean vector per class" shape (one shuffle
     // keyed by (label, dim); reassembly is a cheap driver-side sort or
@@ -399,6 +415,33 @@ object SimilarityQueries {
         | JOIN v qv ON qv.vec_id = q.vec_id
         | JOIN v cv ON cv.vec_id = c.vec_id
         |) t WHERE rnk <= 3""".stripMargin,
+    // the ivf_assign pipeline + a (centroid, dim) re-mean — one Lloyd step
+    "vec_kmeans_step" ->
+      """WITH m AS (
+        | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
+        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+        |   CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings) t GROUP BY 1, 2),
+        |cent AS (
+        | SELECT label AS c_label, list(m ORDER BY dim) AS c FROM m GROUP BY label),
+        |cent2 AS (
+        | SELECT c_label, c,
+        |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
+        | FROM cent),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assign AS (
+        | SELECT vec_id, c_label AS centroid FROM (
+        |  SELECT vec_id, c_label,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id
+        |     ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
+        |  FROM v, cent2) t WHERE rn = 1)
+        |SELECT centroid, dim, ROUND(AVG(val), 4) AS new_m,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (
+        | SELECT a.centroid, CAST(unnest(range(len(e.embedding))) AS INT) AS dim,
+        |  CAST(unnest(e.embedding) AS DOUBLE) AS val
+        | FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id) t
+        |GROUP BY 1, 2""".stripMargin,
     "vec_centroids" ->
       """SELECT label, dim, ROUND(AVG(v), 4) AS mean_val, COUNT(*) AS n
         |FROM (

@@ -67,6 +67,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(r2 >= r1, s"probe2 recall $r2 < probe1 recall $r1")
   }
 
+  test("vec_kmeans_step: per-centroid means cover every assigned vector " +
+      "exactly once, all dims present") {
+    val out = SparkEntry.queries("vec_kmeans_step")(spark, sfDir).collect()
+    val nVecs = Tables(spark, sfDir, "embeddings").count()
+    val dims = out.map(_.getInt(1)).distinct
+    assert(dims.length == 64 && dims.min == 0 && dims.max == 63)
+    // each vector contributes one value per dim: Σ n over (centroid, dim)
+    // = 64 · |corpus|, and per-dim membership sums to the corpus size
+    assert(out.map(_.getLong(3)).sum == 64L * nVecs)
+    val perDim = out.groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(3)).sum)
+    assert(perDim.values.forall(_ == nVecs))
+  }
+
   test("sim_recall_at_k ≡ hand-computed overlap of IVF vs brute force") {
     val brute = topk("sim_topk_bruteforce").map { case (q, ns) =>
       q -> ns.take(3).toSet // truth at k=3
