@@ -24,7 +24,8 @@ object Bench {
     "win_running_total", "o2_offset_pagination", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "sim_topk_bruteforce",
     "sim_ann_lsh", "sim_ann_ivf", "text_langid", "text_chunk_dedup",
-    "vec_centroids", "mm_frame_sample", "asof_merge_join", "dedup_semantic")
+    "vec_centroids", "mm_frame_sample", "asof_merge_join", "dedup_semantic",
+    "dedup_keep_best", "sim_recall_at_k", "cur_epoch_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -95,6 +95,27 @@ object CurationQueries {
       Curation.epochMix(Tables(s, dir, "documents"), "doc_id", "source",
         "text", Map("src0" -> 2500, "src1" -> 400))
     },
+    // Mixture audit over cur_epoch_mix: per-source docs/copies/token
+    // output and the realized per-mille token share — the check that the
+    // mix actually hit its target weights before tokens are burned on
+    // it. Integer shares (floor per-mille), one metadata-sized aggregate
+    // + a broadcast total.
+    "cur_mixture_report" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val mix = Curation.epochMix(d, "doc_id", "source", "text",
+        Map("src0" -> 2500, "src1" -> 400))
+      val per = mix.join(toks, "doc_id")
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_copies"),
+          sum("n_tokens").as("tokens_out"))
+      per.crossJoin(broadcast(per.agg(sum("tokens_out").as("total_tokens"))))
+        .select(col("source"), col("n_docs"), col("n_copies"),
+          col("tokens_out"),
+          expr("tokens_out * 1000 div total_tokens").as("share_pm"))
+    },
     // Sequence packing with document splitting: per-source 256-token
     // training sequences; straddling docs emit one row per covered
     // sequence with the in-doc token span.
@@ -202,6 +223,35 @@ object CurationQueries {
         |        ELSE 1000 END AS e
         |  FROM documents) t0) t1
         |WHERE n_copies > 0""".stripMargin,
+    "cur_mixture_report" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |  END AS n_tokens
+        | FROM documents),
+        |mix AS (
+        | SELECT doc_id, source, unnest(range(n_copies)) AS copy_id FROM (
+        |  SELECT doc_id, source,
+        |   (e - e % 1000) // 1000
+        |    + CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000
+        |             < e % 1000 THEN 1 ELSE 0 END AS n_copies
+        |  FROM (
+        |   SELECT doc_id, source, text,
+        |    CASE WHEN source = 'src0' THEN 2500
+        |         WHEN source = 'src1' THEN 400
+        |         ELSE 1000 END AS e
+        |   FROM documents) t0) t1
+        | WHERE n_copies > 0),
+        |per AS (
+        | SELECT m.source, CAST(COUNT(DISTINCT m.doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies,
+        |  CAST(SUM(t.n_tokens) AS BIGINT) AS tokens_out
+        | FROM mix m JOIN toks t USING (doc_id) GROUP BY 1)
+        |SELECT source, n_docs, n_copies, tokens_out,
+        | CAST(tokens_out * 1000 // SUM(tokens_out) OVER () AS BIGINT)
+        |  AS share_pm
+        |FROM per""".stripMargin,
     // CAST back to BIGINT: DuckDB SUM(BIGINT) yields HUGEINT, which pandas
     // renders as float64 — the driver's value hash then sees 500.0 vs 500.
     "cur_token_shards" ->
