@@ -243,6 +243,33 @@ object EtlQueries {
           col("us").as("valid_from_us"), col("valid_to_us"),
           col("valid_to_us").isNull.as("is_current"))
     },
+    // Order-independent table checksums — the scalable way to validate a
+    // copy (the reference's actual domain): one narrow map computing a
+    // canonical per-row hash, one partial-aggregating sum, no sort, no
+    // row shipping. Floats are canonicalized to integer cents and
+    // timestamps to epoch days BEFORE hashing (raw float/timestamp
+    // rendering differs across engines; canonicalization is what real
+    // checksum tools do too). Mod 2⁶¹−1 keeps the running sum exact in
+    // decimal(38) at any row count.
+    "etl_table_checksum" -> { (s, dir) =>
+      val M = 2305843009213693951L // 2^61 - 1
+      def ck(name: String, d: DataFrame,
+          canon: org.apache.spark.sql.Column): DataFrame =
+        d.select(conv(substring(md5(canon), 1, 10), 16, 10)
+            .cast(DecimalType(38, 0)).as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(col("h")) % M).cast("long").as("checksum"))
+          .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+      ck("orders", Tables(s, dir, "orders"), concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100 + lit(0.5d)).cast("long"),
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01")),
+          col("o_orderpriority")))
+        .unionAll(ck("customer", Tables(s, dir, "customer"), concat_ws("|",
+          col("c_custkey"), col("c_name"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100 + lit(0.5d)).cast("long"),
+          col("c_mktsegment"))))
+    },
     // Purchase→click attribution: every (purchase, click) pair by the
     // same user with the click in the 4 h up to the purchase — the batch
     // twin of StreamingOps.clickAttribution's watermarked stream-stream
@@ -369,6 +396,23 @@ object EtlQueries {
         |FROM v
         |LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "etl_table_checksum" ->
+      """WITH o AS (
+        | SELECT ('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+        |   o_orderstatus, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+        |   DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)),
+        |   o_orderpriority)), 1, 10))::BIGINT AS h
+        | FROM orders),
+        |c AS (
+        | SELECT ('0x' || substr(md5(concat_ws('|', c_custkey, c_name,
+        |   c_nationkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT),
+        |   c_mktsegment)), 1, 10))::BIGINT AS h
+        | FROM customer)
+        |SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(SUM(h) % 2305843009213693951 AS BIGINT) AS checksum FROM o
+        |UNION ALL
+        |SELECT 'customer', CAST(COUNT(*) AS BIGINT),
+        | CAST(SUM(h) % 2305843009213693951 AS BIGINT) FROM c""".stripMargin,
     "etl_merge_latest" ->
       """SELECT user_id, last_ts_us, last_event_id, last_value FROM (
         | SELECT user_id, EPOCH_US(ts) AS last_ts_us, event_id AS last_event_id,

@@ -183,6 +183,14 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"keep-best must not window-sort:\n$plan")
   }
 
+  test("etl_table_checksum: hash-sum aggregates map-side, no sort, no join") {
+    val plan = planOf("etl_table_checksum")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"checksum lacks a map-side partial phase:\n$plan")
+    assert(!plan.contains("Sort") && !plan.contains("Join"),
+      s"checksum must be scan + aggregate only:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // One key owns ~90% of the fact rows; with the skew thresholds scaled
     // to fixture size, AQE's runtime re-plan must split that partition
