@@ -95,6 +95,20 @@ object CurationQueries {
       Curation.epochMix(Tables(s, dir, "documents"), "doc_id", "source",
         "text", Map("src0" -> 2500, "src1" -> 400))
     },
+    // Deterministic global pre-training shuffle: every doc gets a dense
+    // 0-based position ordered by (content-hash, doc_id) — reproducible
+    // example order with no RNG state to checkpoint, and content-keyed
+    // so re-ingesting the same corpus yields the same order. Built on
+    // Ids.contiguous (range repartition + per-partition offsets), so no
+    // single task ever sorts the corpus — the scale-safe form of
+    // "shuffle the dataset before sharding".
+    "cur_shuffle_deterministic" -> { (s, dir) =>
+      Ids.contiguous(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("h")),
+        Seq("h", "doc_id"), idName = "shuffle_pos")
+        .select("doc_id", "shuffle_pos")
+    },
     // Mixture audit over cur_epoch_mix: per-source docs/copies/token
     // output and the realized per-mille token share — the check that the
     // mix actually hit its target weights before tokens are burned on
@@ -223,6 +237,10 @@ object CurationQueries {
         |        ELSE 1000 END AS e
         |  FROM documents) t0) t1
         |WHERE n_copies > 0""".stripMargin,
+    "cur_shuffle_deterministic" ->
+      """SELECT doc_id,
+        | ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) - 1 AS shuffle_pos
+        |FROM documents""".stripMargin,
     "cur_mixture_report" ->
       """WITH toks AS (
         | SELECT doc_id,
