@@ -95,15 +95,18 @@ object Curation {
     * ([[decontaminate]]) — it catches whole-document leaks that were
     * lightly reformatted. Benchmark hashes broadcast (eval suites are
     * metadata-sized next to a 100 TB corpus), so the corpus is one
-    * narrow scan + a broadcast semi join — no shuffle at all.
+    * narrow scan + a broadcast semi join — no shuffle at all (the semi
+    * join dedupes build-side keys itself, so the bench side needs no
+    * distinct). Normalization collapses whitespace runs BEFORE trimming
+    * so leading/trailing tabs/newlines cannot survive as edge spaces.
     * Output: (idCol, `content_hash`) for each contaminated train doc. */
   def decontaminateExact(train: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     def norm(c: Column): Column =
-      md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+      md5(trim(regexp_replace(lower(c), "\\s+", " ")))
     train.select(col(idCol), norm(col(textCol)).as("content_hash"))
-      .join(broadcast(benchmark.select(norm(col(textCol)).as("content_hash"))
-        .distinct()), Seq("content_hash"), "left_semi")
+      .join(broadcast(benchmark.select(norm(col(textCol)).as("content_hash"))),
+        Seq("content_hash"), "left_semi")
       .select(col(idCol), col("content_hash"))
   }
 
@@ -113,9 +116,14 @@ object Curation {
     * content-hash-selected half a third time; 400‰ = downsample to
     * 0.4 epochs). This is the "repeat high-quality sources, subsample
     * the rest" mixing step a training-data pipeline runs last. The
-    * fractional part uses the same integer content-hash predicate as
-    * [[stratifiedHashSample]] — no RNG, reproducible everywhere — and
-    * the expansion is a narrow `explode(sequence(...))` over one scan:
+    * fractional part uses an integer content-hash predicate like
+    * [[stratifiedHashSample]]'s — no RNG, reproducible everywhere — but
+    * over a SALTED hash ("epoch|" prefix): the unsalted bucket is the
+    * selection key of split/stratified sampling, and reusing it here
+    * would make the fractional copies all-or-nothing on any corpus that
+    * already passed a hash sample (every survivor of `bucket < r`
+    * trivially satisfies `bucket < e%1000` for r ≤ e%1000). The
+    * expansion is a narrow `explode(sequence(...))` over one scan:
     * output size is exactly sum(epochs·|group|), no shuffle.
     * Output: (idCol, groupCol, `copy_id` ∈ [0, n_copies)). */
   def epochMix(docs: DataFrame, idCol: String, groupCol: String,
@@ -128,7 +136,8 @@ object Curation {
     // whole epochs + one deterministic fractional copy; integer halves
     // ((e - e%1000)/1000 is exact), so no float ever decides a copy
     val copies = ((e - e % 1000) / 1000).cast("long") +
-      when(hashBucket(col(textCol), 1000) < e % 1000, 1L).otherwise(0L)
+      when(hashBucket(concat(lit("epoch|"), col(textCol)), 1000) < e % 1000,
+        1L).otherwise(0L)
     docs.select(col(idCol), col(groupCol), copies.as("n_copies"))
       .filter(col("n_copies") > 0)
       .select(col(idCol), col(groupCol),

@@ -102,10 +102,17 @@ object CurationQueries {
     // Ids.contiguous (range repartition + per-partition offsets), so no
     // single task ever sorts the corpus — the scale-safe form of
     // "shuffle the dataset before sharding".
+    // The shuffle key is SALTED ("shuffle|" prefix): plain md5(text)
+    // orders hex-lexicographically, which equals numeric order of the
+    // hashBucket prefix — the un-salted order would be perfectly
+    // correlated with every split/sample/epoch decision in the library
+    // (train docs first, fractional-epoch copies contiguous), the
+    // opposite of a shuffle.
     "cur_shuffle_deterministic" -> { (s, dir) =>
       Ids.contiguous(
         Tables(s, dir, "documents")
-          .select(col("doc_id"), md5(col("text")).as("h")),
+          .select(col("doc_id"),
+            md5(concat(lit("shuffle|"), col("text"))).as("h")),
         Seq("h", "doc_id"), idName = "shuffle_pos")
         .select("doc_id", "shuffle_pos")
     },
@@ -125,10 +132,12 @@ object CurationQueries {
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_copies"),
           sum("n_tokens").as("tokens_out"))
-      per.crossJoin(broadcast(per.agg(sum("tokens_out").as("total_tokens"))))
-        .select(col("source"), col("n_docs"), col("n_copies"),
-          col("tokens_out"),
-          expr("tokens_out * 1000 div total_tokens").as("share_pm"))
+      // total via an unpartitioned window OVER THE 20 AGGREGATED ROWS —
+      // a crossJoin(per.agg(...)) would re-plan and re-execute the whole
+      // mix+join+aggregate subtree a second time just for the total
+      per.select(col("source"), col("n_docs"), col("n_copies"),
+        col("tokens_out"),
+        expr("tokens_out * 1000 div sum(tokens_out) over ()").as("share_pm"))
     },
     // Sequence packing with document splitting: per-source 256-token
     // training sequences; straddling docs emit one row per covered
@@ -148,6 +157,23 @@ object CurationQueries {
         "text", "domain")
         .select("doc_id", "domain", "b")
     })
+
+  /** the epoch-mix expansion as SQL (salted fractional-copy hash) —
+    * shared by the cur_epoch_mix oracle and the mixture-report oracle so
+    * the two cannot silently diverge */
+  private val epochMixSql: String =
+    """SELECT doc_id, source, unnest(range(n_copies)) AS copy_id FROM (
+      | SELECT doc_id, source,
+      |  (e - e % 1000) // 1000
+      |   + CASE WHEN ('0x' || substr(md5('epoch|' || text), 1, 8))::BIGINT
+      |            % 1000 < e % 1000 THEN 1 ELSE 0 END AS n_copies
+      | FROM (
+      |  SELECT doc_id, source, text,
+      |   CASE WHEN source = 'src0' THEN 2500
+      |        WHEN source = 'src1' THEN 400
+      |        ELSE 1000 END AS e
+      |  FROM documents) t0) t1
+      |WHERE n_copies > 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "cur_hash_split" ->
@@ -212,55 +238,33 @@ object CurationQueries {
     "decon_exact" ->
       """WITH norm AS (
         | SELECT doc_id,
-        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
         | FROM documents),
         |bench AS (SELECT DISTINCT h FROM norm WHERE doc_id < 50),
         |train AS (
         | SELECT doc_id, h FROM norm WHERE doc_id >= 50
         | UNION ALL
         | SELECT doc_id + 30000,
-        |  md5(regexp_replace(lower(trim('  ' ||
-        |    replace(upper(text), ' ', '  '))), '\s+', ' ', 'g'))
+        |  md5(trim(regexp_replace(lower('  ' ||
+        |    replace(upper(text), ' ', '  ')), '\s+', ' ', 'g')))
         | FROM documents WHERE doc_id < 50 AND doc_id % 3 = 1)
         |SELECT t.doc_id, t.h AS content_hash
         |FROM train t WHERE t.h IN (SELECT h FROM bench)""".stripMargin,
-    "cur_epoch_mix" ->
-      """SELECT doc_id, source, unnest(range(n_copies)) AS copy_id FROM (
-        | SELECT doc_id, source,
-        |  (e - e % 1000) // 1000
-        |   + CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000
-        |            < e % 1000 THEN 1 ELSE 0 END AS n_copies
-        | FROM (
-        |  SELECT doc_id, source, text,
-        |   CASE WHEN source = 'src0' THEN 2500
-        |        WHEN source = 'src1' THEN 400
-        |        ELSE 1000 END AS e
-        |  FROM documents) t0) t1
-        |WHERE n_copies > 0""".stripMargin,
+    "cur_epoch_mix" -> epochMixSql,
     "cur_shuffle_deterministic" ->
       """SELECT doc_id,
-        | ROW_NUMBER() OVER (ORDER BY md5(text), doc_id) - 1 AS shuffle_pos
+        | ROW_NUMBER() OVER (ORDER BY md5('shuffle|' || text), doc_id) - 1
+        |  AS shuffle_pos
         |FROM documents""".stripMargin,
     "cur_mixture_report" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         | SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |       ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
         |  END AS n_tokens
         | FROM documents),
         |mix AS (
-        | SELECT doc_id, source, unnest(range(n_copies)) AS copy_id FROM (
-        |  SELECT doc_id, source,
-        |   (e - e % 1000) // 1000
-        |    + CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000
-        |             < e % 1000 THEN 1 ELSE 0 END AS n_copies
-        |  FROM (
-        |   SELECT doc_id, source, text,
-        |    CASE WHEN source = 'src0' THEN 2500
-        |         WHEN source = 'src1' THEN 400
-        |         ELSE 1000 END AS e
-        |   FROM documents) t0) t1
-        | WHERE n_copies > 0),
+        |$epochMixSql),
         |per AS (
         | SELECT m.source, CAST(COUNT(DISTINCT m.doc_id) AS BIGINT) AS n_docs,
         |  CAST(COUNT(*) AS BIGINT) AS n_copies,

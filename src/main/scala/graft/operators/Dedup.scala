@@ -335,11 +335,16 @@ object Dedup {
     * counts).
     *
     * Input: `labels` (idCol, `cluster_id`) as produced by
-    * [[connectedComponents]]; `quality` (idCol, scoreCol). Output:
+    * [[connectedComponents]]; `quality` (idCol, scoreCol). The join is
+    * LEFT so a member missing from `quality` still counts in
+    * `n_members` and can never silently erase its cluster: null scores
+    * lose the argmax to any scored member (struct ordering ranks a null
+    * field lowest), and a cluster with no scored member falls back to
+    * the min-id representative with a null `keep_score`. Output:
     * (`cluster_id`, `keep_id`, `keep_score`, `n_members`). */
   def keepBest(labels: DataFrame, quality: DataFrame, idCol: String,
       scoreCol: String): DataFrame =
-    labels.join(quality, idCol)
+    labels.join(quality, Seq(idCol), "left")
       .groupBy(col("cluster_id"))
       .agg(
         max(struct(col(scoreCol).as("s"), (-col(idCol)).as("negId")))

@@ -476,6 +476,22 @@ class LibraryApiSpec extends SparkTestBase {
       5L -> ((5L, 1L, 1L))))  // singleton
   }
 
+  test("Dedup.keepBest: members missing from quality still count; " +
+      "unscored clusters fall back to min id") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), // 3 only partially scored
+      (8L, 8L), (9L, 8L))                          // fully unscored cluster
+      .toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 5L), (2L, 9L)).toDF("doc_id", "score") // no 3, 8, 9
+    val got = Dedup.keepBest(labels, quality, "doc_id", "score").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, Some(9L), 3L)), // unscored member counted, can't win
+      8L -> ((8L, None, 2L))))    // all-null → min id, null score
+  }
+
   test("Curation.decontaminateExact: catches case/whitespace-mangled copies, " +
       "passes genuinely novel docs") {
     import spark.implicits._
@@ -485,11 +501,13 @@ class LibraryApiSpec extends SparkTestBase {
       (10L, "THE  quick   Brown fox "), // mangled copy of bench 1
       (11L, "hello world"),             // verbatim copy of bench 2
       (12L, "hello worlds"),            // near, but NOT a match
-      (13L, "completely different"))
+      (13L, "completely different"),
+      (14L, "hello world\n"),           // trailing newline — still a copy
+      (15L, "\tthe quick\tbrown fox"))  // tabs — still a copy
       .toDF("id", "body")
     val hits = Curation.decontaminateExact(train, bench, "id", "body")
       .select("id").as[Long].collect().toSet
-    assert(hits == Set(10L, 11L))
+    assert(hits == Set(10L, 11L, 14L, 15L))
   }
 
   test("Curation.epochMix: whole epochs replicate exactly, fractional part " +

@@ -165,7 +165,11 @@ class PlanSpec extends SparkTestBase {
     val plan = planOf("decon_exact")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       s"bench hashes not a broadcast semi join:\n$plan")
-    assert(!plan.contains("ShuffleExchange") && !plan.contains("SortMergeJoin"),
+    // Spark prints shuffles as "Exchange hashpartitioning" (broadcasts
+    // as "BroadcastExchange") — matching on "ShuffleExchange" would be
+    // vacuously true
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("SortMergeJoin"),
       s"decon_exact shuffles — should be scan + broadcast semi only:\n$plan")
   }
 
