@@ -41,7 +41,10 @@ object Bench {
     try SparkEntry.queries("q14_promo_share")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val k = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_K", "3").toInt)
+    // malformed K falls back to the default instead of aborting the
+    // whole bench before any query has run
+    val k = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_K")
+      .flatMap(_.toIntOption).getOrElse(3))
     def timeOnce(name: String, fn: (SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

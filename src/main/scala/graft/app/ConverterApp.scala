@@ -80,8 +80,11 @@ object ConverterApp {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // every failure path honors the abort contract (stderr ABORT line,
+    // session stopped, exit 2) — not just argument errors: DDL-script
+    // conflicts throw IllegalStateException, the JDBC layer SQLException
     try run(args, spark)
-    catch { case e: IllegalArgumentException =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[convert] ABORT: ${e.getMessage}"); spark.stop(); sys.exit(2)
     }
     spark.stop()
@@ -92,6 +95,8 @@ object ConverterApp {
   def run(args: Array[String], spark: SparkSession): Unit = {
     val acked = args.contains("--yes")
     val positional = args.filterNot(_.startsWith("--"))
+    if (positional.length < 2) throw new IllegalArgumentException(
+      "usage: ConverterApp <sourceDirOrJdbcUrl> <destJdbcUrl> [mode] [--yes]")
     val source = positional(0)
     val url = positional(1)
     val mode = if (positional.length > 2) ConvertMode.parse(positional(2))
@@ -106,6 +111,9 @@ object ConverterApp {
     val srcIsJdbc = source.toLowerCase.startsWith("jdbc:")
     val srcConn =
       if (srcIsJdbc) Some(DriverManager.getConnection(source)) else None
+    // everything below runs inside the try so the source connection
+    // cannot leak when introspection or the destination connect throws
+    try {
     val sourceTables: Seq[(graft.catalog.TableSpec, () => org.apache.spark.sql.DataFrame)] =
       srcConn match {
         case Some(c) =>
@@ -134,6 +142,19 @@ object ConverterApp {
               Tables.indexes.getOrElse(t, Nil)), () => Tables(spark, source, t))
           }
       }
+
+    // Destination tables are unqualified (the source schema has no
+    // meaning in the destination catalog), so same-named tables from
+    // different source schemas would collide on one destination table —
+    // fail fast instead of interleaving their DDL/rows.
+    locally {
+      val dups = sourceTables.map(_._1.name.toUpperCase)
+        .groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+      if (dups.nonEmpty) throw new IllegalArgumentException(
+        "source tables collide on unqualified destination name(s): " +
+          dups.mkString(", ") + " (same-named tables in different source " +
+          "schemas need distinct destination names)")
+    }
 
     // Derby: ask for DB creation via properties (a ";create=true" URL
     // attribute doesn't survive sbt's command parsing).
@@ -215,6 +236,8 @@ object ConverterApp {
         s"${results.map(_._2).sum} bytes, ${System.currentTimeMillis() - t0} ms")
     } finally {
       conn.close()
+    }
+    } finally {
       srcConn.foreach(c => try c.close() catch { case _: Exception => })
     }
   }

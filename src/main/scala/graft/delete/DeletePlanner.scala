@@ -72,8 +72,16 @@ object DeletePlanner {
     * per boundary, all through one JDBC connection — O(workers) tiny
     * index-served queries, zero Spark scans, no global sort. This is the
     * scale path for composite PKs, where approxQuantile doesn't apply. */
+  /** `hookProps`: options handed to the dialect's beforeFetch hook when
+    * they differ from the connection properties — the graft-jdbc V2
+    * source filters `connProps` down to user/password (strict drivers
+    * reject unknown keys) but the snapshot-pin options
+    * (`graft.readTimestamp`/`maxStalenessSeconds`) must still reach the
+    * probe's hook or the probe reads a different database state than
+    * the pinned partition scans. */
   def splitPointsOffset(url: String, table: String, pkCols: Seq[String],
-      workers: Int, connProps: Map[String, String] = Map.empty): Seq[Seq[Any]] = {
+      workers: Int, connProps: Map[String, String] = Map.empty,
+      hookProps: Option[Map[String, String]] = None): Seq[Seq[Any]] = {
     if (workers <= 1) return Seq.empty
     val p = new java.util.Properties()
     connProps.foreach { case (k, v) => p.setProperty(k, v) }
@@ -84,7 +92,7 @@ object DeletePlanner {
       // (boundaries only affect balance — ranges are half-open — but a
       // pinned probe sees the same state the pinned scan will)
       graft.sources.JdbcHooks.beforeFetchAll(conn = conn, url = url,
-        props = connProps)
+        props = hookProps.getOrElse(connProps))
       val st = conn.createStatement()
       try {
         val rs0 = st.executeQuery(s"SELECT COUNT(*) FROM $table")

@@ -108,6 +108,12 @@ object AsOf {
   def joinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       rightVals: Seq[String]): DataFrame = {
+    // same fail-fast as join: the inner joins run on prefixed value
+    // columns, so without this check the final rename would silently
+    // overwrite a left column named like a rightVal
+    val dup = rightVals.filter(left.columns.contains)
+    require(dup.isEmpty, "rightVals collide with left columns: " +
+      dup.mkString(", ") + " — rename before the as-of join")
     // helper columns get a prefix no input column starts with
     val p = freshPrefix(left.columns ++ right.columns)
     val bVals = rightVals.map(p + "b_" + _)

@@ -48,6 +48,18 @@ object Dedup {
     // -n·ln(p)/ln²2 sizing the fpp implies.
     val numBits = math.max(64L, math.ceil(
       -expectedKnown * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate silently clamps its sizing to the runtime
+    // bloom-filter caps (defaults: 4M items / 67.1M bits) — at corpus
+    // scale that saturates the filter (fpp → 1) and the prune stops
+    // pruning. Raise the caps to the requested sizing so the documented
+    // fpp is actually honored.
+    val sess = known.sparkSession
+    def raiseCap(key: String, atLeast: Long): Unit = {
+      val current = scala.util.Try(sess.conf.get(key).toLong).getOrElse(0L)
+      if (current < atLeast) sess.conf.set(key, atLeast.toString)
+    }
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedKnown)
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
     val bloomBytes = knownHashed
       .select(Bridge.column(new BloomFilterAggregate(
         Bridge.expression(xxhash64(col("kh"))),

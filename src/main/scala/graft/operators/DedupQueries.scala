@@ -42,7 +42,10 @@ object DedupQueries {
   private val ccCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private[graft] def ccLabels(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ccLabels(s: SparkSession, dir: String): DataFrame = {
+    // drop entries whose session has stopped (same eviction as the ANN
+    // stage cache — a dead session's persisted labels are pure leak)
+    ccCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     ccCache.getOrElseUpdate((s, dir), {
       val d = docs(s, dir, 100)
       Dedup.connectedComponents(
@@ -51,6 +54,7 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("cluster_id"))
         .persist()
     })
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content, keep lowest PK per group —

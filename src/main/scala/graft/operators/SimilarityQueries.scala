@@ -45,7 +45,10 @@ object SimilarityQueries {
   private val stageCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
-  private[graft] def sharedStages(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private[graft] def sharedStages(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // entries for stopped sessions are unreachable but would otherwise be
+    // retained forever (persisted DataFrames pin their dead session)
+    stageCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     stageCache.getOrElseUpdate((s, dir), {
       val cent = Similarity.meanCentroids(
         Tables(s, dir, "embeddings")
@@ -55,6 +58,7 @@ object SimilarityQueries {
       val assign = Similarity.ivfAssign(vecs(s, dir), cent).persist()
       (cent, assign)
     })
+  }
 
   private def querySide(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 10)

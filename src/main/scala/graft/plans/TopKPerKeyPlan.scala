@@ -150,9 +150,12 @@ object TopK {
     require(keys.nonEmpty, "top-k per key requires at least one key column")
     require(orderBy.nonEmpty, "top-k per key requires at least one ordering " +
       "column — with no order the k kept rows per key are arbitrary")
-    require(!df.columns.contains(rankCol),
-      s"rank column '$rankCol' collides with an existing input column; " +
-        "pass a different rankCol")
+    // case-insensitive: Spark's default resolution is case-insensitive,
+    // so a column "RN" would make a later select("rn") ambiguous even
+    // though an exact-match check passes
+    require(!df.columns.exists(_.equalsIgnoreCase(rankCol)),
+      s"rank column '$rankCol' collides with an existing input column " +
+        "(case-insensitive); pass a different rankCol")
     Bridge.ensureStrategy(df.sparkSession, TopKPerKeyStrategy)
     Bridge.ensureOptimizerRule(df.sparkSession, PruneAsOfColumns)
     // Resolve the caller's sort columns by analyzing a throwaway
@@ -170,7 +173,12 @@ object TopK {
         s"column '$name' not found among ${plan.output.map(_.name).mkString(", ")}"))
     val maxKeys = df.sparkSession.conf
       .getOption("spark.graft.topk.maxKeysPerPartition")
-      .map(_.toLong).getOrElse(DefaultMaxKeysPerPartition)
+      .map { v =>
+        try v.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"spark.graft.topk.maxKeysPerPartition must be a long, got '$v'")
+        }
+      }.getOrElse(DefaultMaxKeysPerPartition)
     require(maxKeys > 0,
       s"spark.graft.topk.maxKeysPerPartition must be positive, got $maxKeys")
     val node = TopKPerKeyNode(plan, keys.map(attr), order, k,

@@ -386,7 +386,8 @@ private[sources] case class GraftJdbcScan(required: StructType,
       if (opts.pk.isEmpty || opts.partitions <= 1) Seq("1=1")
       else {
         val splits = DeletePlanner.splitPointsOffset(
-          opts.url, opts.table, opts.pk, opts.partitions, opts.connProps)
+          opts.url, opts.table, opts.pk, opts.partitions, opts.connProps,
+          hookProps = Some(opts.raw))
         DeletePlanner.rangePredicates(opts.pk, splits)
       }
     parts.map(p => GraftJdbcInputPartition(p): InputPartition).toArray

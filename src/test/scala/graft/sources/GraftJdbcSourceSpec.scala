@@ -12,11 +12,15 @@ import graft.SparkTestBase
 object PinRecordingDialect extends JdbcDialect {
   val calls = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile var lastProps: Map[String, String] = Map.empty
+  // EVERY invocation's props — a last-write-only record would let an
+  // unpinned probe connection hide behind a later pinned reader call
+  val allProps = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
   override def canHandle(url: String): Boolean = url.contains("graftDsv2Pin")
   override def beforeFetch(connection: java.sql.Connection,
       properties: Map[String, String]): Unit = {
     calls.incrementAndGet()
     lastProps = properties
+    allProps.add(properties)
   }
   @volatile private var registered = false
   def register(): Unit = synchronized {
@@ -214,6 +218,7 @@ class GraftJdbcSourceSpec extends SparkTestBase {
     } finally c.close()
     PinRecordingDialect.register()
     PinRecordingDialect.calls.set(0)
+    PinRecordingDialect.allProps.clear()
     val df = spark.read.format("graft-jdbc")
       .option("url", pinUrl).option("dbtable", "t")
       .option("pk", "a").option("partitions", "4")
@@ -227,10 +232,18 @@ class GraftJdbcSourceSpec extends SparkTestBase {
     assert(PinRecordingDialect.calls.get() >= 5,
       s"beforeFetch ran ${PinRecordingDialect.calls.get()} times, want >= 5 " +
         "(one per partition connection plus the boundary probe)")
-    assert(PinRecordingDialect.lastProps.exists {
-      case (k, v) => k.equalsIgnoreCase(SpannerDialect.ReadTimestampProperty) &&
-        v == "2026-01-01T00:00:00Z"
-    }, s"pin option missing from beforeFetch props: ${PinRecordingDialect.lastProps}")
+    // EVERY connection — the 4 partition readers AND the split-point
+    // probe — must see the pin option; a single unpinned call means one
+    // connection read a different database state than the others
+    import scala.jdk.CollectionConverters._
+    val unpinned = PinRecordingDialect.allProps.asScala.zipWithIndex.filterNot {
+      case (props, _) => props.exists {
+        case (k, v) => k.equalsIgnoreCase(SpannerDialect.ReadTimestampProperty) &&
+          v == "2026-01-01T00:00:00Z"
+      }
+    }
+    assert(unpinned.isEmpty,
+      s"beforeFetch call(s) without the pin option: $unpinned")
   }
 
   test("V2 write: batched INSERT round-trips through the source") {
