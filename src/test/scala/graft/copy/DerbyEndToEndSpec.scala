@@ -258,6 +258,30 @@ class DerbyEndToEndSpec extends SparkTestBase {
     } finally dc.close()
   }
 
+  test("ConverterApp fails fast when two source schemas share a table name " +
+      "(unqualified destination would collide)") {
+    val srcUrl = "jdbc:derby:memory:graftColl;create=true"
+    val sc = DriverManager.getConnection(srcUrl)
+    try {
+      val st = sc.createStatement()
+      for (t <- Seq("S1.USERS", "S2.USERS"))
+        try st.executeUpdate(s"DROP TABLE $t") catch { case _: Exception => }
+      for (s <- Seq("S1", "S2")) {
+        try st.executeUpdate(s"CREATE SCHEMA $s") catch { case _: Exception => }
+        st.executeUpdate(
+          s"CREATE TABLE $s.users (id BIGINT NOT NULL, PRIMARY KEY (id))")
+        st.executeUpdate(s"INSERT INTO $s.users VALUES (1)")
+      }
+      st.close()
+    } finally sc.close()
+    val e = intercept[IllegalArgumentException] {
+      graft.app.ConverterApp.run(
+        Array(srcUrl, "jdbc:derby:memory:graftCollDst;create=true",
+          "DropAndRecreate", "--yes"), spark)
+    }
+    assert(e.getMessage.contains("USERS"), e.getMessage)
+  }
+
   test("DropAndRecreate without an explicit ack aborts before any DDL") {
     import graft.app.ConverterApp
     assert(ConverterApp.requireDestructiveAck(

@@ -492,6 +492,23 @@ class LibraryApiSpec extends SparkTestBase {
       8L -> ((8L, None, 2L))))    // all-null → min id, null score
   }
 
+  test("Dedup.incrementalExact raises the runtime bloom caps so corpus-scale " +
+      "sizing is honored (no silent clamp to the 4M/67M defaults)") {
+    import spark.implicits._
+    val known = Seq((1L, "doc a"), (2L, "doc b")).toDF("id", "body")
+    val fresh = Seq((10L, "doc a"), (11L, "doc c")).toDF("id", "body")
+    // expectedKnown above the 4M-item default; numBits ≈ 76.7M > 67.1M
+    val out = Dedup.incrementalExact(fresh, known, "id", "body",
+      expectedKnown = 8000000L)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(10L))
+    assert(spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+      >= 8000000L)
+    assert(spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+      >= 76000000L)
+  }
+
   test("Curation.decontaminateExact: catches case/whitespace-mangled copies, " +
       "passes genuinely novel docs") {
     import spark.implicits._
