@@ -44,8 +44,20 @@ object ChunkImpl {
       if (i >= Window) h -= (bytes(i - Window) & 0xffL) * OutCoeff
       val len = i - start + 1
       if (len >= MinChunk && ((h & mask) == 0L || len >= MaxChunk)) {
-        out += UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, start, i + 1))
-        start = i + 1
+        // never cut inside a multi-byte codepoint: advance the boundary
+        // past UTF-8 continuation bytes (0b10xxxxxx) so every chunk is
+        // valid text. ASCII input is untouched (no continuation bytes),
+        // and the rolling hash keeps running over the skipped bytes, so
+        // boundaries stay content-defined.
+        var end = i + 1
+        while (end < bytes.length && (bytes(end) & 0xC0) == 0x80) {
+          h = h * 31L + (bytes(end) & 0xffL)
+          if (end >= Window) h -= (bytes(end - Window) & 0xffL) * OutCoeff
+          end += 1
+        }
+        out += UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, start, end))
+        start = end
+        i = end - 1 // loop increment brings i to `end`
       }
       i += 1
     }

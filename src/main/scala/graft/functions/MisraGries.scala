@@ -87,11 +87,17 @@ case class MisraGries(child: Expression, k: Int,
         InternalRow(UTF8String.fromString(s), c): Any
       })
 
+  // length-prefixed UTF-8, not writeUTF: writeUTF throws for items whose
+  // encoding exceeds 64 KB (long lines, base64 blobs) — a tracked item
+  // that large would crash the partial-aggregate shuffle
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (s, c) => out.writeUTF(s); out.writeLong(c) }
+    buf.foreach { case (s, c) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -101,7 +107,13 @@ case class MisraGries(child: Expression, k: Int,
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf(in.readUTF()) = in.readLong(); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf(new String(b, java.nio.charset.StandardCharsets.UTF_8)) = in.readLong()
+      i += 1
+    }
     buf
   }
 

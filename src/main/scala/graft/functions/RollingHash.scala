@@ -56,12 +56,16 @@ object RollingHash {
   def rolling_hash(c: Column): Column =
     Bridge.column(RollingHash(Bridge.expression(c)))
 
-  /** Reference Scala implementation (used by tests to pin semantics). */
-  def hash(s: String): Long = {
-    val bytes = s.getBytes("UTF-8")
+  /** THE project polynomial byte fold (h·31 + byte over UTF-8) — the one
+    * definition every kernel shares (`RollingHash`, `SimHash64`'s token
+    * hash) so the DuckDB HUGEINT oracles can mirror a single formula. */
+  def hashBytes(bytes: Array[Byte]): Long = {
     var h = 0L
     var i = 0
     while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
     h
   }
+
+  /** Reference Scala implementation (used by tests to pin semantics). */
+  def hash(s: String): Long = hashBytes(s.getBytes("UTF-8"))
 }

@@ -33,10 +33,8 @@ object SketchImpl {
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val bytes = arr.getUTF8String(i).getBytes
-        var h = 0L
-        var bi = 0
-        while (bi < bytes.length) { h = h * 31L + (bytes(bi) & 0xffL); bi += 1 }
+        // the shared project byte fold — one definition, one oracle mirror
+        var h = RollingHash.hashBytes(arr.getUTF8String(i).getBytes)
         // splitmix64 finalizer (public-domain constants)
         h += 0x9E3779B97F4A7C15L
         h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -68,6 +66,11 @@ object SketchImpl {
   def hyperplaneSigns(planes: Int, dim: Int): Array[Double] =
     signCache.computeIfAbsent((planes, dim), { key =>
       val (p, d) = key
+      // m² must fit a signed long or the Lehmer step silently diverges
+      // from its exact BIGINT-SQL mirror: m ≤ √(2⁶³−1) = 3037000499
+      require((p - 1).toLong * 1000003L + (d - 1) <= 3037000499L,
+        s"hyperplane table too large: planes=$p dim=$d would overflow " +
+          "the 64-bit Lehmer intermediate (keep tables*bits <= 3037)")
       val out = new Array[Double](p * d)
       var j = 0
       while (j < p) {
@@ -92,6 +95,16 @@ object SketchImpl {
   def hyperplaneBuckets(arr: ArrayData, tables: Int, bits: Int, dim: Int): ArrayData = {
     val signs = hyperplaneSigns(tables * bits, dim)
     val n = math.min(arr.numElements(), dim)
+    // copy the vector to a primitive array ONCE (nulls → 0.0): the plane
+    // loops below traverse it tables·bits times, and per-element
+    // ArrayData accessor calls with a null-check branch would dominate
+    // the pure multiply-add this kernel exists to be
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (arr.isNullAt(i)) 0.0 else arr.getDouble(i)
+      i += 1
+    }
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -102,7 +115,7 @@ object SketchImpl {
         var acc = 0.0
         var k = 0
         while (k < n) {
-          if (!arr.isNullAt(k)) acc += arr.getDouble(k) * signs(plane * dim + k)
+          acc += v(k) * signs(plane * dim + k)
           k += 1
         }
         if (acc > 0) bucket |= (1L << b)
@@ -132,7 +145,11 @@ object SketchImpl {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // a zero/empty vector has no direction: return 0, never NaN — NaN
+    // sorts ABOVE every real cosine in a descending top-k, so one junk
+    // vector would otherwise rank #1 for every query
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Fused dot product: one strict left-fold in element order —

@@ -167,7 +167,11 @@ object Dedup {
         "the banding s-curve shifts")
     val rows = numHashes / bands
     val sets = shingleSets(docs, idCol, textCol, n)
-    val sig = sets.select(col("doc_id"),
+    // docs shorter than the shingle width have EMPTY shingle sets, and
+    // every empty set gets the identical all-sentinel signature — without
+    // this filter all such docs band-collide and verify vacuously
+    // (den·0 ≥ num·(0+0)), reporting unrelated short docs as near-dups
+    val sig = sets.filter(size(col("shs")) > 0).select(col("doc_id"),
       SketchExpressions.minhash_sig(col("shs"), numHashes).as("sig"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -190,8 +194,12 @@ object Dedup {
     * bit_count(xor) ≤ maxHamming. Output: (a_id, b_id, hamming). */
   def simhashPairs(docs: DataFrame, idCol: String, tokens: Column,
       maxHamming: Int = 16, bucketCap: Int = 1000): DataFrame = {
-    val sig = docs.select(col(idCol).as("doc_id"),
-      SketchExpressions.simhash64(tokens).as("simhash"))
+    // token-less docs all hash to fingerprint 0 and would pair with each
+    // other at hamming 0; excluding them also matches the SQL-oracle
+    // form, where a doc with no token rows never reaches the band join
+    val sig = docs.filter(size(tokens) > 0)
+      .select(col(idCol).as("doc_id"),
+        SketchExpressions.simhash64(tokens).as("simhash"))
     val banded = capBuckets(
       sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>

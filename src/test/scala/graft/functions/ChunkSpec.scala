@@ -46,6 +46,29 @@ class ChunkSpec extends SparkTestBase {
       s"no shared chunks despite shared content:\nA=${ca.toSeq}\nB=${cb.toSeq}")
   }
 
+  test("multi-byte text: chunks stay valid UTF-8 and rejoin losslessly " +
+      "(boundaries never split a codepoint)") {
+    import spark.implicits._
+    // CJK + accents + emoji, long enough to force several boundaries
+    val doc = ("数据处理引擎对多字节字符的切分必须落在码点边界上。" +
+      "Érable déjà vu naïve façade. 🚀🎯 ").repeat(40)
+    val out = Seq(doc).toDF("text")
+      .select(content_chunks(col("text")).as("cs"),
+        concat_ws("", content_chunks(col("text"))).as("rejoined"))
+      .select(col("cs"), col("rejoined"),
+        expr("transform(cs, c -> length(c))").as("charLens"))
+      .head()
+    assert(out.getString(1) == doc, "chunks must rejoin to the input")
+    val chunks = out.getSeq[String](0)
+    assert(chunks.length > 1, "expected multiple chunks")
+    // every chunk round-trips through UTF-8 bytes unchanged — a chunk
+    // cut mid-codepoint would produce replacement chars on re-decode
+    chunks.foreach { c =>
+      assert(new String(c.getBytes("UTF-8"), "UTF-8") == c &&
+        !c.contains('�'), s"malformed chunk: ${c.take(20)}…")
+    }
+  }
+
   test("deterministic across runs") {
     val q = graft.SparkEntry.queries("text_chunk_dedup")(spark, sfDir)
     assert(q.collect().toSet == q.collect().toSet)

@@ -46,4 +46,15 @@ class MisraGriesSpec extends SparkTestBase {
     buf("a") = 3L; buf("b") = 1L
     assert(agg.deserialize(agg.serialize(buf)) == buf)
   }
+
+  test("serialization survives items beyond writeUTF's 64 KB limit " +
+      "and non-ASCII keys") {
+    val agg = MisraGries(org.apache.spark.sql.graftbridge.Bridge
+      .expression(col("x")), 4)
+    val buf = agg.createAggregationBuffer()
+    buf("x" * 100000) = 7L        // > 65535 bytes in UTF-8
+    buf("键值🔥" * 10000) = 2L    // multi-byte, > 64 KB encoded
+    buf("small") = 1L
+    assert(agg.deserialize(agg.serialize(buf)) == buf)
+  }
 }

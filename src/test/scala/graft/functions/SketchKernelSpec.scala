@@ -61,4 +61,16 @@ class SketchKernelSpec extends SparkTestBase {
       .count()
     assert(mismatches == 0)
   }
+
+  test("cosine_sim of a zero or empty vector is 0, never NaN (NaN would " +
+      "outrank every real neighbor in a descending top-k)") {
+    import spark.implicits._
+    val rows = Seq(
+      (Array(0.0, 0.0, 0.0), Array(1.0, 2.0, 3.0)),  // zero left
+      (Array(1.0, 2.0, 3.0), Array(0.0, 0.0, 0.0)),  // zero right
+      (Array.empty[Double], Array(1.0, 2.0, 3.0)))   // empty
+      .toDF("va", "vb")
+      .select(cosine_sim(col("va"), col("vb")).as("cs")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == 0.0, s"got ${r.getDouble(0)}"))
+  }
 }

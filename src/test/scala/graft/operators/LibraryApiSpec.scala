@@ -492,6 +492,25 @@ class LibraryApiSpec extends SparkTestBase {
       8L -> ((8L, None, 2L))))    // all-null → min id, null score
   }
 
+  test("shingle-less and token-less docs never pair: minhash sentinel " +
+      "signatures and zero simhashes are filtered before banding") {
+    import spark.implicits._
+    // 'ab'/'xy' are shorter than the 3-char shingle width — without the
+    // guard they'd share the all-sentinel signature and verify vacuously
+    val docs = Seq((1L, "ab"), (2L, "xy"), (3L, "completely different body"),
+      (4L, "completely different body!")).toDF("id", "body")
+    val mh = Dedup.minhashLshPairs(docs, "id", "body").collect()
+    assert(!mh.exists(r => Set(r.getLong(0), r.getLong(1)).subsetOf(Set(1L, 2L))),
+      s"short docs paired: ${mh.mkString(",")}")
+    // token-less docs (punctuation only) all simhash to 0 — must not pair
+    val tdocs = Seq((1L, "..."), (2L, "!!!"), (3L, "real words here"))
+      .toDF("id", "body")
+    val sh = Dedup.simhashPairs(tdocs, "id",
+      expr("filter(split(lower(body), '\\\\s+'), x -> x rlike '[a-z]')"))
+      .collect()
+    assert(sh.isEmpty, s"token-less docs paired: ${sh.mkString(",")}")
+  }
+
   test("Dedup.incrementalExact raises the runtime bloom caps so corpus-scale " +
       "sizing is honored (no silent clamp to the 4M/67M defaults)") {
     import spark.implicits._
