@@ -202,6 +202,11 @@ object StreamingOps {
     override def handleExpiredTimer(key: Long, timers: TimerValues,
         expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[IdleUser] = {
       val (maxUs, n) = last.get()
+      // clear on emit: state stays O(users active since their last idle
+      // gap) — without this every user id ever seen is retained forever,
+      // and a user who returns after an idle period would have the NEW
+      // activity burst's count inflated by all pre-idle events
+      last.clear()
       Iterator.single(IdleUser(key, maxUs, n))
     }
   }
@@ -222,7 +227,17 @@ object StreamingOps {
     * the "KeyValueGroupedDataset custom state" north-star surface.
     * Emits one Session row per event-batch per closed/updated session;
     * identical arithmetic to the `ev_sessionize` batch oracle (epoch
-    * seconds, 30-min gap, per-user session counter). */
+    * seconds, 30-min gap, per-user session counter).
+    *
+    * Streaming contract (deliberate bound): a session spanning several
+    * micro-batches re-emits each batch with the same `session_id` and a
+    * GROWING count — downstream consumers must keep the LAST row per
+    * (user_id, session_id) (e.g. the `etl_merge_latest` compaction).
+    * This trades the emit-once Append contract for an exact batch twin
+    * (one batch = one flush ⇒ identical output to `ev_sessionize`); the
+    * emit-once streaming form is `sessionWindows` (session_window
+    * groupBy + watermark), which closes sessions only when the
+    * watermark passes — use that when the sink cannot compact. */
   def sessionize(events: Dataset[Event]): Dataset[Session] = {
     import events.sparkSession.implicits._
     events

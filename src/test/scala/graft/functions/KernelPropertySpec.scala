@@ -49,16 +49,17 @@ class KernelPropertySpec extends AnyFunSuite {
       val ab = SketchImpl.cosineSim(arr(x), arr(y))
       val ba = SketchImpl.cosineSim(arr(y), arr(x))
       val scaled = SketchImpl.cosineSim(arr(x), arr(y.map(_ * 2.0)))
-      // NaN when either side is all-zero — acceptable, compare via bits
+      // zero-norm sides yield 0 by contract (never NaN) — bit-compare
       java.lang.Double.doubleToLongBits(ab) ==
         java.lang.Double.doubleToLongBits(ba) &&
         java.lang.Double.doubleToLongBits(ab) ==
           java.lang.Double.doubleToLongBits(scaled) &&
-        (ab.isNaN || math.abs(ab) <= 1.0 + 1e-9)
+        !ab.isNaN && math.abs(ab) <= 1.0 + 1e-9
     })
     check(Prop.forAll(vec) { a =>
       val c = SketchImpl.cosineSim(arr(a), arr(a))
-      c.isNaN || math.abs(c - 1.0) <= 1e-9
+      if (a.forall(_ == 0.0)) c == 0.0 // zero vector: 0 by contract
+      else math.abs(c - 1.0) <= 1e-9
     })
   }
 

@@ -97,4 +97,52 @@ class StreamingSinkSpec extends SparkTestBase {
     assert(!StreamingJdbcSink.writeBatch(batch7, 7L, url, "sink_events"))
     assert(count("SELECT COUNT(*) FROM sink_events") == 5)
   }
+
+  test("ledger is scoped by sink_id: a new query lineage replaying " +
+      "batch 0 against the same table still writes") {
+    import spark.implicits._
+    val c = conn()
+    c.createStatement().executeUpdate(
+      """CREATE TABLE scoped_t (
+        | k BIGINT NOT NULL, batch_id BIGINT)""".stripMargin)
+    c.close()
+    StreamingJdbcSink.ensureLedger(url, "scoped_t")
+    val b = Seq(Tuple1(1L), Tuple1(2L)).toDF("k")
+    assert(StreamingJdbcSink.writeBatch(b, 0L, url, "scoped_t",
+      sinkId = Some("queryA")))
+    // same batchId 0 from a DIFFERENT lineage (fresh checkpoint / second
+    // query): an unscoped ledger would silently drop this batch
+    assert(StreamingJdbcSink.writeBatch(b, 0L, url, "scoped_t",
+      sinkId = Some("queryB")))
+    assert(count("SELECT COUNT(*) FROM scoped_t") == 4)
+    // but the SAME lineage's replay is still a skip
+    assert(!StreamingJdbcSink.writeBatch(b, 0L, url, "scoped_t",
+      sinkId = Some("queryA")))
+    assert(count("SELECT COUNT(*) FROM scoped_t") == 4)
+  }
+
+  test("upsertBatch rejects uncompacted changelogs and NULL keys before " +
+      "touching the destination") {
+    import spark.implicits._
+    val c = conn()
+    c.createStatement().executeUpdate(
+      """CREATE TABLE guard_t (
+        | k BIGINT, val VARCHAR(32), batch_id BIGINT)""".stripMargin)
+    c.close()
+    StreamingJdbcSink.ensureLedger(url, "guard_t")
+    // two rows for key 1 — persisting both would corrupt the upsert table
+    val dup = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("k", "val")
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingJdbcSink.upsertBatch(dup, 0L, url, "guard_t", Seq("k"))
+    }
+    assert(e1.getMessage.contains("distinct keys"))
+    // NULL key can never be replaced by `k = ?`
+    val withNull = Seq((Some(1L), "x"), (None, "y"))
+      .toDF("k", "val")
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingJdbcSink.upsertBatch(withNull, 0L, url, "guard_t", Seq("k"))
+    }
+    assert(e2.getMessage.contains("NULL key"))
+    assert(count("SELECT COUNT(*) FROM guard_t") == 0)
+  }
 }

@@ -322,11 +322,18 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       stream.addData(Event(999999L, far + 1L, 9999L, "noop", 0.0))
       q.processAllAvailable()
-      val got = spark.table("idle_users")
-        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // state clears on each idle emission, so a user idle more than once
+      // emits one row per activity period: periods PARTITION the user's
+      // events (each counted exactly once), and the final row carries the
+      // true last-seen time
+      val rows = spark.table("idle_users").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val got = rows.groupBy(_._1).view.mapValues(g =>
+        (g.map(_._2).max, g.map(_._3).sum)).toMap
       assert(got.keySet == expect.keySet, // sentinel user still active → absent
         s"idle set mismatch: got ${got.keySet}, want ${expect.keySet}")
-      assert(got == expect)
+      assert(got == expect,
+        s"per-user (last_seen, summed n_events) mismatch")
     } finally {
       q.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
