@@ -80,7 +80,14 @@ object AsOf {
       .withColumn(tc, col(rightTime)).withColumn(mc, lit(0))
       .select(keys.map(col) ++ Seq(col(tc), col(mc)) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(rightVals.map(col) :+ col(rightTime).as("_rt"): _*).as(rvc): _*)
+        // NULL right time NEVER matches (same contract as AsOfJoinExec):
+        // a null struct is invisible to the ignoreNulls carry, whereas a
+        // non-null struct holding a NULL _rt would be carried — and NULL
+        // times sort FIRST in the window, so it would wrongly become the
+        // carried match for every leftward row
+        when(col(rightTime).isNotNull,
+          struct(rightVals.map(col) :+ col(rightTime).as("_rt"): _*))
+          .as(rvc): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tc), col(mc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

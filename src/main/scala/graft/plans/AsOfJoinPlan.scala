@@ -123,18 +123,27 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   protected override def doExecute(): RDD[InternalRow] = {
+    // locals only inside the task closure: a field reference would drag
+    // `this` (the whole plan subtree) into every task binary
     val leftOut = left.output
     val rightOut = right.output
     val numVals = rightVals.size
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val rVals = rightVals
+    val outAttrs = output
+    val rValsOut = rightValsOut
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(leftKeys, leftOut)
-      val rKeyProj = UnsafeProjection.create(rightKeys, rightOut)
-      val lTimeProj = UnsafeProjection.create(Seq(leftTime: Attribute), leftOut)
-      val rTimeProj = UnsafeProjection.create(Seq(rightTime: Attribute), rightOut)
-      val rValsProj = UnsafeProjection.create(rightVals, rightOut)
-      val keyOrd = RowOrdering.createNaturalAscendingOrdering(leftKeys.map(_.dataType))
-      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(leftTime.dataType))
-      val outProj = UnsafeProjection.create(output, leftOut ++ rightValsOut)
+      val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime: Attribute), leftOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime: Attribute), rightOut)
+      val rValsProj = UnsafeProjection.create(rVals, rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
+      val outProj = UnsafeProjection.create(outAttrs, leftOut ++ rValsOut)
       val joined = new JoinedRow
       val nullVals = new GenericInternalRow(numVals)
       val rBuf = rIter.buffered
@@ -183,13 +192,28 @@ object AsOfMerge {
       leftTime: String, rightTime: String,
       rightVals: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
+    // same fail-fast as AsOf.join: output would otherwise carry duplicate
+    // column names (any later select throws AMBIGUOUS_REFERENCE, and
+    // joinWithTolerance's own rename crashes on it)
+    val dup = rightVals.filter(left.columns.contains)
+    require(dup.isEmpty, "rightVals collide with left columns: " +
+      dup.mkString(", ") + " — rename before the as-of join")
     Bridge.ensureStrategy(left.sparkSession, AsOfJoinStrategy)
     Bridge.ensureOptimizerRule(left.sparkSession, PruneAsOfColumns)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
-    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
-        s"$side column '$name' not found among ${plan.output.map(_.name).mkString(", ")}"))
+    // resolve with the session's resolver (case-insensitive by default,
+    // like every other column-name API) and REJECT ambiguity — silently
+    // binding the first of two same-named columns joins on the wrong one
+    val resolver = left.sparkSession.sessionState.conf.resolver
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute = {
+      val matches = plan.output.filter(a => resolver(a.name, name))
+      if (matches.isEmpty) throw new IllegalArgumentException(
+        s"$side column '$name' not found among ${plan.output.map(_.name).mkString(", ")}")
+      require(matches.length == 1,
+        s"$side column '$name' is ambiguous: ${matches.length} columns match")
+      matches.head
+    }
     // Self-join safety: when left and right derive from the same plan
     // they share exprIds; the analyzer's DeduplicateRelations re-instances
     // the right subtree but cannot remap this node's attribute fields.
@@ -203,6 +227,13 @@ object AsOfMerge {
       val (l, r) = (attr(lPlan, k, "left"), attr(rPlan, k, "right"))
       require(l.dataType == r.dataType,
         s"as-of key '$k' type mismatch: left ${l.dataType} vs right ${r.dataType}")
+      // float keys: -0.0 vs 0.0 and non-canonical NaNs split key groups
+      // (NormalizeFloatingNumbers never fires on custom nodes) — reject
+      // rather than silently diverge from the window form
+      require(l.dataType != org.apache.spark.sql.types.DoubleType &&
+          l.dataType != org.apache.spark.sql.types.FloatType,
+        s"as-of key '$k' is ${l.dataType}: float/double equality keys are " +
+          "not supported (-0.0/NaN grouping diverges) — cast or bucket first")
     }
     require(attr(lPlan, leftTime, "left").dataType ==
         attr(rPlan, rightTime, "right").dataType,

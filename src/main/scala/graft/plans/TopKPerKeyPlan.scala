@@ -77,18 +77,29 @@ case class TopKPerKeyExec(
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
 
+  // rankAttr is minted by this node — without this override missingInput
+  // is non-empty and explain() renders the operator with the '!'
+  // invalid-plan marker (same override as the logical node)
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   protected override def doExecute(): RDD[InternalRow] = {
+    // locals only inside the task closure: a field reference would drag
+    // `this` (the whole plan subtree) into every task binary
     val childOut = child.output
     val kk = k
     val ord = order
     val maxKeys = maxKeysPerPartition
+    val keyExprs = keys
+    val outAttrs = output
+    val rank = rankAttr
     child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(keys, childOut)
+      val keyProj = UnsafeProjection.create(keyExprs, childOut)
       // compare(a, b) < 0 ⇔ a ranks before b; the PQ dequeues the MAX
       // under this ordering, i.e. the rank-worst survivor sits at head
       val rowOrd = RowOrdering.create(ord, childOut)
@@ -116,7 +127,7 @@ case class TopKPerKeyExec(
         }
       }
       val joined = new JoinedRow
-      val outProj = UnsafeProjection.create(output, childOut :+ rankAttr)
+      val outProj = UnsafeProjection.create(outAttrs, childOut :+ rank)
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       heaps.iterator.flatMap { case (_, heap) =>
         // dequeueAll yields rank-worst first; reverse for rank 1..k
@@ -168,9 +179,28 @@ object TopK {
         case other => throw new IllegalStateException(
           s"unexpected plan for sort resolution: ${other.nodeName}")
       }
-    def attr(name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
-        s"column '$name' not found among ${plan.output.map(_.name).mkString(", ")}"))
+    // session-resolver semantics (case-insensitive by default) with an
+    // ambiguity check — binding the first of two same-named columns
+    // would group on the wrong one with no error
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    def attr(name: String): Attribute = {
+      val matches = plan.output.filter(a => resolver(a.name, name))
+      if (matches.isEmpty) throw new IllegalArgumentException(
+        s"column '$name' not found among ${plan.output.map(_.name).mkString(", ")}")
+      require(matches.length == 1,
+        s"column '$name' is ambiguous: ${matches.length} columns match")
+      matches.head
+    }
+    keys.foreach { kc =>
+      val dt = attr(kc).dataType
+      // float keys: -0.0/NaN split groups (NormalizeFloatingNumbers
+      // never fires on custom nodes) — reject, don't silently diverge
+      // from the window row_number form
+      require(dt != org.apache.spark.sql.types.DoubleType &&
+          dt != org.apache.spark.sql.types.FloatType,
+        s"top-k key '$kc' is $dt: float/double grouping keys are not " +
+          "supported (-0.0/NaN grouping diverges) — cast or bucket first")
+    }
     val maxKeys = df.sparkSession.conf
       .getOption("spark.graft.topk.maxKeysPerPartition")
       .map { v =>

@@ -492,6 +492,44 @@ class LibraryApiSpec extends SparkTestBase {
       8L -> ((8L, None, 2L))))    // all-null → min id, null score
   }
 
+  test("AsOf.join: a NULL right time NEVER matches, even when it is the " +
+      "only right row for the key (window form ≡ merge-exec contract)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "t", "tag")
+    // key 1: ONLY a null-time quote; key 2: null-time plus a real quote
+    val right = Seq((1L, Option.empty[Long], 50.0),
+      (2L, Option.empty[Long], 70.0), (2L, Some(5L), 20.0))
+      .toDF("k", "qt", "price")
+    val viaWindow = AsOf.join(left, right, Seq("k"), "t", "qt", Seq("price"))
+      .select("tag", "price").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(viaWindow == Map(
+      "a" -> None,        // the NULL-time row must not be carried
+      "b" -> Some(20.0))) // the real quote wins, not the NULL-time one
+    val viaMerge = graft.plans.AsOfMerge.join(
+        left, right, Seq("k"), "t", "qt", Seq("price"))
+      .select("tag", "price").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(viaMerge == viaWindow, "window and merge forms must agree")
+  }
+
+  test("float/double grouping keys are rejected by the custom operators " +
+      "(-0.0/NaN would split key groups)") {
+    import spark.implicits._
+    val df = Seq((0.0, 1L, 10L), (-0.0, 2L, 20L)).toDF("fk", "t", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.plans.TopK.perKey(df, Seq("fk"), Seq(col("v")), k = 1)
+    }
+    assert(e1.getMessage.contains("float/double"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.plans.AsOfMerge.join(df, df.select(col("fk"), col("t").as("rt"),
+        col("v").as("rv")), Seq("fk"), "t", "rt", Seq("rv"))
+    }
+    assert(e2.getMessage.contains("float/double"))
+  }
+
   test("shingle-less and token-less docs never pair: minhash sentinel " +
       "signatures and zero simhashes are filtered before banding") {
     import spark.implicits._
