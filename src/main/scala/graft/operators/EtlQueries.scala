@@ -177,6 +177,25 @@ object EtlQueries {
           last(col("last_event"), ignoreNulls = true).over(w)
             .as("carried_event"))
     },
+    // Cohort retention matrix: users grouped by first-activity week, then
+    // distinct-active-user counts per (cohort, week offset) — the
+    // engagement/decay table every dataset-freshness or user-activity
+    // audit starts from. Scale shape: the distinct (user, week) pairs are
+    // reduced FIRST (one shuffle with map-side partial; output is bounded
+    // by users × weeks, far smaller than events), so the cohort min and
+    // the offset counts both run over the reduced set and the final
+    // count needs no distinct aggregate (pairs are already unique). All
+    // integer epoch-week arithmetic — hash-exact across engines.
+    "ev_retention_cohorts" -> { (s, dir) =>
+      val uw = Tables(s, dir, "events")
+        .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
     // JSON payload extraction from the props column.
     "ev_json_extract" -> { (s, dir) =>
       Tables(s, dir, "events").select(
@@ -372,6 +391,15 @@ object EtlQueries {
         |   PARTITION BY g.user_id ORDER BY g.hr
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_event
         |FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr""".stripMargin,
+    "ev_retention_cohorts" ->
+      """WITH uw AS (
+        | SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS week
+        | FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1)
+        |SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+        | CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM uw JOIN c ON uw.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "ev_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events""".stripMargin,

@@ -169,6 +169,26 @@ object SimilarityQueries {
           count(lit(1)).as("n"))
         .select("centroid", "dim", "new_m", "n")
     },
+    // One power-iteration step toward the corpus's top principal
+    // direction, gram-matrix-free: w = Eᵀ(E·v) with the deterministic
+    // all-ones seed v — the building block for distributed PCA /
+    // spectral whitening before ANN indexing, where E is 10⁹×64 and the
+    // 64×64 Gram matrix must never materialize per-executor state
+    // beyond one row. Two passes: s_i = v·e_i per row (ordered in-array
+    // fold, narrow map, no shuffle), then w_d = Σ_i s_i·e_{i,d} as a
+    // posexplode aggregate keyed by dimension (one shuffle, map-side
+    // partials). Per-term products quantize to integers BEFORE the
+    // group sum (the PQ distance-table pattern) so the reduction is
+    // order-free and the DuckDB compare exact.
+    "vec_pca_power_iter" -> { (s, dir) =>
+      vecs(s, dir)
+        .withColumn("sv", expr("aggregate(v, 0D, (a, x) -> a + x)"))
+        .select(col("sv"), posexplode(col("v")))
+        .select(col("pos").as("dim"),
+          expr("cast(floor(sv * col * 1e6 + 0.5d) as bigint)").as("q"))
+        .groupBy("dim")
+        .agg(sum("q").as("w_q"), count(lit(1)).as("n"))
+    },
     // Per-label centroids: posexplode + (label, dim) aggregate — the
     // standard distributed "mean vector per class" shape (one shuffle
     // keyed by (label, dim); reassembly is a cheap driver-side sort or
@@ -446,6 +466,18 @@ object SimilarityQueries {
         |  CAST(unnest(e.embedding) AS DOUBLE) AS val
         | FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id) t
         |GROUP BY 1, 2""".stripMargin,
+    // E·1 per row via the same sequential in-array fold the kernel uses
+    // (list_aggregate over the stored order — validated bit-equal in the
+    // sim_ann_lsh oracle), then integer-quantized products group-summed.
+    "vec_pca_power_iter" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_aggregate(v, 'sum') AS sv FROM v),
+        |e AS (
+        | SELECT CAST(unnest(range(len(v))) AS INT) AS dim,
+        |  CAST(FLOOR(sv * unnest(v) * 1e6 + 0.5) AS BIGINT) AS q
+        | FROM s)
+        |SELECT dim, CAST(SUM(q) AS BIGINT) AS w_q, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1""".stripMargin,
     "vec_centroids" ->
       """SELECT label, dim, ROUND(AVG(v), 4) AS mean_val, COUNT(*) AS n
         |FROM (

@@ -94,6 +94,47 @@ object TextQueries {
     },
     // Top-20 word bigrams across the corpus (count desc, bigram asc) —
     // explode + one shuffle on the bigram.
+    // Bigram language-model scoring — perplexity-style quality filtering
+    // (the KenLM-filter shape from CCNet/Gopher pipelines, with the LM
+    // trained on the corpus itself): P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V)
+    // with add-one smoothing, doc score = mean negative log-likelihood
+    // over its bigrams (high = improbable text → filter candidate).
+    // Scale shape: unigram/bigram count tables are one partial-aggregated
+    // shuffle each; scoring is two equi-joins on the count keys (each doc
+    // bigram matches exactly one count row — no blow-up) and the vocab
+    // size rides along as a broadcast one-row cross join, never a
+    // driver-side collect. Per-term NLLs quantize to integers
+    // (floor(x·1e6+0.5)) BEFORE the per-doc sum so the group sum is
+    // order-free and hash-exact; the mean is one final integer division
+    // pair (single IEEE op, deterministic on both engines).
+    "text_bigram_lm" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val toks = docs
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w1"))
+        .filter(length(col("w1")) > 0)
+      val uni = toks.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vsz = uni.agg(count(lit(1)).as("vsz"))
+      val bg = docs.select(col("doc_id"),
+        explode(TextAnalysis.wordBigrams(col("text"))).as("bigram"))
+      val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+      val scored = bg
+        .join(c2, "bigram")
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .join(uni, "w1")
+        .crossJoin(broadcast(vsz))
+        .select(col("doc_id"), expr(
+          "cast(floor(-ln((c2 + 1) / cast(c1 + vsz as double)) * 1e6 + 0.5d) as bigint)")
+          .as("qnll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("qnll").as("qnll_sum"))
+      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("qnll_sum"), lit(0L)).as("qnll_sum"),
+          when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+            .otherwise(col("qnll_sum").cast(DoubleType) / col("n_bigrams"))
+            .as("avg_qnll"))
+    },
     "text_bigram_counts" -> { (s, dir) =>
       Tables(s, dir, "documents")
         .select(explode(TextAnalysis.wordBigrams(col("text"))).as("bigram"))
@@ -296,6 +337,38 @@ object TextQueries {
         |    ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.tok) AS rn
         | FROM tf JOIN df ON tf.tok = df.tok) t
         |WHERE rn = 1""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH tok AS (
+        | SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w1
+        | FROM documents),
+        |uni AS (
+        | SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok
+        | WHERE strlen(w1) > 0 GROUP BY 1),
+        |vsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM uni),
+        |bg AS (
+        | SELECT doc_id,
+        |  unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |       FROM documents) t0),
+        |c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+        |q AS (
+        | SELECT bg.doc_id,
+        |  CAST(FLOOR(-ln((c2.c2 + 1)
+        |       / CAST(uni.c1 + (SELECT vsz FROM vsz) AS DOUBLE))
+        |       * 1e6 + 0.5) AS BIGINT) AS qnll
+        | FROM bg
+        | JOIN c2 ON bg.bigram = c2.bigram
+        | JOIN uni ON uni.w1 = split_part(bg.bigram, ' ', 1)),
+        |g AS (
+        | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(qnll) AS BIGINT) AS qnll_sum
+        | FROM q GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(COALESCE(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        | CAST(COALESCE(g.qnll_sum, 0) AS BIGINT) AS qnll_sum,
+        | CASE WHEN g.n_bigrams IS NULL THEN 0.0
+        |      ELSE CAST(g.qnll_sum AS DOUBLE) / g.n_bigrams END AS avg_qnll
+        |FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id""".stripMargin,
     "text_bigram_counts" ->
       """SELECT bigram, COUNT(*) AS n FROM (
         | SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram

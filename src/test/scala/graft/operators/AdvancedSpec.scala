@@ -64,4 +64,31 @@ class AdvancedSpec extends SparkTestBase {
     val total = out.agg(sum(col("n_f") + col("n_o") + col("n_p"))).collect()(0).getLong(0)
     assert(total == Tables(spark, sfDir, "orders").count())
   }
+
+  test("retention cohorts: offset 0 equals cohort size; cells cover every (user, week)") {
+    val out = SparkEntry.queries("ev_retention_cohorts")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val uw = Tables(spark, sfDir, "events")
+      .select(col("user_id"), expr("ts div 604800000000000").as("week")).distinct()
+    val cohorts = uw.groupBy("user_id").agg(min("week").as("cw"))
+      .groupBy("cw").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cohorts.foreach { case (cw, n) =>
+      assert(out((cw, 0L)) == n, s"cohort $cw offset 0: ${out.get((cw, 0L))} != $n")
+    }
+    assert(out.values.sum == uw.count(), "cells must partition the (user, week) pairs")
+  }
+
+  test("bigram LM: n_bigrams = tokens−1 per doc; smoothed NLL strictly positive") {
+    val out = SparkEntry.queries("text_bigram_lm")(spark, sfDir)
+    val want = Tables(spark, sfDir, "documents").select(col("doc_id"),
+      expr("cast(greatest(size(split(lower(trim(text)), '\\\\s+')) - 1, 0) as bigint)")
+        .as("want"))
+    assert(out.join(want, "doc_id")
+      .filter(col("n_bigrams") =!= col("want")).count() == 0)
+    // add-one smoothing keeps every P(w2|w1) < 1, so every NLL term > 0
+    assert(out.filter(col("n_bigrams") > 0 && col("qnll_sum") <= 0).count() == 0)
+    assert(out.filter(col("n_bigrams") === 0 &&
+      (col("qnll_sum") =!= 0L || col("avg_qnll") =!= 0.0)).count() == 0)
+  }
 }

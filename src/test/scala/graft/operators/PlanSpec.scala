@@ -195,6 +195,33 @@ class PlanSpec extends SparkTestBase {
       s"checksum must be scan + aggregate only:\n$plan")
   }
 
+  test("ev_retention_cohorts: reduces to distinct (user, week) before the " +
+      "cohort min — partial phases, no window, no cartesian") {
+    val plan = planOf("ev_retention_cohorts")
+    assert(plan.contains("partial_min") && plan.contains("partial_count"),
+      s"retention lacks map-side partials:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Cartesian"),
+      s"retention must be aggregate + equi-join only:\n$plan")
+  }
+
+  test("text_bigram_lm: count tables partial-aggregate; vocab size rides a " +
+      "broadcast, never a driver collect") {
+    val plan = planOf("text_bigram_lm")
+    assert(plan.contains("partial_count"), s"LM counts lack partials:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"vocab-size scalar must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"LM join degenerated:\n$plan")
+  }
+
+  test("vec_pca_power_iter: narrow fold + one dimension-keyed aggregate " +
+      "(single shuffle, partial sums, no join)") {
+    val plan = planOf("vec_pca_power_iter")
+    assert(plan.contains("partial_sum"), s"power-iter lacks map-side sums:\n$plan")
+    assert(!plan.contains("Join"), s"power-iter must not join:\n$plan")
+    assert(plan.split("Exchange hashpartitioning").length <= 2,
+      s"power-iter should shuffle once (dim key):\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // One key owns ~90% of the fact rows; with the skew thresholds scaled
     // to fixture size, AQE's runtime re-plan must split that partition

@@ -127,4 +127,27 @@ class SimilaritySpec extends SparkTestBase {
     }
     assert(hits >= 1, s"no overlap between PQ ADC and brute force: $pq")
   }
+
+  test("vec_pca_power_iter ≡ plain-Scala w = Eᵀ(E·1) with identical quantization") {
+    val out = SparkEntry.queries("vec_pca_power_iter")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble))
+    val dims = vecs.head.length
+    val expect = Array.fill(dims)(0L)
+    vecs.foreach { v =>
+      val sv = v.foldLeft(0.0)(_ + _) // same left fold as the SQL aggregate()
+      var d = 0
+      while (d < dims) {
+        expect(d) += math.floor(sv * v(d) * 1e6 + 0.5).toLong
+        d += 1
+      }
+    }
+    assert(out.size == dims)
+    (0 until dims).foreach { d =>
+      assert(out(d) == ((expect(d), vecs.length.toLong)),
+        s"dim $d: got ${out(d)}, want (${expect(d)}, ${vecs.length})")
+    }
+  }
 }
