@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsOfColumns)
+    // engine default: the row_number-filter top-k idiom plans on the
+    // bounded-heap operator (no per-partition full sort) whenever the
+    // rewrite's equivalence guards hold — see RewriteWindowTopK
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
     ext.injectFunction((
       FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "rolling_hash(str) - 64-bit polynomial hash of str's UTF-8 bytes"),

@@ -375,6 +375,23 @@ object CoreQueries {
         Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
         .select("o_custkey", "o_orderkey", "rn")
     },
+    // The window form AGAIN, but auto-rewritten by the RewriteWindowTopK
+    // optimizer rule (plans/TopKPerKeyPlan.scala): the user writes the
+    // row_number-filter idiom, the engine plans the bounded-heap operator
+    // — no per-partition sort of the full input. Session-wide via
+    // GraftExtensions; applied per-plan here (TopK.rewrite) so only this
+    // query opts in. Total order (price desc, then PK) ⇒ deterministic.
+    "win_topk_rewrite" -> { (s, dir) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      graft.plans.TopK.rewrite(
+        Tables(s, dir, "lineitem")
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("rn").cast("long").as("rn"))
+    },
     "win_running_total" -> { (s, dir) =>
       val w = Window.partitionBy("l_suppkey")
         .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
@@ -784,6 +801,12 @@ object CoreQueries {
         | SELECT o_custkey, o_orderkey,
         |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         | FROM orders) t WHERE rn <= 3""".stripMargin,
+    "win_topk_rewrite" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, rn FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem) t WHERE rn <= 2""".stripMargin,
     "win_running_total" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (

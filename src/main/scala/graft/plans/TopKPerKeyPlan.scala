@@ -98,6 +98,10 @@ case class TopKPerKeyExec(
     val keyExprs = keys
     val outAttrs = output
     val rank = rankAttr
+    // the Column entry point mints a LongType rank; the window-rewrite
+    // path reuses row_number()'s IntegerType attribute — write whichever
+    // the output schema declares
+    val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOut)
       // compare(a, b) < 0 ⇔ a ranks before b; the PQ dequeues the MAX
@@ -133,7 +137,7 @@ case class TopKPerKeyExec(
         // dequeueAll yields rank-worst first; reverse for rank 1..k
         val ranked: Seq[InternalRow] = heap.dequeueAll.reverse
         ranked.iterator.zipWithIndex.map { case (r, i) =>
-          rankRow.update(0, (i + 1).toLong)
+          rankRow.update(0, if (rankIsInt) i + 1 else (i + 1).toLong)
           outProj(joined(r, rankRow))
         }
       }
@@ -142,6 +146,163 @@ case class TopKPerKeyExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+/** Optimizer rule rewriting the universal top-k-per-group idiom
+  *
+  *   `filter(row_number().over(partitionBy(keys).orderBy(o)) <= k)`
+  *
+  * into [[TopKPerKeyNode]]: users keep writing the window form and the
+  * engine plans the bounded-heap operator — no per-partition sort of
+  * the full input, which is the whole cost of the window form at scale.
+  * (Spark's own `InferWindowGroupLimit` only PREFILTERS each partition
+  * to its top-k before the sort; the sort itself remains. This rule
+  * removes the Window — and therefore the sort — entirely.)
+  *
+  * Fires only when the rewrite is provably equivalent:
+  *  - the Window computes exactly ONE expression, a `row_number()` with
+  *    the standard (UnboundedPreceding, CurrentRow) row frame — rank()/
+  *    dense_rank() have tie semantics a k-bounded heap cannot honor
+  *    (the boundary group must survive in full);
+  *  - partition keys are plain non-float attributes (float keys group
+  *    -0.0/NaN differently than the window exchange, which is protected
+  *    by NormalizeFloatingNumbers — a rule that never fires on custom
+  *    nodes);
+  *  - the order is deterministic and resolvable against the child;
+  *  - the limit conjunct is `rn <= k` / `rn < k` / `rn = 1` (or
+  *    mirrored) with k no larger than
+  *    `spark.graft.topk.rewriteLimitThreshold` (default 1000 — above
+  *    that the k-row heaps stop being obviously cheaper than a spilling
+  *    sort, same trade as Spark's window-group-limit threshold).
+  *
+  * Remaining filter conjuncts stay in a Filter above the new node (the
+  * rank attribute keeps its exprId, so downstream references resolve
+  * unchanged). An `InferWindowGroupLimit`-inserted WindowGroupLimit
+  * child is absorbed: its prefilter is subsumed by the heap.
+  *
+  * Ties at the k boundary follow row_number semantics in both forms —
+  * arbitrary unless the order is total. The rewrite preserves the
+  * semantics, not any accidental tie choice; make the order total for
+  * deterministic output (same contract as [[TopK.perKey]]).
+  *
+  * Installed by [[graft.GraftExtensions]] (session-wide, the engine
+  * default) or per-plan via [[TopK.rewrite]]. */
+object RewriteWindowTopK
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  import org.apache.spark.sql.catalyst.expressions.{Alias, CurrentRow, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window, WindowGroupLimit}
+  import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType}
+
+  /** The upper bound k when `e` bounds `rn` from above (a heap of k
+    * rows then satisfies the conjunct by construction, so it can be
+    * dropped); rn = 1 is the common "latest row per key" top-1 idiom. */
+  private def limitOf(e: Expression, rn: Attribute): Option[Int] =
+    e match {
+      case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType))
+        if a.semanticEquals(rn) => Some(k)
+      case LessThan(a: Attribute, Literal(k: Int, IntegerType))
+        if a.semanticEquals(rn) => Some(k - 1)
+      case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
+        if a.semanticEquals(rn) => Some(k)
+      case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)
+        if a.semanticEquals(rn) => Some(k - 1)
+      case EqualTo(a: Attribute, Literal(1, IntegerType))
+        if a.semanticEquals(rn) => Some(1)
+      case EqualTo(Literal(1, IntegerType), a: Attribute)
+        if a.semanticEquals(rn) => Some(1)
+      case _ => None
+    }
+
+  private def rowNumberFrame(we: WindowExpression): Boolean =
+    we.windowFunction.isInstanceOf[RowNumber] &&
+      (we.windowSpec.frameSpecification match {
+        case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => true
+        case _ => false
+      })
+
+  /** The rewritten plan for `Filter(cond, w)`, or None when any
+    * equivalence guard fails. */
+  private def tryRewrite(cond: Expression, w: Window): Option[LogicalPlan] = {
+    val threshold = conf.getConfString(
+      "spark.graft.topk.rewriteLimitThreshold", "1000").toInt
+    val maxKeys = conf.getConfString(
+      "spark.graft.topk.maxKeysPerPartition",
+      TopK.DefaultMaxKeysPerPartition.toString).toLong
+    w match {
+      case Window(Seq(a @ Alias(we: WindowExpression, _)), partSpec, orderSpec, wChild, _)
+        if rowNumberFrame(we) &&
+          partSpec.nonEmpty &&
+          partSpec.forall {
+            case attr: Attribute =>
+              attr.dataType != DoubleType && attr.dataType != FloatType
+            case _ => false
+          } &&
+          orderSpec.nonEmpty && orderSpec.forall(_.deterministic) =>
+        // absorb an InferWindowGroupLimit prefilter: same partition/order
+        // semantics, and the heap bounds harder than the prefilter does
+        val child = wChild match {
+          case WindowGroupLimit(ps, os, _, _, gChild)
+            if ps == partSpec && os == orderSpec => gChild
+          case other => other
+        }
+        val rn = a.toAttribute
+        val conjuncts = splitConjunctivePredicates(cond)
+        val limits = conjuncts.flatMap(c => limitOf(c, rn))
+        val orderResolvable =
+          orderSpec.flatMap(_.references).forall(child.outputSet.contains)
+        if (limits.isEmpty || !orderResolvable) None
+        else {
+          val k = limits.min
+          if (k < 1 || k > threshold) None
+          else {
+            val keys = partSpec.map(_.asInstanceOf[Attribute])
+            val topk = TopKPerKeyNode(child, keys, orderSpec, k, rn, maxKeys)
+            // drop ONLY the conjuncts the heap bound subsumes; everything
+            // else (including other rn predicates like rn >= 2) filters
+            // above, against the same rank attribute
+            val remaining = conjuncts.filterNot(c =>
+              limitOf(c, rn).exists(_ >= k))
+            Some(if (remaining.isEmpty) topk
+            else Filter(remaining.reduce(
+              org.apache.spark.sql.catalyst.expressions.And), topk))
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** Peel a chain of attributes-only (no alias, no computation)
+    * Projects down to a Window node: such projections only reorder or
+    * drop columns, so they commute with a filter on the rank attribute.
+    * Returns the OUTERMOST projection list (it determines the output)
+    * and the window. */
+  private def peelToWindow(p: LogicalPlan): Option[(Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression], Window)] =
+    p match {
+      case org.apache.spark.sql.catalyst.plans.logical.Project(projList, child)
+        if projList.forall(_.isInstanceOf[Attribute]) =>
+        child match {
+          case w: Window => Some((projList, w))
+          case inner => peelToWindow(inner).map { case (_, w) => (projList, w) }
+        }
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // optimized-plan shape: the filter sits directly on the window
+    case f @ Filter(cond, w: Window) =>
+      tryRewrite(cond, w).getOrElse(f)
+    // analyzed-plan shape (the per-plan TopK.rewrite path): withColumn
+    // leaves attributes-only Projects between filter and window; rewrite
+    // underneath and keep the outermost projection on top (TopK output =
+    // window output ⊇ the projected attributes)
+    case f @ Filter(cond, p: org.apache.spark.sql.catalyst.plans.logical.Project) =>
+      peelToWindow(p).flatMap { case (projList, w) =>
+        tryRewrite(cond, w).map(inner =>
+          org.apache.spark.sql.catalyst.plans.logical.Project(projList, inner))
+      }.getOrElse(f)
+  }
 }
 
 /** Column-level entry point: `TopK.perKey(df, keys, orderBy, k)` →
@@ -154,6 +315,17 @@ object TopK {
     * typical executor's task share; override per session with
     * `spark.graft.topk.maxKeysPerPartition`. */
   val DefaultMaxKeysPerPartition: Long = 2000000L
+
+  /** Apply [[RewriteWindowTopK]] to THIS plan only: the window-form df
+    * comes back planned on the bounded-heap operator when the rewrite's
+    * equivalence guards hold, unchanged otherwise. The per-plan twin of
+    * installing the rule session-wide via `GraftExtensions` — useful
+    * when only specific pipelines should opt in. */
+  def rewrite(df: DataFrame): DataFrame = {
+    Bridge.ensureStrategy(df.sparkSession, TopKPerKeyStrategy)
+    Bridge.ensureOptimizerRule(df.sparkSession, PruneAsOfColumns)
+    Bridge.ofRows(df.sparkSession, RewriteWindowTopK(df.queryExecution.analyzed))
+  }
 
   def perKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
       k: Int, rankCol: String = "rn"): DataFrame = {

@@ -23,6 +23,9 @@ class GraftExtensionsSpec extends SparkTestBase {
       .contains(graft.plans.AsOfJoinStrategy))
     assert(Bridge.builtOptimizerRules(ext, spark)
       .contains(graft.plans.PruneAsOfColumns))
+    assert(Bridge.builtOptimizerRules(ext, spark)
+      .contains(graft.plans.RewriteWindowTopK),
+      "window-topk auto-rewrite must install with the extensions")
   }
 
   test("heavy_hitters callable from SQL as an aggregate") {

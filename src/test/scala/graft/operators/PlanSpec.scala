@@ -222,6 +222,15 @@ class PlanSpec extends SparkTestBase {
       s"power-iter should shuffle once (dim key):\n$plan")
   }
 
+  test("win_topk_rewrite: the window idiom planned on the bounded heap — " +
+      "no window exec, no full sort") {
+    val plan = planOf("win_topk_rewrite")
+    assert(plan.contains("TopKPerKey"), s"auto-rewrite did not fire:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("WindowGroupLimit"),
+      s"window machinery survived:\n$plan")
+    assert(!plan.contains("Sort "), s"heap form must not sort:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // One key owns ~90% of the fact rows; with the skew thresholds scaled
     // to fixture size, AQE's runtime re-plan must split that partition

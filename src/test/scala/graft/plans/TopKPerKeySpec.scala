@@ -119,4 +119,73 @@ class TopKPerKeySpec extends SparkTestBase {
     }
     assert(e2.getMessage.contains("collides"))
   }
+
+  // ---- RewriteWindowTopK: the row_number-filter idiom auto-plans on the heap
+
+  private def windowForm(k: Int) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables(spark, sfDir, "lineitem")
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  test("rewrite: window idiom plans on the heap exec with identical rows and ranks") {
+    val form = windowForm(2)
+    val rewritten = TopK.rewrite(form)
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("WindowGroupLimit"),
+      s"window machinery survived the rewrite:\n$plan")
+    val a = rewritten.collect().map(_.toSeq).sortBy(_.toString())
+    val b = form.collect().map(_.toSeq).sortBy(_.toString())
+    assert(a.length == b.length && a.length > 0 && a.sameElements(b),
+      s"rewrite changed results: ${a.length} vs ${b.length} rows")
+  }
+
+  test("rewrite: top-1 'rn = 1' idiom fires; residual conjuncts keep filtering") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val top1 = Tables(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val r1 = TopK.rewrite(top1)
+    assert(r1.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(r1.collect().map(_.toSeq).sortBy(_.toString()) sameElements
+      top1.collect().map(_.toSeq).sortBy(_.toString()))
+    // rn >= 2 is NOT a bound — it must survive as a filter over the heap
+    val band = windowForm(3).filter(col("rn") >= 2)
+    val r2 = TopK.rewrite(band)
+    val plan2 = r2.queryExecution.executedPlan.toString
+    assert(plan2.contains("TopKPerKey") && plan2.contains("Filter"),
+      s"residual filter lost:\n$plan2")
+    assert(r2.collect().map(_.toSeq).sortBy(_.toString()) sameElements
+      band.collect().map(_.toSeq).sortBy(_.toString()))
+  }
+
+  test("rewrite declines: rank(), float partition keys, k over threshold") {
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    // rank() keeps full tie groups — a k-heap can't honor that
+    val viaRank = Tables(spark, sfDir, "orders")
+      .withColumn("rn", rank().over(wr)).filter(col("rn") <= 3)
+    assert(!TopK.rewrite(viaRank).queryExecution.executedPlan
+      .toString.contains("TopKPerKey"))
+    // double keys group -0.0/NaN differently than the normalized window
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("price_d")).orderBy(col("o_orderkey"))
+    val viaFloat = Tables(spark, sfDir, "orders")
+      .withColumn("price_d", col("o_totalprice").cast("double"))
+      .withColumn("rn", row_number().over(wf)).filter(col("rn") <= 3)
+    assert(!TopK.rewrite(viaFloat).queryExecution.executedPlan
+      .toString.contains("TopKPerKey"))
+    // k beyond the threshold: heaps of 100k rows are no longer obviously
+    // cheaper than a spilling sort
+    val big = windowForm(100000)
+    assert(!TopK.rewrite(big).queryExecution.executedPlan
+      .toString.contains("TopKPerKey"))
+  }
 }
