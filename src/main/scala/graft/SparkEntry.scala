@@ -21,7 +21,8 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (MultimodalQueries.queries, MultimodalQueries.oracles),
-      (CurationQueries.queries, CurationQueries.oracles))
+      (CurationQueries.queries, CurationQueries.oracles),
+      (GraphQueries.queries, GraphQueries.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -62,6 +62,22 @@ object DedupQueries {
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
     },
+    // Soft dedup: instead of dropping duplicates, weight each doc by
+    // 1/n of its exact-content group (in exact ppm units — 1e6 div n,
+    // BIGINT floor division) so repeated documents contribute one
+    // document's worth of gradient in total. The count-don't-drop
+    // alternative to dedup_exact (SoftDeDup-style reweighting). Scale
+    // shape: one partial-aggregated shuffle on the content hash + one
+    // equi-join back on the same key — identical cost to dedup_exact,
+    // and md5 keys the groups so the oracle reproduces them verbatim.
+    "dedup_soft_weight" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val counts = d.groupBy("h").agg(count(lit(1)).as("dup_count"))
+      d.join(counts, "h")
+        .select(col("doc_id"), col("dup_count"),
+          expr("1000000 div dup_count").as("weight_ppm"))
+    },
     // Incremental-ingest dedup: a synthetic "fresh batch" (every 5th doc
     // re-ingested verbatim under a new id, plus every 7th doc mutated →
     // genuinely novel) checked against the corpus. The Bloom filter over
@@ -289,6 +305,13 @@ object DedupQueries {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         | COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_soft_weight" ->
+      """WITH c AS (
+        | SELECT md5(text) AS h, COUNT(*) AS dup_count
+        | FROM documents GROUP BY 1)
+        |SELECT d.doc_id, c.dup_count,
+        | 1000000 // c.dup_count AS weight_ppm
+        |FROM documents d JOIN c ON md5(d.text) = c.h""".stripMargin,
     "dedup_incremental" ->
       """WITH fresh AS (
         | SELECT doc_id + 10000 AS doc_id, text FROM documents

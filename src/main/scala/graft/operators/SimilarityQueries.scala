@@ -221,6 +221,33 @@ object SimilarityQueries {
           expr("array_max(q)").as("q_max"),
           expr("size(filter(q, x -> abs(x) = 127))").cast("long").as("n_saturated"))
     },
+    // Per-dimension whitening (standardization) — the preprocessing pass
+    // before PQ/OPQ indexing or embedding-space clustering: z-score each
+    // component against its dimension's corpus mean/std. Components
+    // quantize to exact BIGINTs first (q = floor(x·1e6+0.5)), so the
+    // per-dim count/sum/sum-of-squares are exact integers and
+    // z = (n·q − S)/sqrt(n·Q − S²) is a scalar double expression over
+    // exact inputs — deterministic on both engines (no float SUM whose
+    // order could drift). Constant dimensions (variance 0) emit 0.
+    // Scale shape: one posexplode aggregate keyed by dim (64 rows out),
+    // broadcast back over a single corpus scan — stats never shuffle
+    // the corpus.
+    "vec_whiten" -> { (s, dir) =>
+      val q = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5d) as bigint))")))
+        .select(col("vec_id"), col("pos").as("dim"), col("col").as("q"))
+      val stats = q.groupBy("dim").agg(
+        count(lit(1)).as("n"), sum("q").as("sq"), sum(expr("q * q")).as("qq"))
+      q.join(broadcast(stats), "dim")
+        .select(col("vec_id"), col("dim"),
+          when(col("n") * col("qq") - col("sq") * col("sq") === 0L, lit(0L))
+            .otherwise(expr(
+              """cast(floor(cast(n * q - sq as double)
+                |  / sqrt(cast(n * qq - sq * sq as double))
+                |  * 10000 + 0.5d) as bigint)""".stripMargin))
+            .as("z_q"))
+    },
     // Product quantization: 64-dim vectors → 4 blocks of 16 dims, each
     // block coded by its nearest sub-centroid (same rounded per-label
     // centroids as IVF, sliced per block). At 10^9+ vectors this stores
@@ -500,6 +527,23 @@ object SimilarityQueries {
         |   FLOOR(list_aggregate([abs(x) for x in CAST(embedding AS DOUBLE[])], 'max')
         |         * 1e6 + 0.5) / 1e6 AS scale
         |  FROM embeddings) t1) t2""".stripMargin,
+    "vec_whiten" ->
+      """WITH q AS (
+        | SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+        |  CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+        |       AS BIGINT) AS q
+        | FROM embeddings),
+        |stats AS (
+        | SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(q * q) AS BIGINT) AS qq
+        | FROM q GROUP BY 1)
+        |SELECT q.vec_id, q.dim,
+        | CASE WHEN stats.n * stats.qq - stats.sq * stats.sq = 0
+        |  THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(FLOOR(CAST(stats.n * q.q - stats.sq AS DOUBLE)
+        |        / SQRT(CAST(stats.n * stats.qq - stats.sq * stats.sq AS DOUBLE))
+        |        * 10000 + 0.5) AS BIGINT) END AS z_q
+        |FROM q JOIN stats ON q.dim = stats.dim""".stripMargin,
     "vec_pq_assign" ->
       """WITH m AS (
         | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (

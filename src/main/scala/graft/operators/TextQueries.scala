@@ -142,6 +142,28 @@ object TextQueries {
         .orderBy(col("n").desc, col("bigram"))
         .limit(20)
     },
+    // Corpus-order novelty: per document, how many of its distinct
+    // 5-gram shingles appear for the FIRST time in this document
+    // (min doc_id over the shingle's occurrences = this doc)? The
+    // diversity/redundancy signal a curation pass ranks sources by:
+    // a low novel fraction means the doc mostly restates earlier
+    // corpus content even when no single pair crosses a dedup
+    // threshold. Scale shape: distinct-shingle explode (narrow) →
+    // one partial-aggregated shuffle on the shingle for the min
+    // owner → equi-join back on the same key → per-doc counts. All
+    // integers; docs under 5 tokens have no shingles and are absent
+    // on both engines.
+    "text_ngram_novelty" -> { (s, dir) =>
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.wordNgrams(col("text"), 5))).as("s"))
+      val first = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
+      sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+    },
     // Most distinctive term per document by tf/df ratio. The score is a
     // single IEEE division of two small integers — bit-deterministic on
     // both engines, so the compare stays exact without rounding. Shape:
@@ -376,6 +398,21 @@ object TextQueries {
         |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
         |  FROM documents) t0) t1
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "text_ngram_novelty" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(t) < 5 THEN []
+        |        ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |              || ' ' || t[i+4] for i in range(1, len(t) - 3)] END)) AS s
+        | FROM (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents) t0),
+        |f AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        | CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |FROM sh JOIN f ON sh.s = f.s
+        |GROUP BY sh.doc_id""".stripMargin,
     // Content-defined chunking replayed in SQL: candidate boundaries are
     // positions whose trailing-8-byte window hash ≡ 0 (mod 64) — the low
     // 6 bits of the mod-2^64 hash, exact in BIGINT. next-boundary per
