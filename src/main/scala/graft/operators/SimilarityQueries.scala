@@ -161,13 +161,19 @@ object SimilarityQueries {
     // per-label means purely because the fixture ships labels). Same
     // one-shuffle posexplode aggregate shape as vec_centroids; assigned
     // membership counts come out alongside for empty-cluster handling.
+    // Each component quantizes to an exact BIGINT (floor(x·1e6+0.5))
+    // BEFORE the group sum, so the reduction is order-free and the
+    // DuckDB compare exact — round(avg(...),4) had a summation-order
+    // tie at the rounding boundary (the vec_quantize_int8 hazard). The
+    // new mean is sum_q/(n·1e6), recovered downstream by the trainer.
     "vec_kmeans_step" -> { (s, dir) =>
       vecs(s, dir).join(sharedStages(s, dir)._2, "vec_id")
         .select(col("centroid"), posexplode(col("v")))
-        .groupBy(col("centroid"), col("pos").as("dim"))
-        .agg(round(avg(col("col")), 4).as("new_m"),
-          count(lit(1)).as("n"))
-        .select("centroid", "dim", "new_m", "n")
+        .select(col("centroid"), col("pos").as("dim"),
+          expr("cast(floor(col * 1e6 + 0.5d) as bigint)").as("q"))
+        .groupBy("centroid", "dim")
+        .agg(sum("q").as("sum_q"), count(lit(1)).as("n"))
+        .select("centroid", "dim", "sum_q", "n")
     },
     // One power-iteration step toward the corpus's top principal
     // direction, gram-matrix-free: w = Eᵀ(E·v) with the deterministic
@@ -486,11 +492,12 @@ object SimilarityQueries {
         |   ROW_NUMBER() OVER (PARTITION BY vec_id
         |     ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
         |  FROM v, cent2) t WHERE rn = 1)
-        |SELECT centroid, dim, ROUND(AVG(val), 4) AS new_m,
+        |SELECT centroid, dim, CAST(SUM(q) AS BIGINT) AS sum_q,
         | CAST(COUNT(*) AS BIGINT) AS n
         |FROM (
         | SELECT a.centroid, CAST(unnest(range(len(e.embedding))) AS INT) AS dim,
-        |  CAST(unnest(e.embedding) AS DOUBLE) AS val
+        |  CAST(FLOOR(CAST(unnest(e.embedding) AS DOUBLE) * 1e6 + 0.5)
+        |       AS BIGINT) AS q
         | FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id) t
         |GROUP BY 1, 2""".stripMargin,
     // E·1 per row via the same sequential in-array fold the kernel uses
