@@ -8,9 +8,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
 
 /** Per-key top-k as a first-class operator: for every key group, the k
   * first rows under `order`, each with its 1-based rank — the semantics
@@ -59,10 +60,20 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * (the win over the window form is exactly "no sort, no spill
   * machinery"). That bound is enforced, not hoped for:
   * `maxKeysPerPartition` (default [[TopK.DefaultMaxKeysPerPartition]],
-  * configurable via `spark.graft.topk.maxKeysPerPartition`) fails the
-  * task with a sizing-and-remediation message instead of letting a
-  * high-cardinality key column OOM the executor, where the window
-  * row_number form it replaces would have spilled via external sort.
+  * configurable via `spark.graft.topk.maxKeysPerPartition`) caps the
+  * heap map instead of letting a high-cardinality key column OOM the
+  * executor. What happens AT the cap is `spark.graft.topk.onOverflow`:
+  *  - `sort` (default): the task degrades to a spill-capable external
+  *    sort of the surviving heap rows plus the unread remainder,
+  *    ordered (keys, order), then streams rank ≤ k per group — exactly
+  *    the strategy (and memory profile) of the window row_number form
+  *    this operator replaces, so a plan that would have succeeded as a
+  *    window still succeeds here. Heap evictions before the overflow
+  *    are safe to drop: an evicted row was already beaten by k rows of
+  *    its own key, so no later input can put it back in the top-k.
+  *  - `fail`: the task fails with a sizing-and-remediation message —
+  *    for pipelines that would rather size explicitly than silently
+  *    pay for a sort at scale.
   * Sizing rule (PERF.md "Known deliberate bounds"): keys/partition ≈
   * distinct keys ÷ shuffle partitions; keep keys × k × avg row bytes
   * well under the executor's per-task heap share. */
@@ -102,6 +113,13 @@ case class TopKPerKeyExec(
     // path reuses row_number()'s IntegerType attribute — write whichever
     // the output schema declares
     val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
+    val failOnOverflow = conf.getConfString(
+      "spark.graft.topk.onOverflow", "sort") match {
+      case "fail" => true
+      case "sort" => false
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.topk.onOverflow must be 'sort' or 'fail', got '$other'")
+    }
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOut)
       // compare(a, b) < 0 ⇔ a ranks before b; the PQ dequeues the MAX
@@ -109,7 +127,11 @@ case class TopKPerKeyExec(
       val rowOrd = RowOrdering.create(ord, childOut)
         .asInstanceOf[Ordering[InternalRow]]
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      // heap phase: stream rows until done or the key cap is hit; the
+      // row that would create heap maxKeys+1 is handed to the sort phase
+      var overflowRow: InternalRow = null
+      while (iter.hasNext && overflowRow == null) {
+        val row = iter.next()
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(heap) =>
@@ -118,27 +140,76 @@ case class TopKPerKeyExec(
               heap.dequeue(); heap.enqueue(row.copy())
             }
           case None =>
-            if (heaps.size >= maxKeys) throw new IllegalStateException(
-              s"TopKPerKeyExec exceeded $maxKeys distinct keys in one " +
-                "partition (task memory is O(keys × k) on plain JVM heap). " +
-                "Raise spark.sql.shuffle.partitions so fewer keys land per " +
-                "task, raise spark.graft.topk.maxKeysPerPartition if the " +
-                "heap fits, or use the window row_number form (sorts but " +
-                "spills) for extreme key cardinality.")
-            val heap = mutable.PriorityQueue.empty[InternalRow](rowOrd)
-            heap.enqueue(row.copy())
-            heaps.put(key.copy(), heap)
+            if (heaps.size >= maxKeys) {
+              if (failOnOverflow) throw new IllegalStateException(
+                s"TopKPerKeyExec exceeded $maxKeys distinct keys in one " +
+                  "partition (task memory is O(keys × k) on plain JVM heap). " +
+                  "Raise spark.sql.shuffle.partitions so fewer keys land per " +
+                  "task, raise spark.graft.topk.maxKeysPerPartition if the " +
+                  "heap fits, or set spark.graft.topk.onOverflow=sort to " +
+                  "degrade to a spilling sort (the window form's strategy).")
+              overflowRow = row.copy()
+            } else {
+              val heap = mutable.PriorityQueue.empty[InternalRow](rowOrd)
+              heap.enqueue(row.copy())
+              heaps.put(key.copy(), heap)
+            }
         }
       }
       val joined = new JoinedRow
       val outProj = UnsafeProjection.create(outAttrs, childOut :+ rank)
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
-      heaps.iterator.flatMap { case (_, heap) =>
-        // dequeueAll yields rank-worst first; reverse for rank 1..k
-        val ranked: Seq[InternalRow] = heap.dequeueAll.reverse
-        ranked.iterator.zipWithIndex.map { case (r, i) =>
-          rankRow.update(0, if (rankIsInt) i + 1 else (i + 1).toLong)
-          outProj(joined(r, rankRow))
+      if (overflowRow == null) {
+        heaps.iterator.flatMap { case (_, heap) =>
+          // dequeueAll yields rank-worst first; reverse for rank 1..k
+          val ranked: Seq[InternalRow] = heap.dequeueAll.reverse
+          ranked.iterator.zipWithIndex.map { case (r, i) =>
+            rankRow.update(0, if (rankIsInt) i + 1 else (i + 1).toLong)
+            outProj(joined(r, rankRow))
+          }
+        }
+      } else {
+        // sort-degrade phase: exactly the window row_number strategy —
+        // external sort by (keys, order) with spill via Spark's task
+        // memory manager, then one streaming rank pass. Rows already
+        // evicted from a heap were beaten by k same-key rows, so only
+        // the heap SURVIVORS plus the unread remainder need sorting.
+        val keySort = keyExprs.map(SortOrder(_, Ascending))
+        val fullOrd = RowOrdering.create(keySort ++ ord, childOut)
+          .asInstanceOf[Ordering[InternalRow]]
+        // constant prefix: the row comparator does the whole compare —
+        // this path is the escape hatch, not the hot path, and a
+        // constant prefix keeps it type-agnostic
+        val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+          private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+          override def computePrefix(row: InternalRow)
+              : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+            p.value = 0L; p.isNull = false; p
+          }
+        }
+        val sorter = UnsafeExternalRowSorter.create(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(childOut),
+          fullOrd, PrefixComparators.LONG, prefixComputer,
+          Bridge.pageSizeBytes, false)
+        val toUnsafe = UnsafeProjection.create(childOut, childOut)
+        heaps.foreach { case (_, heap) =>
+          heap.dequeueAll.foreach((r: InternalRow) => sorter.insertRow(toUnsafe(r)))
+        }
+        heaps.clear()
+        sorter.insertRow(toUnsafe(overflowRow))
+        iter.foreach(r => sorter.insertRow(toUnsafe(r)))
+        val sorted = sorter.sort()
+        // streaming rank over key-adjacent sorted rows
+        var curKey: UnsafeRow = null
+        var rankNo = 0L
+        sorted.flatMap { r =>
+          val key = keyProj(r)
+          if (curKey == null || key != curKey) { curKey = key.copy(); rankNo = 0L }
+          rankNo += 1
+          if (rankNo <= kk) {
+            rankRow.update(0, if (rankIsInt) rankNo.toInt else rankNo)
+            Iterator.single(outProj(joined(r, rankRow)))
+          } else Iterator.empty
         }
       }
     }
@@ -164,10 +235,11 @@ case class TopKPerKeyExec(
   *    the standard (UnboundedPreceding, CurrentRow) row frame — rank()/
   *    dense_rank() have tie semantics a k-bounded heap cannot honor
   *    (the boundary group must survive in full);
-  *  - partition keys are plain non-float attributes (float keys group
-  *    -0.0/NaN differently than the window exchange, which is protected
-  *    by NormalizeFloatingNumbers — a rule that never fires on custom
-  *    nodes);
+  *  - partition keys are plain attributes containing no float/double
+  *    anywhere in their type — including nested inside struct/array/map
+  *    — because float keys group -0.0/NaN differently than the window
+  *    exchange, which is protected by NormalizeFloatingNumbers, a rule
+  *    that never fires on custom nodes;
   *  - the order is deterministic and resolvable against the child;
   *  - the limit conjunct is `rn <= k` / `rn < k` / `rn = 1` (or
   *    mirrored) with k no larger than
@@ -186,14 +258,20 @@ case class TopKPerKeyExec(
   * deterministic output (same contract as [[TopK.perKey]]).
   *
   * Installed by [[graft.GraftExtensions]] (session-wide, the engine
-  * default) or per-plan via [[TopK.rewrite]]. */
+  * default — disable with `spark.graft.topk.autoRewrite=false`, which
+  * turns the injected rule into a no-op while [[TopK.rewrite]] keeps
+  * working as the explicit per-plan opt-in). With the default
+  * `spark.graft.topk.onOverflow=sort` the rewrite is also
+  * failure-compatible with the window form: a partition that exceeds
+  * the key cap degrades to the same spilling sort the window would
+  * have run, instead of hard-failing a previously-succeeding query. */
 object RewriteWindowTopK
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
   with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   import org.apache.spark.sql.catalyst.expressions.{Alias, CurrentRow, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression}
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window, WindowGroupLimit}
-  import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType}
+  import org.apache.spark.sql.types.IntegerType
 
   /** The upper bound k when `e` bounds `rn` from above (a heap of k
     * rows then satisfies the conjunct by construction, so it can be
@@ -235,8 +313,7 @@ object RewriteWindowTopK
         if rowNumberFrame(we) &&
           partSpec.nonEmpty &&
           partSpec.forall {
-            case attr: Attribute =>
-              attr.dataType != DoubleType && attr.dataType != FloatType
+            case attr: Attribute => !TopK.containsFloat(attr.dataType)
             case _ => false
           } &&
           orderSpec.nonEmpty && orderSpec.forall(_.deterministic) =>
@@ -289,7 +366,9 @@ object RewriteWindowTopK
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  /** the actual rewrite — [[apply]] gates it on the session conf,
+    * [[force]] (the [[TopK.rewrite]] path) applies it unconditionally */
+  private[plans] def force(plan: LogicalPlan): LogicalPlan = plan.transform {
     // optimized-plan shape: the filter sits directly on the window
     case f @ Filter(cond, w: Window) =>
       tryRewrite(cond, w).getOrElse(f)
@@ -303,6 +382,10 @@ object RewriteWindowTopK
           org.apache.spark.sql.catalyst.plans.logical.Project(projList, inner))
       }.getOrElse(f)
   }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.topk.autoRewrite", "true").toBoolean) plan
+    else force(plan)
 }
 
 /** Column-level entry point: `TopK.perKey(df, keys, orderBy, k)` →
@@ -324,7 +407,24 @@ object TopK {
   def rewrite(df: DataFrame): DataFrame = {
     Bridge.ensureStrategy(df.sparkSession, TopKPerKeyStrategy)
     Bridge.ensureOptimizerRule(df.sparkSession, PruneAsOfColumns)
-    Bridge.ofRows(df.sparkSession, RewriteWindowTopK(df.queryExecution.analyzed))
+    // force(), not apply(): the explicit per-plan opt-in works even when
+    // spark.graft.topk.autoRewrite=false disables the session-wide rule
+    Bridge.ofRows(df.sparkSession, RewriteWindowTopK.force(df.queryExecution.analyzed))
+  }
+
+  /** True when `dt` contains a float/double anywhere — top level or
+    * nested in struct/array/map. Such grouping keys are rejected:
+    * -0.0/NaN group differently than the NormalizeFloatingNumbers-
+    * protected window exchange (the rule never fires on custom nodes). */
+  private[plans] def containsFloat(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType | FloatType => true
+      case s: StructType => s.fields.exists(f => containsFloat(f.dataType))
+      case a: ArrayType => containsFloat(a.elementType)
+      case m: MapType => containsFloat(m.keyType) || containsFloat(m.valueType)
+      case _ => false
+    }
   }
 
   def perKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
@@ -365,12 +465,11 @@ object TopK {
     }
     keys.foreach { kc =>
       val dt = attr(kc).dataType
-      // float keys: -0.0/NaN split groups (NormalizeFloatingNumbers
-      // never fires on custom nodes) — reject, don't silently diverge
-      // from the window row_number form
-      require(dt != org.apache.spark.sql.types.DoubleType &&
-          dt != org.apache.spark.sql.types.FloatType,
-        s"top-k key '$kc' is $dt: float/double grouping keys are not " +
+      // float keys (top-level OR nested in struct/array/map): -0.0/NaN
+      // split groups (NormalizeFloatingNumbers never fires on custom
+      // nodes) — reject, don't silently diverge from the window form
+      require(!containsFloat(dt),
+        s"top-k key '$kc' is $dt: keys containing float/double are not " +
           "supported (-0.0/NaN grouping diverges) — cast or bucket first")
     }
     val maxKeys = df.sparkSession.conf

@@ -40,6 +40,12 @@ object Bridge {
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
     ext.buildOptimizerRules(spark)
 
+  /** `MemoryManager.pageSizeBytes` is `private[spark]` — the page size a
+    * spilling sorter should use (what SortExec itself passes to
+    * `UnsafeExternalRowSorter`). */
+  def pageSizeBytes: Long =
+    org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
+
   /** Idempotently add an optimizer rule to the session (the
     * programmatic twin of `injectOptimizerRule`). */
   def ensureOptimizerRule(spark: org.apache.spark.sql.SparkSession,

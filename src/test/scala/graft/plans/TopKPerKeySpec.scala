@@ -88,14 +88,16 @@ class TopKPerKeySpec extends SparkTestBase {
     assert(got == expect)
   }
 
-  test("high key cardinality works under the default bound; the " +
-      "configurable per-partition cap fails with a sizing message") {
+  test("high key cardinality works under the default bound; onOverflow=fail " +
+      "fails the capped partition with a sizing message") {
     import spark.implicits._
     // every row its own key: 50k heaps across tasks — fine by default
     val wide = (0L until 50000L).map(i => (i, i)).toDF("k", "v")
     assert(TopK.perKey(wide, Seq("k"), Seq(col("v")), k = 1).count() == 50000L)
-    // cap far below the per-partition key count → clear failure, no OOM
+    // cap far below the per-partition key count + strict mode → clear
+    // failure, no OOM
     spark.conf.set("spark.graft.topk.maxKeysPerPartition", "10")
+    spark.conf.set("spark.graft.topk.onOverflow", "fail")
     try {
       val e = intercept[org.apache.spark.SparkException] {
         TopK.perKey(wide.coalesce(1), Seq("k"), Seq(col("v")), k = 1).count()
@@ -104,7 +106,57 @@ class TopKPerKeySpec extends SparkTestBase {
         Option(e.getCause).exists(_.getMessage
           .contains("distinct keys in one partition")),
         s"wrong failure: ${e.getMessage}")
+    } finally {
+      spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+      spark.conf.unset("spark.graft.topk.onOverflow")
+    }
+  }
+
+  test("default onOverflow=sort: above the key cap the task degrades to " +
+      "the spilling-sort strategy with results identical to the window form") {
+    import spark.implicits._
+    // 5000 keys × 4 rows in ONE partition, cap of 100 → the heap phase
+    // overflows early and the sort phase must produce the full answer
+    val df = (0L until 20000L).map(i => (i % 5000, i)).toDF("k", "v").coalesce(1)
+    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "100")
+    try {
+      val got = TopK.perKey(df, Seq("k"), Seq(col("v").desc), k = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = (0L until 20000L).groupBy(_ % 5000).flatMap { case (k, vs) =>
+        vs.sorted(Ordering[Long].reverse).take(2).zipWithIndex
+          .map { case (v, i) => (k, v, (i + 1).toLong) }
+      }.toSet
+      assert(got == expect, s"degrade path diverged: ${got.size} vs ${expect.size}")
     } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+  }
+
+  test("keys containing nested floats are rejected (struct key) and the " +
+      "rewrite declines on them") {
+    import spark.implicits._
+    val df = Seq((1.0, 1L, 2L)).toDF("f", "k", "v")
+      .withColumn("sk", struct(col("k"), col("f")))
+    val e = intercept[IllegalArgumentException] {
+      TopK.perKey(df, Seq("sk"), Seq(col("v")), k = 1)
+    }
+    assert(e.getMessage.contains("float/double"))
+    // rewrite guard: struct-with-double partition key keeps the window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sk")).orderBy(col("v"))
+    val form = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+    assert(!TopK.rewrite(form).queryExecution.executedPlan
+      .toString.contains("TopKPerKey"))
+  }
+
+  test("spark.graft.topk.autoRewrite=false disables the session-wide rule; " +
+      "TopK.rewrite still forces the heap plan") {
+    val form = windowForm(2)
+    spark.conf.set("spark.graft.topk.autoRewrite", "false")
+    try {
+      assert(!form.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+        "gated rule still fired session-wide")
+      assert(TopK.rewrite(form).queryExecution.executedPlan
+        .toString.contains("TopKPerKey"), "explicit opt-in stopped working")
+    } finally spark.conf.unset("spark.graft.topk.autoRewrite")
   }
 
   test("API validation: empty order and rank-column collision are rejected") {
