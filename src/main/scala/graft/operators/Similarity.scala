@@ -76,6 +76,130 @@ object Similarity {
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
     ivfAssignN(vectors, centroids, 1).drop("probe_rank")
 
+  /** Lloyd's k-means over `(vec_id, v)` — the "train the coarse
+    * quantizer" loop a production IVF index runs once and reuses for
+    * every search. Driver-coordinated: each iteration is one corpus
+    * scan (broadcast-centroid assign + one quantized re-mean shuffle);
+    * only the k×dim centroid table (tiny) ever reaches the driver, so
+    * the loop holds at 10⁹ vectors — cost is maxIter × one scan.
+    *
+    * Determinism contract (what makes the 2-iteration registered query
+    * oracle-exact): components quantize to BIGINT (`floor(x·1e6+0.5)`)
+    * BEFORE the re-mean group sum (order-free reduction), and the new
+    * component is `floor(sum_q/n + 0.5)/1e6` — one IEEE division +
+    * floor over exact integers, bit-identical on any engine. Ties in
+    * the assign step break by centroid label (same as [[ivfAssignN]]).
+    *
+    * Empty clusters reseed deterministically from the farthest-point
+    * vectors: the vectors with the largest distance to their assigned
+    * centroid (ties by vec_id), taken in label order — k stays k, as
+    * FAISS-style trainers guarantee.
+    *
+    * Stops after `maxIter` iterations or when the quantized max
+    * component shift `max |q_new − q_old|/1e6 < tol` (a shift of
+    * exactly 0 always stops: the assignment is a fixed point).
+    *
+    * `init`: optional `(c_label, c)` seed centroids (e.g.
+    * [[meanCentroids]] when labels exist); defaults to the k lowest-id
+    * vectors labeled 0..k−1. Output: `(c_label: bigint, c, cnorm2)` —
+    * plugs directly into [[ivfAssign]]/[[pqAssign]]. */
+  def trainCoarseQuantizer(vectors: DataFrame, k: Int, maxIter: Int,
+      tol: Double, init: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIter >= 0, s"maxIter must be >= 0, got $maxIter")
+    require(tol >= 0, s"tol must be >= 0, got $tol")
+    val spark = vectors.sparkSession
+    def collectCentroids(df: DataFrame): Array[(Long, Array[Double])] =
+      df.select("c_label", "c").collect().map { r =>
+        (r.get(0).asInstanceOf[Number].longValue(),
+          r.getSeq[Double](1).toArray)
+      }.sortBy(_._1)
+    var cent: Array[(Long, Array[Double])] = init match {
+      case Some(df) =>
+        val c = collectCentroids(df)
+        require(c.length == k, s"init has ${c.length} centroids, expected k=$k")
+        c
+      case None =>
+        vectors.orderBy("vec_id").limit(k).select("v").collect()
+          .zipWithIndex
+          .map { case (r, i) => (i.toLong, r.getSeq[Double](0).toArray) }
+    }
+    // same sequential left fold as the SQL aggregate()/list_aggregate
+    // the oracles use — cnorm2 must be bit-identical across engines
+    def frame(c: Array[(Long, Array[Double])]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_label",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false),
+          nullable = false),
+        org.apache.spark.sql.types.StructField("cnorm2",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val rows: java.util.List[org.apache.spark.sql.Row] = c.map { case (l, arr) =>
+        org.apache.spark.sql.Row(l, arr.toSeq, arr.foldLeft(0.0)((a, x) => a + x * x))
+      }.toSeq.asJava
+      spark.createDataFrame(rows, schema)
+    }
+    def q(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    var it = 0
+    var done = maxIter == 0
+    while (!done) {
+      val centDf = frame(cent)
+      val assign = ivfAssign(vectors, centDf)
+      // quantized per-(centroid, dim) sums: one order-free shuffle
+      val sums = vectors.join(assign, "vec_id")
+        .select(col("centroid"), posexplode(col("v")))
+        .select(col("centroid"), col("pos").as("dim"),
+          expr("cast(floor(col * 1e6 + 0.5d) as bigint)").as("q"))
+        .groupBy("centroid", "dim")
+        .agg(sum("q").as("sum_q"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.get(0).asInstanceOf[Number].longValue())
+      val dims = cent.head._2.length
+      var next = cent.map { case (label, old) =>
+        sums.get(label) match {
+          case Some(rows) =>
+            val m = new Array[Double](dims)
+            rows.foreach { r =>
+              m(r.get(1).asInstanceOf[Number].intValue()) =
+                math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5) / 1e6
+            }
+            (label, m)
+          case None => (label, null) // empty cluster — reseed below
+        }
+      }
+      val empties = next.collect { case (l, null) => l }
+      if (empties.nonEmpty) {
+        // deterministic farthest-point reseed: max dist² to the assigned
+        // centroid, ties by vec_id, one reseed vector per empty label
+        val far = vectors.join(assign, "vec_id")
+          .join(broadcast(centDf), col("centroid") === col("c_label"))
+          .withColumn("dist2", col("cnorm2") -
+            lit(2) * dot_product(col("v"), col("c")) +
+            expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+          .orderBy(col("dist2").desc, col("vec_id"))
+          .limit(empties.length)
+          .select("v").collect()
+          .map(_.getSeq[Double](0).toArray)
+        val reseeds = empties.sorted.zip(far).toMap
+        next = next.map {
+          case (l, null) => (l, reseeds(l))
+          case ok => ok
+        }
+      }
+      // quantized max component shift; reseeded clusters count too
+      val shift = cent.zip(next).iterator.flatMap { case ((_, a), (_, b)) =>
+        a.iterator.zip(b.iterator).map { case (x, y) => math.abs(q(x) - q(y)) }
+      }.foldLeft(0L)(math.max)
+      cent = next
+      it += 1
+      done = it >= maxIter || shift == 0L || shift / 1e6 < tol
+    }
+    frame(cent)
+  }
+
   /** Multi-probe IVF assignment: each vector's `nprobe` nearest
     * centroids with their probe rank. Queries probe several adjacent
     * buckets to recover the recall lost at bucket boundaries, at a

@@ -175,6 +175,23 @@ object SimilarityQueries {
         .agg(sum("q").as("sum_q"), count(lit(1)).as("n"))
         .select("centroid", "dim", "sum_q", "n")
     },
+    // Two full Lloyd iterations through Similarity.trainCoarseQuantizer
+    // — the driver-coordinated k-means training loop (assign → quantized
+    // re-mean, empty-cluster reseed, quantized-shift stop), seeded from
+    // the shared label-mean centroids. Output: the trained centroids,
+    // per-component, quantized to exact BIGINTs (floor(m·1e6+0.5)), so
+    // the whole 2-iteration trajectory has an exact DuckDB oracle (the
+    // fixture reseeds nothing — SimilaritySpec asserts every cluster
+    // stays populated, which is what makes the reseed-free SQL twin
+    // faithful).
+    "vec_kmeans_train2" -> { (s, dir) =>
+      val cent = sharedStages(s, dir)._1
+      val trained = Similarity.trainCoarseQuantizer(vecs(s, dir),
+        k = cent.count().toInt, maxIter = 2, tol = 0.0, init = Some(cent))
+      trained.select(col("c_label").as("centroid"), posexplode(col("c")))
+        .select(col("centroid"), col("pos").as("dim"),
+          expr("cast(floor(col * 1e6 + 0.5d) as bigint)").as("m_q"))
+    },
     // One power-iteration step toward the corpus's top principal
     // direction, gram-matrix-free: w = Eᵀ(E·v) with the deterministic
     // all-ones seed v — the building block for distributed PCA /
@@ -500,6 +517,68 @@ object SimilarityQueries {
         |       AS BIGINT) AS q
         | FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id) t
         |GROUP BY 1, 2""".stripMargin,
+    // The full 2-iteration Lloyd trajectory in SQL: label-mean seed →
+    // assign → quantized re-mean (m1) → assign → quantized re-mean (m2)
+    // → per-component BIGINT quantization. Every float op is either an
+    // ordered fold (validated bit-equal elsewhere) or a single IEEE
+    // division/floor over exact integers, so the compare is exact.
+    "vec_kmeans_train2" ->
+      """WITH m AS (
+        | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
+        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+        |   CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings) t GROUP BY 1, 2),
+        |cent AS (
+        | SELECT label AS c_label, list(m ORDER BY dim) AS c FROM m GROUP BY label),
+        |cent2 AS (
+        | SELECT c_label, c,
+        |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
+        | FROM cent),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a1 AS (
+        | SELECT vec_id, c_label AS centroid FROM (
+        |  SELECT vec_id, c_label,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id
+        |     ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
+        |  FROM v, cent2) t WHERE rn = 1),
+        |s1 AS (
+        | SELECT centroid, dim, CAST(SUM(q) AS BIGINT) AS sum_q,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM (
+        |  SELECT a1.centroid, CAST(unnest(range(len(e.embedding))) AS INT) AS dim,
+        |   CAST(FLOOR(CAST(unnest(e.embedding) AS DOUBLE) * 1e6 + 0.5)
+        |        AS BIGINT) AS q
+        |  FROM embeddings e JOIN a1 ON a1.vec_id = e.vec_id) t
+        | GROUP BY 1, 2),
+        |m1 AS (
+        | SELECT CAST(centroid AS BIGINT) AS c_label, dim,
+        |  FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) / 1e6 AS m
+        | FROM s1),
+        |cent1 AS (
+        | SELECT c_label, list(m ORDER BY dim) AS c FROM m1 GROUP BY c_label),
+        |cent12 AS (
+        | SELECT c_label, c,
+        |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
+        | FROM cent1),
+        |a2 AS (
+        | SELECT vec_id, c_label AS centroid FROM (
+        |  SELECT vec_id, c_label,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id
+        |     ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
+        |  FROM v, cent12) t WHERE rn = 1),
+        |s2 AS (
+        | SELECT centroid, dim, CAST(SUM(q) AS BIGINT) AS sum_q,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM (
+        |  SELECT a2.centroid, CAST(unnest(range(len(e.embedding))) AS INT) AS dim,
+        |   CAST(FLOOR(CAST(unnest(e.embedding) AS DOUBLE) * 1e6 + 0.5)
+        |        AS BIGINT) AS q
+        |  FROM embeddings e JOIN a2 ON a2.vec_id = e.vec_id) t
+        | GROUP BY 1, 2)
+        |SELECT CAST(centroid AS BIGINT) AS centroid, dim,
+        | CAST(FLOOR(FLOOR(CAST(sum_q AS DOUBLE) / n + 0.5) / 1e6 * 1e6 + 0.5)
+        |      AS BIGINT) AS m_q
+        |FROM s2""".stripMargin,
     // E·1 per row via the same sequential in-array fold the kernel uses
     // (list_aggregate over the stored order — validated bit-equal in the
     // sim_ann_lsh oracle), then integer-quantized products group-summed.

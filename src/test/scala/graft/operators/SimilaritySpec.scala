@@ -80,6 +80,66 @@ class SimilaritySpec extends SparkTestBase {
     assert(perDim.values.forall(_ == nVecs))
   }
 
+  private def vecsDf = Tables(spark, sfDir, "embeddings")
+    .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+
+  /** within-cluster SSE: Σ_v min_c ‖v−c‖² — Lloyd's objective */
+  private def kmeansObjective(cent: org.apache.spark.sql.DataFrame): Double =
+    vecsDf.crossJoin(broadcast(cent))
+      .withColumn("dist2", col("cnorm2") -
+        lit(2) * graft.functions.SketchExpressions.dot_product(col("v"), col("c")) +
+        expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+      .groupBy("vec_id").agg(min("dist2").as("d"))
+      .agg(sum("d")).head().getDouble(0)
+
+  test("trainCoarseQuantizer: objective is non-increasing per Lloyd iteration") {
+    val seed = SimilarityQueries.sharedStages(spark, sfDir)._1
+    val k = seed.count().toInt
+    val js = (0 to 3).map { iters =>
+      kmeansObjective(Similarity.trainCoarseQuantizer(
+        vecsDf, k, maxIter = iters, tol = 0.0, init = Some(seed)))
+    }
+    js.sliding(2).foreach { case Seq(a, b) =>
+      // 1e-9 relative slack for the 1e-6 component quantization
+      assert(b <= a * (1 + 1e-9) + 1e-9, s"objective increased: $js")
+    }
+    assert(js.last < js.head, s"training never improved the objective: $js")
+  }
+
+  test("trainCoarseQuantizer: fixture training empties no cluster " +
+      "(what keeps the reseed-free vec_kmeans_train2 oracle faithful)") {
+    val seed = SimilarityQueries.sharedStages(spark, sfDir)._1
+    val k = seed.count().toInt
+    val trained = Similarity.trainCoarseQuantizer(
+      vecsDf, k, maxIter = 2, tol = 0.0, init = Some(seed))
+    assert(trained.count() == k)
+    val counts = Similarity.ivfAssign(vecsDf, trained)
+      .groupBy("centroid").count().collect()
+    assert(counts.length == k, s"empty cluster after training: only " +
+      s"${counts.length} of $k populated")
+  }
+
+  test("trainCoarseQuantizer: empty cluster reseeds deterministically " +
+      "from the farthest-point vector") {
+    import spark.implicits._
+    val data = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.2, 0.0)), (2L, Seq(10.0, 10.0)))
+      .toDF("vec_id", "v")
+    // seed B is so far away that round 1 assigns everything to A → B
+    // empties → reseed from the farthest point (vec 2 at [10,10])
+    val init = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(1000.0, 1000.0)))
+      .toDF("c_label", "c")
+    val trained = Similarity.trainCoarseQuantizer(
+      data, k = 2, maxIter = 2, tol = 0.0, init = Some(init))
+      .orderBy("c_label").collect()
+    assert(trained.length == 2)
+    val a = trained(0).getSeq[Double](1)
+    val b = trained(1).getSeq[Double](1)
+    // after the reseed + one more re-mean: A = mean of {v0, v1}, B = v2
+    assert(a == Seq(0.1, 0.0), s"cluster A: $a")
+    assert(b == Seq(10.0, 10.0), s"cluster B: $b")
+  }
+
   test("sim_recall_at_k ≡ hand-computed overlap of IVF vs brute force") {
     val brute = topk("sim_topk_bruteforce").map { case (q, ns) =>
       q -> ns.take(3).toSet // truth at k=3
