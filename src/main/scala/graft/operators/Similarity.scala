@@ -223,6 +223,21 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     topK(corpus.join(broadcast(queries), Seq("centroid")), k)
 
+  /** The PQ codebook: each centroid sliced into `blocks` sub-vectors
+    * with their squared norms — the tiny broadcast table every PQ path
+    * scores against, and the third artifact [[saveIndex]] persists.
+    * Input `(c_label, c)`; output `(c_label, block, cb, cbnorm2)`. */
+  def pqCodebook(centroids: DataFrame, blocks: Int, dim: Int): DataFrame = {
+    require(dim % blocks == 0, s"dim ($dim) must split evenly into $blocks blocks")
+    val d = dim / blocks
+    centroids
+      .select(col("c_label"), explode(expr(
+        s"transform(sequence(0, ${blocks - 1}), " +
+          s"b -> struct(cast(b as bigint) as block, slice(c, b * $d + 1, $d) as cb))")).as("e"))
+      .select(col("c_label"), col("e.block").as("block"), col("e.cb").as("cb"))
+      .withColumn("cbnorm2", expr("aggregate(cb, 0D, (a, x) -> a + x * x)"))
+  }
+
   /** Product-quantization code assignment — the storage scale path past
     * int8: `v` splits into `blocks` equal sub-vectors, each assigned to
     * its nearest sub-centroid by L2 (argmin over |c|² − 2·v·c per
@@ -238,16 +253,12 @@ object Similarity {
       blocks: Int, dim: Int): DataFrame = {
     require(dim % blocks == 0, s"dim ($dim) must split evenly into $blocks blocks")
     val d = dim / blocks
-    def subSlices(vecCol: String, out: String): Column = explode(expr(
-      s"transform(sequence(0, ${blocks - 1}), " +
-        s"b -> struct(cast(b as bigint) as block, slice($vecCol, b * $d + 1, $d) as $out))"))
     val vb = vectors
-      .select(col("vec_id"), subSlices("v", "vb").as("e"))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${blocks - 1}), " +
+          s"b -> struct(cast(b as bigint) as block, slice(v, b * $d + 1, $d) as vb))")).as("e"))
       .select(col("vec_id"), col("e.block").as("block"), col("e.vb").as("vb"))
-    val cb = centroids
-      .select(col("c_label"), subSlices("c", "cb").as("e"))
-      .select(col("c_label"), col("e.block").as("block"), col("e.cb").as("cb"))
-      .withColumn("cbnorm2", expr("aggregate(cb, 0D, (a, x) -> a + x * x)"))
+    val cb = pqCodebook(centroids, blocks, dim)
     val w = Window.partitionBy("vec_id", "block").orderBy(col("score"), col("c_label"))
     vb.join(broadcast(cb), "block")
       .withColumn("score", col("cbnorm2") - lit(2) * dot_product(col("vb"), col("cb")))
@@ -274,12 +285,7 @@ object Similarity {
       blocks: Int, dim: Int, k: Int): DataFrame = {
     require(dim % blocks == 0, s"dim ($dim) must split evenly into $blocks blocks")
     val d = dim / blocks
-    val cb = centroids
-      .select(col("c_label"), explode(expr(
-        s"transform(sequence(0, ${blocks - 1}), " +
-          s"b -> struct(cast(b as bigint) as block, slice(c, b * $d + 1, $d) as cb))")).as("e"))
-      .select(col("c_label").as("code"), col("e.block").as("block"), col("e.cb").as("cb"))
-      .withColumn("cbnorm2", expr("aggregate(cb, 0D, (a, x) -> a + x * x)"))
+    val cb = pqCodebook(centroids, blocks, dim).withColumnRenamed("c_label", "code")
     val lut = queries.crossJoin(broadcast(cb))
       .withColumn("qb", expr(s"slice(va, block * $d + 1, $d)"))
       .withColumn("dist",
@@ -309,13 +315,8 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, codes: DataFrame, centroids: DataFrame,
       blocks: Int, dim: Int, k: Int): DataFrame = {
     require(dim % blocks == 0, s"dim ($dim) must split evenly into $blocks blocks")
+    val cb = pqCodebook(centroids, blocks, dim).withColumnRenamed("c_label", "code")
     val d = dim / blocks
-    val cb = centroids
-      .select(col("c_label"), explode(expr(
-        s"transform(sequence(0, ${blocks - 1}), " +
-          s"b -> struct(cast(b as bigint) as block, slice(c, b * $d + 1, $d) as cb))")).as("e"))
-      .select(col("c_label").as("code"), col("e.block").as("block"), col("e.cb").as("cb"))
-      .withColumn("cbnorm2", expr("aggregate(cb, 0D, (a, x) -> a + x * x)"))
     val lut = queries.select(col("query_id"), col("va"), col("centroid").as("qc"))
       .crossJoin(broadcast(cb))
       .withColumn("qb", expr(s"slice(va, block * $d + 1, $d)"))
@@ -333,4 +334,41 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk")
   }
+
+  /** Persist a trained ANN index as parquet: the coarse centroids
+    * (`(c_label, c, cnorm2)`), the corpus assignment
+    * (`(vec_id, centroid)`), and optionally the PQ codebook
+    * (`(c_label, block, cb, cbnorm2)` from [[pqCodebook]]). Train once,
+    * save, and every later session searches without touching the
+    * training pipeline — the index artifacts are exactly the two tiny
+    * tables plus one row per corpus vector, and doubles round-trip
+    * bit-exactly through parquet, so a reloaded index reproduces search
+    * results bit-for-bit ([[SimilarityQueries.sharedStages]] prefers a
+    * saved index when `spark.graft.ann.indexDir` is set). */
+  def saveIndex(path: String, centroids: DataFrame, assignment: DataFrame,
+      pqCodebook: Option[DataFrame] = None): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$path/centroids.parquet")
+    assignment.write.mode("overwrite").parquet(s"$path/assignment.parquet")
+    pqCodebook.foreach(_.write.mode("overwrite")
+      .parquet(s"$path/pq_codebook.parquet"))
+  }
+
+  /** Load a [[saveIndex]]-written index: `(centroids, assignment)`. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/centroids.parquet"),
+      spark.read.parquet(s"$path/assignment.parquet"))
+
+  /** Load the optional PQ codebook artifact of a [[saveIndex]] dir. */
+  def loadPqCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/pq_codebook.parquet")
+
+  /** Drop this session's cached ANN shared stages (see
+    * [[SimilarityQueries.sharedStages]]): unpersists the centroid and
+    * assignment frames and forgets the cache entries. The library-API
+    * teardown hook — [[graft.GraftSession.release]] calls it — for
+    * long-lived sessions that are done with a corpus. */
+  def releaseStages(session: org.apache.spark.sql.SparkSession): Unit =
+    SimilarityQueries.releaseStages(session)
 }

@@ -50,15 +50,39 @@ object SimilarityQueries {
     // retained forever (persisted DataFrames pin their dead session)
     stageCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     stageCache.getOrElseUpdate((s, dir), {
-      val cent = Similarity.meanCentroids(
-        Tables(s, dir, "embeddings")
-          .select(col("label"),
-            expr("transform(embedding, x -> cast(x as double))").as("v")))
-        .persist()
-      val assign = Similarity.ivfAssign(vecs(s, dir), cent).persist()
-      (cent, assign)
+      // a saved index (Similarity.saveIndex) short-circuits training:
+      // both stages come off parquet — zero centroid aggregates in any
+      // downstream plan, bit-identical search results (doubles round-
+      // trip exactly). The conf is session-scoped, so it names ONE
+      // index — the session's corpus — as a production session would.
+      s.conf.getOption("spark.graft.ann.indexDir") match {
+        case Some(idx) =>
+          val (cent, assign) = Similarity.loadIndex(s, idx)
+          (cent.persist(), assign.persist())
+        case None =>
+          // cent persists BEFORE assign is built so the assignment's own
+          // materialization reads the cached centroids, not a re-planned
+          // aggregate
+          val cent = Similarity.meanCentroids(
+            Tables(s, dir, "embeddings")
+              .select(col("label"),
+                expr("transform(embedding, x -> cast(x as double))").as("v")))
+            .persist()
+          (cent, Similarity.ivfAssign(vecs(s, dir), cent).persist())
+      }
     })
   }
+
+  /** Unpersist and forget this session's shared stages — the teardown
+    * twin of [[sharedStages]] (blocking, so callers can assert the
+    * cache blocks are gone). Entry point: [[Similarity.releaseStages]]. */
+  private[graft] def releaseStages(s: SparkSession): Unit =
+    stageCache.keys.toList.filter(_._1 eq s).foreach { key =>
+      stageCache.remove(key).foreach { case (cent, assign) =>
+        cent.unpersist(blocking = true)
+        assign.unpersist(blocking = true)
+      }
+    }
 
   private def querySide(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 10)

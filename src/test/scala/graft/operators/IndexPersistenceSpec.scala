@@ -1,0 +1,77 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkTestBase}
+
+/** Train-once / search-forever: a saved ANN index reloads in a fresh
+  * session with bit-identical results and no trace of the training
+  * pipeline in the search plans. */
+class IndexPersistenceSpec extends SparkTestBase {
+
+  test("saveIndex → loadIndex round-trips centroids, assignment, and " +
+      "codebook bit-exactly") {
+    val dir = Files.createTempDirectory("graft-index").toString
+    val (cent, assign) = SimilarityQueries.sharedStages(spark, sfDir)
+    val cb = Similarity.pqCodebook(cent, blocks = 4, dim = 64)
+    Similarity.saveIndex(dir, cent, assign, Some(cb))
+    val (cent2, assign2) = Similarity.loadIndex(spark, dir)
+    val cb2 = Similarity.loadPqCodebook(spark, dir)
+    // exact equality both directions — doubles round-trip through parquet
+    assert(cent2.except(cent).isEmpty && cent.except(cent2).isEmpty)
+    assert(assign2.except(assign).isEmpty && assign.except(assign2).isEmpty)
+    assert(cb2.except(cb).isEmpty && cb.except(cb2).isEmpty)
+  }
+
+  test("a fresh session with spark.graft.ann.indexDir set searches off the " +
+      "saved index: bit-identical sim_ann_ivf, zero aggregates or explodes " +
+      "in the plan") {
+    val dir = Files.createTempDirectory("graft-index").toString
+    val (cent, assign) = SimilarityQueries.sharedStages(spark, sfDir)
+    Similarity.saveIndex(dir, cent, assign)
+    val baseline = SparkEntry.queries("sim_ann_ivf")(spark, sfDir)
+      .collect().map(_.toSeq).sortBy(_.toString())
+
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.graft.ann.indexDir", dir)
+    try {
+      val df = SparkEntry.queries("sim_ann_ivf")(fresh, sfDir)
+      val plan = df.queryExecution.executedPlan
+      // the training pipeline must be entirely absent: no centroid
+      // aggregate, no posexplode — the stages come straight off parquet
+      assert(plan.collectWithSubqueries {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }.isEmpty, s"aggregate survived the index load:\n$plan")
+      assert(plan.collectWithSubqueries {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.isEmpty, s"explode survived the index load:\n$plan")
+      val got = df.collect().map(_.toSeq).sortBy(_.toString())
+      assert(got.length == baseline.length && got.sameElements(baseline),
+        "reloaded index changed search results")
+    } finally {
+      graft.GraftSession.release(fresh)
+      fresh.conf.unset("spark.graft.ann.indexDir")
+    }
+  }
+
+  test("trainCoarseQuantizer output saves and reloads as a working index " +
+      "(the no-labels path end to end)") {
+    val dir = Files.createTempDirectory("graft-index").toString
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+    val trained = Similarity.trainCoarseQuantizer(vecs, k = 8, maxIter = 2,
+      tol = 0.0)
+    val assign = Similarity.ivfAssign(vecs, trained)
+    Similarity.saveIndex(dir, trained, assign)
+    val (cent2, assign2) = Similarity.loadIndex(spark, dir)
+    // the reloaded assignment must agree with re-assigning against the
+    // reloaded centroids — internal consistency of the artifact pair
+    val reassigned = Similarity.ivfAssign(vecs, cent2)
+    assert(reassigned.except(assign2).isEmpty &&
+      assign2.except(reassigned).isEmpty)
+    assert(cent2.count() == 8)
+  }
+}

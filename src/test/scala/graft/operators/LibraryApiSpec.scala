@@ -584,6 +584,22 @@ class LibraryApiSpec extends SparkTestBase {
     assert(hits == Set(10L, 11L, 14L, 15L))
   }
 
+  test("GraftSession.release drops the ANN shared-stage cache: no cached " +
+      "blocks survive, a later call recomputes fresh frames") {
+    val (cent, assign) = SimilarityQueries.sharedStages(spark, sfDir)
+    cent.count(); assign.count() // materialize the cache
+    assert(cent.storageLevel.useMemory && assign.storageLevel.useMemory)
+    graft.GraftSession.release(spark)
+    assert(cent.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "centroid stage still cached after release")
+    assert(assign.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "assignment stage still cached after release")
+    // next call is a fresh entry, itself persisted (cache re-arms)
+    val (cent2, assign2) = SimilarityQueries.sharedStages(spark, sfDir)
+    assert(!(cent2 eq cent) && !(assign2 eq assign))
+    assert(cent2.storageLevel.useMemory && assign2.storageLevel.useMemory)
+  }
+
   test("Curation.epochMix: whole epochs replicate exactly, fractional part " +
       "is deterministic, downsampled groups shrink") {
     import spark.implicits._
