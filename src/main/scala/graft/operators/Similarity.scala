@@ -223,6 +223,63 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     topK(corpus.join(broadcast(queries), Seq("centroid")), k)
 
+  /** The result of [[ivfTopKWithRecall]]: the full search at the chosen
+    * probe count, the count itself, and the recall measured on the
+    * held-out sample that selected it. */
+  case class AdaptiveProbe(results: DataFrame, nprobe: Int, recall: Double)
+
+  /** Recall-targeted multi-probe IVF: measure recall@k on a small
+    * held-out query sample (the `sampleSize` lowest query ids —
+    * deterministic), raising the probe count until the measured
+    * micro-averaged recall (Σ hits / Σ truth) reaches `target` or
+    * `maxProbe` is hit, then run the FULL query set at the chosen
+    * count. The tuning loop is how a probe count is picked before a
+    * 100 TB rollout: each trial costs one bucket-join of the corpus
+    * against a broadcast-sized sample (plus one brute-force pass for
+    * the ground truth), and the expensive full search runs exactly
+    * once, at the winning count.
+    *
+    * `queries` as `(query_id, va)`, `corpus` as `(neighbor_id, vb)`,
+    * `centroids`/`assignment` as trained (e.g. [[trainCoarseQuantizer]]
+    * + [[ivfAssign]], or a [[loadIndex]]-restored pair with
+    * `(vec_id, centroid)`). */
+  def ivfTopKWithRecall(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, assignment: DataFrame, k: Int, target: Double,
+      sampleSize: Int = 16, maxProbe: Int = 8): AdaptiveProbe = {
+    require(target > 0 && target <= 1, s"target must be in (0,1], got $target")
+    require(sampleSize >= 1 && maxProbe >= 1)
+    val corpusAssigned = corpus.join(
+      assignment.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    val sample = queries.orderBy("query_id").limit(sampleSize)
+    val truth = bruteForceTopK(sample, corpus, k)
+      .select("query_id", "neighbor_id").persist()
+    def probed(qs: DataFrame, n: Int): DataFrame = {
+      val qa = ivfAssignN(
+        qs.select(col("query_id").as("vec_id"), col("va").as("v")),
+        centroids, n)
+        .select(col("vec_id").as("query_id"), col("centroid"))
+      ivfTopK(qs.join(qa, "query_id"), corpusAssigned, k)
+    }
+    def recallOf(n: Int): Double = {
+      val ann = probed(sample, n)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val agg = truth.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+          count(lit(1)).as("total"))
+        .head()
+      agg.getLong(0).toDouble / agg.getLong(1)
+    }
+    try {
+      var n = 1
+      var r = recallOf(n)
+      while (r < target && n < maxProbe) {
+        n += 1
+        r = recallOf(n)
+      }
+      AdaptiveProbe(probed(queries, n), n, r)
+    } finally truth.unpersist(blocking = false)
+  }
+
   /** The PQ codebook: each centroid sliced into `blocks` sub-vectors
     * with their squared norms — the tiny broadcast table every PQ path
     * scores against, and the third artifact [[saveIndex]] persists.

@@ -140,6 +140,60 @@ class SimilaritySpec extends SparkTestBase {
     assert(b == Seq(10.0, 10.0), s"cluster B: $b")
   }
 
+  test("ivfTopKWithRecall raises the probe count until a 0.95 target is " +
+      "met (boundary query needs its neighbor's bucket → nprobe 2 ≤ 3)") {
+    import spark.implicits._
+    // two planted clusters; the query sits between them, assigned to A,
+    // but its nearest neighbor lives in B's bucket: single-probe recall
+    // is 2/3, probing the 2nd-nearest centroid recovers 3/3
+    val q = Seq((0L, Seq(1.9, 0.0))).toDF("query_id", "va")
+    val c = Seq(
+      (10L, Seq(0.0, 1.0)),   // A
+      (11L, Seq(0.0, -1.0)),  // A
+      (12L, Seq(2.5, 0.0)))   // B (closest to q)
+      .toDF("neighbor_id", "vb")
+    val cent = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(4.0, 0.0)))
+      .toDF("c_label", "c")
+      .withColumn("cnorm2", expr("aggregate(c, 0D, (a, x) -> a + x * x)"))
+    val assign = Similarity.ivfAssign(
+      c.select(col("neighbor_id").as("vec_id"), col("vb").as("v")), cent)
+    val out = Similarity.ivfTopKWithRecall(q, c, cent, assign,
+      k = 3, target = 0.95, sampleSize = 4, maxProbe = 8)
+    assert(out.nprobe == 2, s"expected the loop to settle at 2 probes, " +
+      s"got ${out.nprobe}")
+    assert(out.recall == 1.0, s"recall at 2 probes: ${out.recall}")
+    val got = out.results.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 10L), (0L, 11L), (0L, 12L)))
+  }
+
+  test("ivfTopKWithRecall on the fixture reports honestly: random " +
+      "embeddings cap recall near nprobe/k, so a capped loop stops at " +
+      "maxProbe with the measured sub-target recall") {
+    // the fixture's embeddings are isotropic noise (within-label cosine ≈
+    // cross-label ≈ 0), so bucket membership carries no neighbor signal
+    // and recall ≈ nprobe/10 — the adaptive loop must cap out and say so,
+    // not fake the target
+    val e = vecsDf
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vb"))
+    val (cent, assign) = SimilarityQueries.sharedStages(spark, sfDir)
+    val out = Similarity.ivfTopKWithRecall(q, c, cent, assign,
+      k = 3, target = 0.95, sampleSize = 10, maxProbe = 2)
+    assert(out.nprobe == 2, "loop must stop at maxProbe when unreachable")
+    assert(out.recall < 0.95, s"random data can't hit 0.95 at 2/10 buckets")
+    assert(out.recall > 0.0, "some overlap is expected even at random")
+    // reported recall must equal a hand recount over the full result set
+    // (the sample IS the full query set here)
+    val truth = Similarity.bruteForceTopK(q, c, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.results.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recount = truth.count(got.contains).toDouble / truth.size
+    assert(math.abs(recount - out.recall) < 1e-12,
+      s"reported ${out.recall}, recounted $recount")
+  }
+
   test("sim_recall_at_k ≡ hand-computed overlap of IVF vs brute force") {
     val brute = topk("sim_topk_bruteforce").map { case (q, ns) =>
       q -> ns.take(3).toSet // truth at k=3
