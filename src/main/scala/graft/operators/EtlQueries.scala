@@ -236,9 +236,14 @@ object EtlQueries {
     // count/sum/sum-of-squares are exact BIGINTs, and the z>3 test
     // compares (n·q − S)² > 9·(n·Q − S²) — the squared-z inequality
     // cleared of divisions, so no float ever forms and the oracle
-    // hash-matches bit-for-bit. Overflow envelope documented by the
-    // guard in the expression: |q| ≤ 1e7 and n ≤ 1e4 keeps every term
-    // under 2^63 (fixture max: q ≈ 5.6e6, n ≈ 70).
+    // hash-matches bit-for-bit. Overflow envelope: the binding terms
+    // are the squares — |n·q − S| ≤ 2·n·max|q|, so BIGINT exactness
+    // needs n·max|q| ≲ 1.5e9 (then (2·1.5e9)² = 9e18 < 2^63; n·Q − S²
+    // is bounded by the same product squared). Fixture: n ≈ 70,
+    // max|q| ≈ 5.6e6 → n·max|q| ≈ 3.9e8 — inside with ~4× headroom.
+    // Past the envelope (say 1e6 events per user at |v| ≈ 1e3), first
+    // aggregate per (user, day) or widen the stats to DECIMAL(38,0)
+    // as vec_whiten does.
     // Scale shape: one partial-aggregated shuffle for the stats, one
     // equi-join back on user_id (same key → exchanges line up), no
     // window sort.

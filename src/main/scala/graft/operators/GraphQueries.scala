@@ -29,9 +29,15 @@ import graft.Tables
   * `dst` — both shuffles on the same graph keys, no global collect, no
   * float reduction. Rounds are fixed (power iteration converges
   * geometrically; production runs ~10–20 rounds or a convergence probe
-  * like [[Dedup]]'s pointer-jumped CC). Overflow envelope: rank mass is
-  * conserved at N·1e6 micro-units, so `850000·in_q` stays under 2^63
-  * for any graph below ~10^12 nodes.
+  * like [[Dedup]]'s pointer-jumped CC). Overflow envelope: the binding
+  * bound is PER-NODE in-mass, not node count — floor division only
+  * loses mass (each edge term rounds down, so totals are ≤ N·1e6, never
+  * conserved exactly), but a hub node can still absorb nearly ALL of
+  * it, and `850000·in_q` wraps once one node's in-mass `in_q` exceeds
+  * ~1.08e13 micro-units — i.e. a hub drawing the full mass of ~10^7
+  * nodes, regardless of graph size. Past that, cap per-node in-mass
+  * (clip before damping) or widen the damping arithmetic to
+  * DECIMAL(38,0)/HUGEINT the way vec_whiten's variance term does.
   */
 object GraphQueries {
 

@@ -276,6 +276,14 @@ object SimilarityQueries {
     // z = (n·q − S)/sqrt(n·Q − S²) is a scalar double expression over
     // exact inputs — deterministic on both engines (no float SUM whose
     // order could drift). Constant dimensions (variance 0) emit 0.
+    // Overflow envelope: Σq² and the variance term n·Q − S² are the
+    // wide ones (≤ n²·max|q|², over 2^63 at just ~3000 unit-scale
+    // vectors), so they compute in DECIMAL(38,0) — Spark's exact
+    // 128-bit path, HUGEINT on the DuckDB side — good to
+    // n·max|q| < 10¹⁹ (10⁹ unit-scale vectors: 10¹⁵, four orders of
+    // headroom). The variance is finished on the 64 stat rows, so the
+    // corpus-side row work stays all-BIGINT: |n·q − S| ≤ 2·n·max|q|
+    // needs only n·max|q| ≲ 4.6e18.
     // Scale shape: one posexplode aggregate keyed by dim (64 rows out),
     // broadcast back over a single corpus scan — stats never shuffle
     // the corpus.
@@ -285,13 +293,16 @@ object SimilarityQueries {
           "transform(embedding, x -> cast(floor(cast(x as double) * 1000000 + 0.5d) as bigint))")))
         .select(col("vec_id"), col("pos").as("dim"), col("col").as("q"))
       val stats = q.groupBy("dim").agg(
-        count(lit(1)).as("n"), sum("q").as("sq"), sum(expr("q * q")).as("qq"))
+          count(lit(1)).as("n"), sum("q").as("sq"),
+          sum(expr("cast(q as decimal(38,0)) * q")).as("qq"))
+        .withColumn("var_q", expr(
+          "cast(n as decimal(38,0)) * qq - cast(sq as decimal(38,0)) * sq"))
       q.join(broadcast(stats), "dim")
         .select(col("vec_id"), col("dim"),
-          when(col("n") * col("qq") - col("sq") * col("sq") === 0L, lit(0L))
+          when(col("var_q") === 0, lit(0L))
             .otherwise(expr(
               """cast(floor(cast(n * q - sq as double)
-                |  / sqrt(cast(n * qq - sq * sq as double))
+                |  / sqrt(cast(var_q as double))
                 |  * 10000 + 0.5d) as bigint)""".stripMargin))
             .as("z_q"))
     },
@@ -637,6 +648,8 @@ object SimilarityQueries {
         |   FLOOR(list_aggregate([abs(x) for x in CAST(embedding AS DOUBLE[])], 'max')
         |         * 1e6 + 0.5) / 1e6 AS scale
         |  FROM embeddings) t1) t2""".stripMargin,
+    // Σq² and the variance term in HUGEINT (DuckDB's 128-bit exact
+    // integers — the twin of the Spark side's DECIMAL(38,0))
     "vec_whiten" ->
       """WITH q AS (
         | SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS dim,
@@ -645,15 +658,20 @@ object SimilarityQueries {
         | FROM embeddings),
         |stats AS (
         | SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(q * q) AS BIGINT) AS qq
-        | FROM q GROUP BY 1)
+        |  CAST(SUM(q) AS BIGINT) AS sq,
+        |  SUM(CAST(q AS HUGEINT) * q) AS qq
+        | FROM q GROUP BY 1),
+        |stats2 AS (
+        | SELECT dim, n, sq,
+        |  CAST(n AS HUGEINT) * qq - CAST(sq AS HUGEINT) * sq AS var_q
+        | FROM stats)
         |SELECT q.vec_id, q.dim,
-        | CASE WHEN stats.n * stats.qq - stats.sq * stats.sq = 0
+        | CASE WHEN stats2.var_q = 0
         |  THEN CAST(0 AS BIGINT)
-        |  ELSE CAST(FLOOR(CAST(stats.n * q.q - stats.sq AS DOUBLE)
-        |        / SQRT(CAST(stats.n * stats.qq - stats.sq * stats.sq AS DOUBLE))
+        |  ELSE CAST(FLOOR(CAST(stats2.n * q.q - stats2.sq AS DOUBLE)
+        |        / SQRT(CAST(stats2.var_q AS DOUBLE))
         |        * 10000 + 0.5) AS BIGINT) END AS z_q
-        |FROM q JOIN stats ON q.dim = stats.dim""".stripMargin,
+        |FROM q JOIN stats2 ON q.dim = stats2.dim""".stripMargin,
     "vec_pq_assign" ->
       """WITH m AS (
         | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
