@@ -35,6 +35,46 @@ class PipelinePropertySpec extends SparkTestBase {
     }
   }
 
+  test("RewriteWindowTopK ≡ window form on random keys/order/k/conjuncts") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 1 to 10) {
+      val rnd = new scala.util.Random(seed)
+      val card = 2 + rnd.nextInt(7)
+      val n = 100 + rnd.nextInt(150)
+      val df = (0 until n).map { i =>
+        (rnd.nextInt(card).toLong, s"g${rnd.nextInt(3)}",
+          rnd.nextInt(50).toLong, (rnd.nextInt(1000) - 500).toLong, i.toLong)
+      }.toDF("k1", "k2", "v1", "v2", "uid")
+      val keys = if (rnd.nextBoolean()) Seq("k1") else Seq("k1", "k2")
+      // 1-2 random-direction sort columns + uid → always a total order
+      val sorts = Seq(
+        if (rnd.nextBoolean()) col("v1").asc else col("v1").desc,
+        if (rnd.nextBoolean()) col("v2").asc else col("v2").desc)
+      val order = (if (rnd.nextBoolean()) sorts.take(1) else sorts) :+ col("uid")
+      val k = 1 + rnd.nextInt(6)
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      val bound = if (rnd.nextBoolean()) col("rn") <= k else col("rn") < (k + 1)
+      // random residual conjuncts that must survive above the heap node
+      val cond = rnd.nextInt(3) match {
+        case 0 => bound
+        case 1 => bound && col("rn") >= 2
+        case 2 => bound && col("v1") % 2 === 0
+      }
+      val form = df.withColumn("rn", row_number().over(w)).filter(cond)
+      val rewritten = graft.plans.TopK.rewrite(form)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"),
+        s"seed $seed: rewrite did not fire\n$plan")
+      assert(!plan.contains("WindowExec") && !plan.contains("WindowGroupLimit"),
+        s"seed $seed: window machinery survived\n$plan")
+      val a = rewritten.collect().map(_.toSeq).sortBy(_.toString())
+      val b = form.collect().map(_.toSeq).sortBy(_.toString())
+      assert(a.length == b.length && a.sameElements(b),
+        s"seed $seed: ${a.length} vs ${b.length} rows (keys=$keys k=$k)")
+    }
+  }
+
   test("Dedup.jaccardPairs ≡ naive pairwise jaccard on random corpora") {
     import spark.implicits._
     for (seed <- 1 to 3) {
