@@ -122,9 +122,20 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  // ops visibility: matched vs output tells the match rate at a glance
+  // (output rows always equals the left row count — left as-of join)
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = {
+    import org.apache.spark.sql.execution.metric.SQLMetrics
+    Map(
+      "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+      "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "left rows with an as-of match"))
+  }
+
   protected override def doExecute(): RDD[InternalRow] = {
     // locals only inside the task closure: a field reference would drag
     // `this` (the whole plan subtree) into every task binary
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val leftOut = left.output
     val rightOut = right.output
     val numVals = rightVals.size
@@ -171,7 +182,9 @@ case class AsOfJoinExec(
             } else scanning = false // right row is in the left row's future
           }
         }
-        val vals = if (cand != null) rValsProj(cand) else nullVals
+        val vals = if (cand != null) { numMatchedRows += 1; rValsProj(cand) }
+          else nullVals
+        numOutputRows += 1
         outProj(joined(lrow, vals))
       }
     }

@@ -99,6 +99,17 @@ case class TopKPerKeyExec(
 
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  // ops visibility at scale: heap-key totals size the
+  // maxKeysPerPartition knob from a real run, and a non-zero fallback
+  // count says the sort degrade (not the heap) served the query
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = {
+    import org.apache.spark.sql.execution.metric.SQLMetrics
+    Map(
+      "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+      "numHeapKeys" -> SQLMetrics.createMetric(sparkContext, "distinct keys held in heaps (all tasks)"),
+      "sortFallbackTasks" -> SQLMetrics.createMetric(sparkContext, "tasks degraded to spilling sort"))
+  }
+
   protected override def doExecute(): RDD[InternalRow] = {
     // locals only inside the task closure: a field reference would drag
     // `this` (the whole plan subtree) into every task binary
@@ -120,6 +131,9 @@ case class TopKPerKeyExec(
       case other => throw new IllegalArgumentException(
         s"spark.graft.topk.onOverflow must be 'sort' or 'fail', got '$other'")
     }
+    val numOutputRows = longMetric("numOutputRows")
+    val numHeapKeys = longMetric("numHeapKeys")
+    val sortFallbackTasks = longMetric("sortFallbackTasks")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOut)
       // compare(a, b) < 0 ⇔ a ranks before b; the PQ dequeues the MAX
@@ -159,16 +173,19 @@ case class TopKPerKeyExec(
       val joined = new JoinedRow
       val outProj = UnsafeProjection.create(outAttrs, childOut :+ rank)
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      numHeapKeys += heaps.size
       if (overflowRow == null) {
         heaps.iterator.flatMap { case (_, heap) =>
           // dequeueAll yields rank-worst first; reverse for rank 1..k
           val ranked: Seq[InternalRow] = heap.dequeueAll.reverse
           ranked.iterator.zipWithIndex.map { case (r, i) =>
             rankRow.update(0, if (rankIsInt) i + 1 else (i + 1).toLong)
+            numOutputRows += 1
             outProj(joined(r, rankRow))
           }
         }
       } else {
+        sortFallbackTasks += 1
         // sort-degrade phase: exactly the window row_number strategy —
         // external sort by (keys, order) with spill via Spark's task
         // memory manager, then one streaming rank pass. Rows already
@@ -208,6 +225,7 @@ case class TopKPerKeyExec(
           rankNo += 1
           if (rankNo <= kk) {
             rankRow.update(0, if (rankIsInt) rankNo.toInt else rankNo)
+            numOutputRows += 1
             Iterator.single(outProj(joined(r, rankRow)))
           } else Iterator.empty
         }

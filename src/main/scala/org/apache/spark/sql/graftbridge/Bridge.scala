@@ -46,6 +46,23 @@ object Bridge {
   def pageSizeBytes: Long =
     org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
 
+  /** Collect matching nodes across the WHOLE executed tree, descending
+    * through the AQE wrappers (`AdaptiveSparkPlanExec.executedPlan`,
+    * `QueryStageExec.plan`) that hide the real operators from a plain
+    * `collect` — needed to read a custom exec's SQLMetrics after an
+    * adaptive execution. */
+  def deepCollect[T](p: org.apache.spark.sql.execution.SparkPlan)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case o => o.children
+    }
+    here ++ kids.flatMap(deepCollect(_)(pf))
+  }
+
   /** Idempotently add an optimizer rule to the session (the
     * programmatic twin of `injectOptimizerRule`). */
   def ensureOptimizerRule(spark: org.apache.spark.sql.SparkSession,

@@ -45,6 +45,22 @@ class AsOfJoinPlanSpec extends SparkTestBase {
     assert(exchanges == 2, s"expected 2 key exchanges, got $exchanges:\n$plan")
   }
 
+  test("SQL metrics: output rows = left rows; matched rows = non-null hits") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 10L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 7L, 70.0)).toDF("k", "t", "v")
+    val df = AsOfMerge.join(left, right, Seq("k"), "t", "t", Seq("v"))
+    val rows = df.collect()
+    val matched = rows.count(!_.isNullAt(3))
+    val exec = org.apache.spark.sql.graftbridge.Bridge
+      .deepCollect(df.queryExecution.executedPlan) { case e: AsOfJoinExec => e }
+      .headOption.getOrElse(fail("no AsOfJoinExec in the executed plan"))
+    assert(exec.metrics("numOutputRows").value == rows.length)
+    assert(exec.metrics("numMatchedRows").value == matched)
+    assert(matched == 1) // only "a" (k=1, t=10) sees the t=7 quote
+  }
+
   test("null contract: NULL right time never matches; unmatched left is NULL-filled") {
     import spark.implicits._
     val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 7L, "c"))

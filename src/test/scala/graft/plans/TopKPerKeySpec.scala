@@ -159,6 +159,35 @@ class TopKPerKeySpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.topk.autoRewrite")
   }
 
+  test("SQL metrics: output rows and heap keys reported; the sort degrade " +
+      "increments its fallback counter") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val df = (0L until 1000L).map(i => (i % 13, i)).toDF("k", "v")
+    val q = TopK.perKey(df, Seq("k"), Seq(col("v").desc), k = 2)
+    val n = q.collect().length // collect() so THIS plan's metrics populate
+    val exec = Bridge.deepCollect(q.queryExecution.executedPlan) {
+      case t: TopKPerKeyExec => t
+    }.headOption.getOrElse(fail("no TopKPerKeyExec in the executed plan"))
+    assert(exec.metrics("numOutputRows").value == n)
+    assert(exec.metrics("numHeapKeys").value == 13L)
+    assert(exec.metrics("sortFallbackTasks").value == 0L)
+    // force the degrade: 500 keys through a cap of 50 in one partition
+    spark.conf.set("spark.graft.topk.maxKeysPerPartition", "50")
+    try {
+      val d = TopK.perKey(
+        (0L until 2000L).map(i => (i % 500, i)).toDF("k", "v").coalesce(1),
+        Seq("k"), Seq(col("v").desc), k = 2)
+      val dn = d.collect().length
+      assert(dn == 1000)
+      val dexec = Bridge.deepCollect(d.queryExecution.executedPlan) {
+        case t: TopKPerKeyExec => t
+      }.head
+      assert(dexec.metrics("sortFallbackTasks").value == 1L)
+      assert(dexec.metrics("numOutputRows").value == dn)
+    } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+  }
+
   test("API validation: empty order and rank-column collision are rejected") {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("k", "v")
