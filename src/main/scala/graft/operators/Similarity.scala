@@ -76,6 +76,27 @@ object Similarity {
   def ivfAssign(vectors: DataFrame, centroids: DataFrame): DataFrame =
     ivfAssignN(vectors, centroids, 1).drop("probe_rank")
 
+  /** `(c_label, c, cnorm2)` frame from driver-local centroids. cnorm2
+    * uses the same sequential left fold as the SQL aggregate()/
+    * list_aggregate the oracles use — bit-identical across engines. */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+      c: Array[(Long, Array[Double])]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("c_label",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false),
+        nullable = false),
+      org.apache.spark.sql.types.StructField("cnorm2",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] = c.map { case (l, arr) =>
+      org.apache.spark.sql.Row(l, arr.toSeq, arr.foldLeft(0.0)((a, x) => a + x * x))
+    }.toSeq.asJava
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Lloyd's k-means over `(vec_id, v)` — the "train the coarse
     * quantizer" loop a production IVF index runs once and reuses for
     * every search. Driver-coordinated: each iteration is one corpus
@@ -124,24 +145,7 @@ object Similarity {
           .zipWithIndex
           .map { case (r, i) => (i.toLong, r.getSeq[Double](0).toArray) }
     }
-    // same sequential left fold as the SQL aggregate()/list_aggregate
-    // the oracles use — cnorm2 must be bit-identical across engines
-    def frame(c: Array[(Long, Array[Double])]): DataFrame = {
-      import scala.jdk.CollectionConverters._
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("c_label",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("c",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType, containsNull = false),
-          nullable = false),
-        org.apache.spark.sql.types.StructField("cnorm2",
-          org.apache.spark.sql.types.DoubleType, nullable = false)))
-      val rows: java.util.List[org.apache.spark.sql.Row] = c.map { case (l, arr) =>
-        org.apache.spark.sql.Row(l, arr.toSeq, arr.foldLeft(0.0)((a, x) => a + x * x))
-      }.toSeq.asJava
-      spark.createDataFrame(rows, schema)
-    }
+    def frame(c: Array[(Long, Array[Double])]): DataFrame = centroidFrame(spark, c)
     def q(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
     var it = 0
     var done = maxIter == 0
@@ -390,6 +394,145 @@ object Similarity {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** Deterministic k-means|| seeding (Bahmani et al., VLDB'12) — the
+    * scalable init for [[trainCoarseQuantizer]] when no labels exist.
+    * The naive lowest-id seed can start every centroid inside one
+    * cluster; k-means|| oversamples ~`l` points per round with
+    * probability proportional to their squared distance from the
+    * current seed set, so seeds spread across the data's actual mass in
+    * `rounds` corpus scans (vs k sequential scans for k-means++).
+    *
+    * Fully deterministic: the "random" keep decision for a vector is
+    * `pmod(xxhash64(vec_id, round), 1e9)/1e9 < l·d²/φ` — reproducible
+    * on any cluster, no RNG state — and each round's accepted set is
+    * capped at `8·l` by (hash, vec_id) order so driver memory stays
+    * bounded regardless of how skewed the distance mass is. Candidates
+    * are then weighted by how many corpus vectors they attract (one
+    * assign pass) and reduced to k centers by a driver-local weighted
+    * Lloyd over the ≤ `8·l·rounds + 1` candidates.
+    *
+    * Scale: `rounds`+2 corpus scans total (distance/sample per round,
+    * one weighting pass), every reduction keyed and partial-aggregated;
+    * only candidate rows (bounded above) ever reach the driver.
+    * Output `(c_label 0..k−1, c, cnorm2)` — plugs into
+    * [[trainCoarseQuantizer]]'s `init`. */
+  def seedCentroids(vectors: DataFrame, k: Int, rounds: Int = 3,
+      oversample: Int = 0, localIters: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val l = if (oversample > 0) oversample else 2 * k
+    val spark = vectors.sparkSession
+    val v2 = vectors.select(col("vec_id"), col("v"))
+      .withColumn("vnorm2", expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+      .persist()
+    try {
+      var cand = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]()
+      cand ++= v2.orderBy("vec_id").limit(1).select("vec_id", "v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      for (round <- 1 to rounds) {
+        val cd = centroidFrame(spark, cand.zipWithIndex
+          .map { case ((_, arr), i) => (i.toLong, arr) }.toArray)
+        // per-vector min dist² to the current seed set: broadcast the
+        // (small) seeds, one keyed partial-aggregated shuffle
+        val d2 = v2.crossJoin(broadcast(cd))
+          .groupBy("vec_id")
+          .agg(min(col("cnorm2") - lit(2) * dot_product(col("v"), col("c")) +
+            col("vnorm2")).as("d2"),
+            first("v").as("v"))
+          .withColumn("d2", greatest(col("d2"), lit(0.0))) // fp guard
+          .persist()
+        val phi = d2.agg(sum("d2")).head().getDouble(0)
+        if (phi > 0) {
+          val kept = d2
+            .withColumn("u",
+              pmod(xxhash64(col("vec_id"), lit(round)), lit(1000000000L))
+                .cast("double") / 1e9)
+            .filter(col("u") < lit(l.toDouble) * col("d2") / phi)
+            .orderBy(xxhash64(col("vec_id"), lit(round)), col("vec_id"))
+            .limit(8 * l)
+            .select("vec_id", "v").collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          val have = cand.map(_._1).toSet
+          cand ++= kept.filterNot(c => have(c._1))
+        }
+        d2.unpersist(blocking = false)
+      }
+      // weight candidates by attracted corpus mass (one assign pass)
+      val candArr = cand.zipWithIndex
+        .map { case ((_, arr), i) => (i.toLong, arr) }.toArray
+      val weights = ivfAssign(v2.select("vec_id", "v"),
+          centroidFrame(spark, candArr))
+        .groupBy("centroid").count().collect()
+        .map(r => r.get(0).asInstanceOf[Number].longValue() -> r.getLong(1))
+        .toMap
+      // driver-local reduction: weighted D² (greedy farthest-point)
+      // selection picks the k local seeds — raw top-k-by-weight can
+      // double-pick inside one dense cluster and leave another
+      // uncovered; maximizing w·min-dist² cannot skip a separated
+      // cluster (its whole mass is far from every chosen seed).
+      // Deterministic: ties break on candidate index.
+      val pts = candArr.map { case (i, arr) =>
+        (arr, weights.getOrElse(i, 0L).toDouble) }
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var t = 0
+        while (t < a.length) { val x = a(t) - b(t); d += x * x; t += 1 }
+        d
+      }
+      val chosen = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      chosen += pts.zipWithIndex.maxBy { case ((_, w), i) => (w, -i) }._1._1
+      val minD2 = pts.map(p => d2(p._1, chosen.head))
+      var exhausted = false
+      while (chosen.size < k && !exhausted) {
+        var best = -1; var bestScore = 0.0
+        var i = 0
+        while (i < pts.length) {
+          val s = pts(i)._2 * minD2(i)
+          if (s > bestScore) { bestScore = s; best = i }
+          i += 1
+        }
+        if (best < 0) exhausted = true // no remaining weighted mass
+        else {
+          chosen += pts(best)._1
+          var j = 0
+          while (j < pts.length) {
+            val d = d2(pts(j)._1, chosen.last)
+            if (d < minD2(j)) minD2(j) = d
+            j += 1
+          }
+        }
+      }
+      var centers: Array[Array[Double]] = chosen.toArray
+      val kk = centers.length // < k only if the corpus has < k distinct candidates
+      var it = 0
+      var moved = true
+      while (it < localIters && moved) {
+        val sums = Array.fill(kk)(new Array[Double](pts.head._1.length))
+        val ws = new Array[Double](kk)
+        pts.foreach { case (p, w) =>
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < kk) {
+            var d = 0.0; var t = 0
+            while (t < p.length) { val x = p(t) - centers(j)(t); d += x * x; t += 1 }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          ws(best) += w
+          var t = 0
+          while (t < p.length) { sums(best)(t) += w * p(t); t += 1 }
+        }
+        moved = false
+        for (j <- 0 until kk if ws(j) > 0) {
+          val m = sums(j).map(_ / ws(j))
+          if (!java.util.Arrays.equals(m, centers(j))) { moved = true; centers(j) = m }
+        }
+        it += 1
+      }
+      centroidFrame(spark,
+        centers.zipWithIndex.map { case (arr, i) => (i.toLong, arr) })
+    } finally v2.unpersist(blocking = false)
   }
 
   /** Persist a trained ANN index as parquet: the coarse centroids

@@ -140,6 +140,45 @@ class SimilaritySpec extends SparkTestBase {
     assert(b == Seq(10.0, 10.0), s"cluster B: $b")
   }
 
+  private def objectiveOn(df: org.apache.spark.sql.DataFrame,
+      cent: org.apache.spark.sql.DataFrame): Double =
+    df.crossJoin(broadcast(cent))
+      .withColumn("dist2", col("cnorm2") -
+        lit(2) * graft.functions.SketchExpressions.dot_product(col("v"), col("c")) +
+        expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+      .groupBy("vec_id").agg(min("dist2").as("d"))
+      .agg(sum("d")).head().getDouble(0)
+
+  test("seedCentroids (k-means||): deterministic, and training from it " +
+      "beats the lowest-id seed on planted clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 6 well-separated planted clusters in 8-d; vec_ids are ordered so
+    // the k lowest ids ALL land in cluster 0 — the naive seed's worst case
+    val centers = (0 until 6).map(c => Array.fill(8)(c * 10.0 + rnd.nextDouble()))
+    val df = (0 until 300).map { i =>
+      (i.toLong, centers(i / 50).map(x => x + rnd.nextGaussian() * 0.1).toSeq)
+    }.toDF("vec_id", "v")
+    val seeded = Similarity.seedCentroids(df, k = 6, rounds = 3)
+    // determinism: bit-identical on recompute
+    val a = seeded.orderBy("c_label").collect().map(_.toSeq)
+    val b = Similarity.seedCentroids(df, k = 6, rounds = 3)
+      .orderBy("c_label").collect().map(_.toSeq)
+    assert(a.sameElements(b), "k-means|| seeding is not deterministic")
+    assert(a.length == 6)
+    val viaPar = Similarity.trainCoarseQuantizer(df, 6, maxIter = 5,
+      tol = 0.0, init = Some(seeded))
+    val viaNaive = Similarity.trainCoarseQuantizer(df, 6, maxIter = 5, tol = 0.0)
+    val jPar = objectiveOn(df, viaPar)
+    val jNaive = objectiveOn(df, viaNaive)
+    assert(jPar < jNaive,
+      s"k-means|| seed ($jPar) did not beat the lowest-id seed ($jNaive)")
+    // with one seed per planted cluster the SSE is just the noise floor:
+    // 300 pts x 8 dims x 0.1^2 variance ~ 24; degenerate seeding is
+    // orders of magnitude worse
+    assert(jPar < 100.0, s"k-means|| landed off the planted structure: $jPar")
+  }
+
   test("ivfTopKWithRecall raises the probe count until a 0.95 target is " +
       "met (boundary query needs its neighbor's bucket → nprobe 2 ≤ 3)") {
     import spark.implicits._
