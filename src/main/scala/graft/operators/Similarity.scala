@@ -221,6 +221,38 @@ object Similarity {
       .select(col("vec_id"), col("c_label").as("centroid"), col("probe_rank"))
   }
 
+  /** Streaming-safe twin of [[ivfAssign]]: the argmin runs per row
+    * against the centroid table folded in as a literal array, so the
+    * plan is a NARROW map — no window, no aggregate, no state — and
+    * works unchanged inside an append-mode stream (`readStream` →
+    * assign → sink), which is how an ingest pipeline tags each new
+    * vector with its bucket on arrival without retraining anything.
+    * The centroids (tiny by contract) are collected at plan-build time.
+    *
+    * Bit-compatible with [[ivfAssign]]: the score is the same ordered
+    * multiply-add sequence (`zip_with` then in-order fold ≡ the fused
+    * DotProduct kernel) and ties break by centroid label, so the two
+    * paths produce identical assignments. */
+  def ivfAssignNarrow(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select("c_label", "c", "cnorm2").collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue(),
+        r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfAssignNarrow needs at least one centroid")
+    val centArr = array(cents.map { case (l, c, n2) =>
+      struct(lit(n2).as("cnorm2"), typedLit(c).as("c"), lit(l).as("c_label"))
+    }: _*)
+    vectors
+      .withColumn("_cents", centArr)
+      .withColumn("_best", expr(
+        """array_sort(transform(_cents, s -> struct(
+          |  s.cnorm2 - 2 * aggregate(zip_with(v, s.c, (a, b) -> a * b),
+          |                           0D, (acc, x) -> acc + x) AS score,
+          |  s.c_label AS c_label)))[0].c_label""".stripMargin))
+      .drop("_cents")
+      .withColumnRenamed("_best", "centroid")
+  }
+
   /** IVF search: probe only the query's centroid bucket, exact top-k
     * within it. Query side `(query_id, va, centroid)`, corpus side
     * `(neighbor_id, vb, centroid)` — both pre-assigned via [[ivfAssign]]. */

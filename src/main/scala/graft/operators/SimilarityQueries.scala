@@ -113,6 +113,17 @@ object SimilarityQueries {
     // inputs. At 100 TB the corpus is bucketed by centroid once, and
     // queries probe only their nearest bucket(s) (sim_ann_ivf).
     "ivf_assign" -> { (s, dir) => sharedStages(s, dir)._2 },
+    // The streaming-safe narrow assign kernel (per-row argmin over the
+    // centroid literal — no window, no aggregate; what an append-mode
+    // ingest stream runs on arrival). Bit-compatible with ivf_assign,
+    // so it shares the same DuckDB oracle — the oracle gate proves the
+    // two kernels agree, and StreamingSpec drives it through an actual
+    // MemoryStream.
+    "ivf_assign_narrow" -> { (s, dir) =>
+      Similarity.ivfAssignNarrow(vecs(s, dir), sharedStages(s, dir)._1)
+        .select(col("vec_id"),
+          col("centroid").cast("int").as("centroid")) // match ivf_assign's label type
+    },
     // SemDeDup-style semantic dedup: IVF-cluster the embeddings, call a
     // pair near-duplicate when cosine >= 0.3 WITHIN a cluster, keep the
     // min-id representative per connected component. The centroid
@@ -352,6 +363,25 @@ object SimilarityQueries {
           .as("l2_norm"))
     })
 
+  private val ivfAssignOracle: String =
+    """WITH m AS (
+      | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
+      |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+      |   CAST(unnest(embedding) AS DOUBLE) AS val
+      |  FROM embeddings) t GROUP BY 1, 2),
+      |cent AS (
+      | SELECT label AS c_label, list(m ORDER BY dim) AS c FROM m GROUP BY label),
+      |cent2 AS (
+      | SELECT c_label, c,
+      |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
+      | FROM cent),
+      |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT vec_id, c_label AS centroid FROM (
+      | SELECT vec_id, c_label,
+      |  ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
+      | FROM v, cent2) t WHERE rn = 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
       """SELECT query_id, neighbor_id, rnk FROM (
@@ -363,24 +393,10 @@ object SimilarityQueries {
         | FROM embeddings q, embeddings c
         | WHERE q.vec_id < 10 AND c.vec_id >= 10
         |) t WHERE rnk <= 5""".stripMargin,
-    "ivf_assign" ->
-      """WITH m AS (
-        | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
-        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
-        |   CAST(unnest(embedding) AS DOUBLE) AS val
-        |  FROM embeddings) t GROUP BY 1, 2),
-        |cent AS (
-        | SELECT label AS c_label, list(m ORDER BY dim) AS c FROM m GROUP BY label),
-        |cent2 AS (
-        | SELECT c_label, c,
-        |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
-        | FROM cent),
-        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT vec_id, c_label AS centroid FROM (
-        | SELECT vec_id, c_label,
-        |  ROW_NUMBER() OVER (PARTITION BY vec_id
-        |    ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
-        | FROM v, cent2) t WHERE rn = 1""".stripMargin,
+    "ivf_assign" -> ivfAssignOracle,
+    // same oracle on purpose: the gate proves the narrow streaming
+    // kernel and the window-argmin kernel produce identical assignments
+    "ivf_assign_narrow" -> ivfAssignOracle,
     "dedup_semantic" ->
       """WITH RECURSIVE m AS (
         | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (

@@ -175,6 +175,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static ANN assignment: arriving vectors get exactly the " +
+      "batch assign's buckets (narrow plan, append mode, no state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cent = graft.operators.SimilarityQueries.sharedStages(spark, sfDir)._1
+    val vdf = Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .limit(20)
+    val rows = vdf.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = graft.operators.Similarity
+      .ivfAssignNarrow(stream.toDF().toDF("vec_id", "v"), cent)
+      .select("vec_id", "centroid")
+      .writeStream.format("memory").queryName("assign_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.take(10).toSeq: _*)
+      q.processAllAvailable()
+      stream.addData(rows.drop(10).toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("assign_stream").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.Similarity.ivfAssign(vdf, cent).collect()
+        .map(r => r.getLong(0) ->
+          r.get(1).asInstanceOf[Number].longValue()).toMap
+      assert(got.size == 20 && got == batch,
+        s"stream assign diverged from batch: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join (click attribution) matches the batch oracle query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
