@@ -135,6 +135,38 @@ object TextQueries {
             .otherwise(col("qnll_sum").cast(DoubleType) / col("n_bigrams"))
             .as("avg_qnll"))
     },
+    // Okapi BM25 (k1=1.2, b=0.75) of every document against a fixed
+    // query-term set — the classic sparse-retrieval scorer a curation
+    // pipeline uses to pull topical subsets out of a 100 TB corpus.
+    // Scale shape: doc lengths and per-(doc, term) tfs are one
+    // partial-aggregated shuffle each (the tf table only carries the
+    // |Q| query terms, not the vocabulary); df is an aggregate of that
+    // tiny tf table; corpus totals ride along as a broadcast one-row
+    // cross join. Per-term scores quantize to BIGINT (floor(x·1e6+0.5))
+    // BEFORE the per-doc sum so the reduction is order-free; ln/idf and
+    // the tf normalization are written as the SAME operation sequence
+    // on both engines (the text_bigram_lm ln-quantization pattern).
+    "text_bm25" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val corp = dl.agg(sum("dl").as("total_toks"), count(lit(1)).as("n_docs"))
+      val tf = toks
+        .filter(col("w").isin("join", "scan", "window", "merge", "query"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "w").join(dl, "doc_id").crossJoin(broadcast(corp))
+        .select(col("doc_id"), expr(
+          """cast(floor(
+            |  ln(1.0d + (n_docs - df + 0.5d) / (df + 0.5d)) *
+            |  (tf * 2.2d) / (tf + 1.2d *
+            |    (0.25d + 0.75d * dl * n_docs / cast(total_toks as double)))
+            |  * 1e6 + 0.5d) as bigint)""".stripMargin).as("q_score"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("q_score").as("bm25_q"))
+    },
     "text_bigram_counts" -> { (s, dir) =>
       Tables(s, dir, "documents")
         .select(explode(TextAnalysis.wordBigrams(col("text"))).as("bigram"))
@@ -359,6 +391,35 @@ object TextQueries {
         |    ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.tok) AS rn
         | FROM tf JOIN df ON tf.tok = df.tok) t
         |WHERE rn = 1""".stripMargin,
+    // the exact operation-sequence mirror of the Spark expression: same
+    // literals, same left-associative float ops, same floor quantization
+    "text_bm25" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        | FROM documents),
+        |tok2 AS (SELECT doc_id, w FROM tok WHERE strlen(w) > 0),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        |       FROM tok2 GROUP BY 1),
+        |corp AS (SELECT CAST(SUM(dl) AS BIGINT) AS total_toks,
+        |                CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+        |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok2
+        |       WHERE w IN ('join','scan','window','merge','query')
+        |       GROUP BY 1, 2),
+        |df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |q AS (
+        | SELECT tf.doc_id,
+        |  CAST(FLOOR(
+        |    ln(1.0 + (corp.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |    (tf.tf * 2.2) / (tf.tf + 1.2 *
+        |      (0.25 + 0.75 * dl.dl * corp.n_docs
+        |       / CAST(corp.total_toks AS DOUBLE)))
+        |    * 1e6 + 0.5) AS BIGINT) AS q_score
+        | FROM tf JOIN df ON tf.w = df.w
+        |      JOIN dl ON dl.doc_id = tf.doc_id, corp)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        | CAST(SUM(q_score) AS BIGINT) AS bm25_q
+        |FROM q GROUP BY 1""".stripMargin,
     "text_bigram_lm" ->
       """WITH tok AS (
         | SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w1

@@ -91,4 +91,39 @@ class AdvancedSpec extends SparkTestBase {
     assert(out.filter(col("n_bigrams") === 0 &&
       (col("qnll_sum") =!= 0L || col("avg_qnll") =!= 0.0)).count() == 0)
   }
+
+  test("BM25: only docs containing query terms score; scores positive; " +
+      "a hand-computed doc matches exactly") {
+    val out = SparkEntry.queries("text_bm25")(spark, sfDir)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.nonEmpty)
+    // every scored doc has 1..5 matched terms and a positive quantized
+    // score (idf > 0 because df < N for all fixture terms)
+    assert(rows.values.forall { case (n, s) => n >= 1 && n <= 5 && s > 0 })
+    // recount one doc by hand with the same fp op sequence
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), expr(
+        "filter(split(lower(trim(text)), '\\\\s+'), w -> length(w) > 0)")
+        .as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val qTerms = Seq("join", "scan", "window", "merge", "query")
+    val nDocs = docs.size.toLong
+    val total = docs.values.map(_.size.toLong).sum
+    val dfm = qTerms.map(t =>
+      t -> docs.values.count(_.contains(t)).toLong).toMap
+    val someDoc = rows.keys.min
+    val toks = docs(someDoc)
+    val expect = qTerms.flatMap { t =>
+      val tf = toks.count(_ == t).toLong
+      if (tf == 0) None
+      else Some(math.floor(
+        math.log(1.0 + (nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5)) *
+          (tf * 2.2) / (tf + 1.2 *
+            (0.25 + 0.75 * toks.size * nDocs / total.toDouble)) *
+          1e6 + 0.5).toLong)
+    }
+    assert(rows(someDoc) == ((expect.size.toLong, expect.sum)),
+      s"doc $someDoc: got ${rows(someDoc)}, want (${expect.size}, ${expect.sum})")
+  }
 }
