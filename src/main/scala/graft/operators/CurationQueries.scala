@@ -57,6 +57,22 @@ object CurationQueries {
         "text", "source", Map("src0" -> 1000, "src1" -> 100), 500)
         .select("doc_id", "source")
     },
+    // Exactly-k-per-source deterministic subsample — the quota twin of
+    // cur_stratified_sample (that one keeps a hash FRACTION; this one
+    // keeps a fixed COUNT per stratum, the "n docs per domain for the
+    // eval set" op). Rows rank by a Lehmer hash of doc_id (plain BIGINT
+    // arithmetic, identical on both engines) so the pick is uniform and
+    // reproducible, and the ranking runs on the bounded-heap
+    // TopKPerKeyExec — no per-source sort of the corpus, O(sources × k)
+    // task memory (see plans/TopKPerKeyPlan.scala).
+    "cur_sample_per_source" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .withColumn("h", expr("((doc_id + 1) * 48271) % 2147483647"))
+        .select("source", "doc_id", "h")
+      graft.plans.TopK.perKey(docs, Seq("source"),
+          Seq(col("h"), col("doc_id")), k = 10, rankCol = "rn")
+        .select("source", "doc_id", "rn")
+    },
     // Dense 0-based global IDs in o_orderkey order, assigned WITHOUT a
     // single-task global sort (range repartition + per-partition offsets
     // — see Ids.contiguous). The oracle is the naive global window.
@@ -231,6 +247,13 @@ object CurationQueries {
         |WHERE b < CASE WHEN source = 'src0' THEN 1000
         |               WHEN source = 'src1' THEN 100
         |               ELSE 500 END""".stripMargin,
+    "cur_sample_per_source" ->
+      """SELECT source, doc_id, rn FROM (
+        | SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY ((doc_id + 1) * 48271) % 2147483647, doc_id) AS rn
+        | FROM documents) t
+        |WHERE rn <= 10""".stripMargin,
     "ids_contiguous" ->
       """SELECT o_orderkey,
         | ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid

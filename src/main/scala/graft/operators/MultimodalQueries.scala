@@ -52,6 +52,19 @@ object MultimodalQueries {
         col("meta.width").as("width"),
         col("meta.height").as("height"))
     },
+    // Content-addressed exact media dedup: identical payload bytes →
+    // one keeper (min doc_id). The digest group-by is ONE shuffle keyed
+    // on md5(payload) — at 100 TB the shuffle carries 16-byte digests,
+    // never the blobs, and a byte_len pre-group can prune further. This
+    // is the byte-exact tier of media dedup (perceptual hashing needs
+    // the decode kernel this container stubs).
+    "mm_dedup_bytes" -> { (s, dir) =>
+      withMedia(Tables(s, dir, "documents"))
+        .groupBy(md5(col("payload")).as("payload_md5"))
+        .agg(min("doc_id").as("keep_id"),
+          count(lit(1)).as("n_copies"),
+          min("meta.byte_len").as("byte_len"))
+    },
     // STUBBED decode + feature extraction: 8 deterministic "features" per
     // payload (md5 of byte-range slices, first 8 hex digits as an
     // integer — stands in for pixel statistics). md5 exists on both
@@ -136,6 +149,13 @@ object MultimodalQueries {
         | CAST(strlen(text) % 64 + 1 AS INT) AS width,
         | CAST(strlen(text) % 48 + 1 AS INT) AS height
         |FROM documents""".stripMargin,
+    // md5 over VARCHAR hashes its UTF-8 bytes — the same bytes Spark's
+    // md5 sees on the encoded payload column
+    "mm_dedup_bytes" ->
+      """SELECT md5(text) AS payload_md5, MIN(doc_id) AS keep_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_copies,
+        | CAST(MIN(strlen(text)) AS BIGINT) AS byte_len
+        |FROM documents GROUP BY 1""".stripMargin,
     "mm_resize_stub" ->
       """SELECT doc_id,
         | CAST(strlen(text) % 64 + 1 AS INT) AS width,
