@@ -15,6 +15,34 @@ class PlanSpec extends SparkTestBase {
     df.queryExecution.executedPlan.toString
   }
 
+  test("text_bm25: corpus totals broadcast; tf/df aggregates are partial " +
+      "(map-side) before their shuffles; scan reads only doc_id+text") {
+    val plan = planOf("text_bm25")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"corpus totals not broadcast:\n$plan")
+    assert(plan.contains("partial_count"), s"no partial aggregation:\n$plan")
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(r =>
+      !r.contains("lang") && !r.contains("n_chars")),
+      s"documents scan not pruned:\n${reads.mkString("\n")}")
+  }
+
+  test("cur_sample_per_source: plans on the bounded-heap exec — no window, " +
+      "no per-source sort, one key exchange") {
+    val plan = planOf("cur_sample_per_source")
+    assert(plan.contains("TopKPerKey"), s"heap exec missing:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Sort "),
+      s"sort/window crept in:\n$plan")
+  }
+
+  test("ivf_assign_narrow: narrow plan — no exchange, no aggregate, " +
+      "no window, no generate") {
+    val plan = planOf("ivf_assign_narrow")
+    assert(!plan.contains("Exchange") && !plan.contains("Aggregate") &&
+      !plan.contains("Window") && !plan.contains("Generate"),
+      s"the streaming-safe kernel must stay narrow:\n$plan")
+  }
+
   test("q1: shipdate filter is pushed to the parquet scan") {
     val plan = planOf("q1_pricing_summary")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
