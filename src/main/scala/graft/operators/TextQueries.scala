@@ -167,6 +167,32 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_terms"), sum("q_score").as("bm25_q"))
     },
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf·ln(N/df) — the per-doc topical signature a curation pipeline
+    // attaches for routing/analysis. Written as the universal
+    // row_number()-filter idiom and passed through TopK.rewrite, so the
+    // ranking executes on the bounded-heap exec (no per-doc sort of the
+    // scored terms). Scores quantize to BIGINT (the ln pattern); ties
+    // break on the term string (ASCII fixture → byte order matches
+    // DuckDB's collation).
+    "text_tfidf_topk" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 2)
+      val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "w").crossJoin(broadcast(n))
+        .withColumn("score_q", expr(
+          "cast(floor(tf * ln(cast(n_docs as double) / df) * 1e6 + 0.5d) as bigint)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score_q").desc, col("w"))
+      graft.plans.TopK.rewrite(
+          scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3))
+        .select(col("doc_id"), col("w"), col("score_q"),
+          col("rn").cast("long").as("rn"))
+    },
     "text_bigram_counts" -> { (s, dir) =>
       Tables(s, dir, "documents")
         .select(explode(TextAnalysis.wordBigrams(col("text"))).as("bigram"))
@@ -420,6 +446,26 @@ object TextQueries {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
         | CAST(SUM(q_score) AS BIGINT) AS bm25_q
         |FROM q GROUP BY 1""".stripMargin,
+    "text_tfidf_topk" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        | FROM documents),
+        |tok2 AS (SELECT doc_id, w FROM tok WHERE strlen(w) > 2),
+        |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok2
+        |       GROUP BY 1, 2),
+        |df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        |q AS (
+        | SELECT tf.doc_id, tf.w,
+        |  CAST(FLOOR(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+        |       * 1e6 + 0.5) AS BIGINT) AS score_q
+        | FROM tf JOIN df ON tf.w = df.w, n)
+        |SELECT doc_id, w, score_q, rn FROM (
+        | SELECT doc_id, w, score_q,
+        |  ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score_q DESC, w) AS rn
+        | FROM q) t WHERE rn <= 3""".stripMargin,
     "text_bigram_lm" ->
       """WITH tok AS (
         | SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w1

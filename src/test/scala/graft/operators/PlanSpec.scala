@@ -43,6 +43,14 @@ class PlanSpec extends SparkTestBase {
       s"the streaming-safe kernel must stay narrow:\n$plan")
   }
 
+  test("text_tfidf_topk: the row_number idiom is rewritten onto the " +
+      "bounded-heap exec (no window sort of the scored terms)") {
+    val plan = planOf("text_tfidf_topk")
+    assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("WindowGroupLimit"),
+      s"window machinery survived:\n$plan")
+  }
+
   test("q1: shipdate filter is pushed to the parquet scan") {
     val plan = planOf("q1_pricing_summary")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
