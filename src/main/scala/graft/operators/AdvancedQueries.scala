@@ -149,6 +149,21 @@ object AdvancedQueries {
           Seq("signup_sec"))
         .select("event_id", "user_id", "signup_sec")
     },
+    // Forward as-of (pandas direction='forward'): the EARLIEST signup
+    // at-or-after each purchase — "next event after" semantics, the
+    // mirror of the carry-backward join, composed as backward on the
+    // negated time axis (one windowed pass, no pair blow-up).
+    "asof_forward" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), expr("ts div 1000000000").as("signup_sec"),
+          col("ts"))
+      AsOf.joinForward(purchases, signups, Seq("user_id"), "ts", "ts",
+          Seq("signup_sec"))
+        .select("event_id", "user_id", "signup_sec")
+    },
     // Exact interpolated median over integer keys (deterministic in
     // double: midpoint of two integers). Exact `percentile` buffers every
     // group's values — fine for 3 order statuses, OOM bait for
@@ -601,6 +616,16 @@ object AdvancedQueries {
         |  FROM events s
         |  WHERE s.event_type = 'signup' AND s.user_id = p.user_id
         |  ORDER BY ABS(epoch_ns(s.ts) - epoch_ns(p.ts)), s.ts
+        |  LIMIT 1) n ON TRUE""".stripMargin,
+    "asof_forward" ->
+      """SELECT p.event_id, p.user_id, n.signup_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN LATERAL (
+        |  SELECT CAST(FLOOR(EPOCH(s.ts)) AS BIGINT) AS signup_sec
+        |  FROM events s
+        |  WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+        |   AND s.ts >= p.ts
+        |  ORDER BY s.ts
         |  LIMIT 1) n ON TRUE""".stripMargin,
     "asof_merge_join" ->
       """SELECT p.event_id, p.user_id,

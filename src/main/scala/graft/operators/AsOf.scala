@@ -148,4 +148,28 @@ object AsOf {
         df.withColumn(o, when(pickB, col(b)).otherwise(col(f))) }
       .drop((bVals ++ fVals ++ Seq(bt, ft, negT)): _*)
   }
+
+  /** Forward as-of join (pandas `merge_asof(direction='forward')`):
+    * for every left row, the EARLIEST right row at-or-after leftTime in
+    * the key group — "the next quote after the order", the mirror of
+    * [[join]]'s carry-backward. Composed as the backward as-of on the
+    * negated time axis (one windowed pass, no pair blow-up), so it
+    * inherits [[join]]'s contracts: NULL right times never match,
+    * unmatched left rows come back NULL-filled, all rightVals from one
+    * matched row. Requires a numeric time column (timestamps: convert
+    * to epoch first, precision of your choice). */
+  def joinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+    val dup = rightVals.filter(left.columns.contains)
+    require(dup.isEmpty, "rightVals collide with left columns: " +
+      dup.mkString(", ") + " — rename before the as-of join")
+    val p = freshPrefix(left.columns ++ right.columns)
+    val (negT, negRt) = (p + "negt", p + "negrt")
+    val r = right.withColumn(negRt, -col(rightTime))
+      .select(keys.map(col) ++ (rightVals :+ negRt).map(col): _*)
+    join(left.withColumn(negT, -col(leftTime)), r, keys,
+      negT, negRt, rightVals)
+      .drop(negT)
+  }
 }

@@ -97,6 +97,27 @@ class LibraryApiSpec extends SparkTestBase {
       "b" -> (None, "Y"))) // NULL preserved, venue from the SAME row
   }
 
+  test("AsOf.joinForward: earliest at-or-after wins; equal-ts matches; " +
+      "no future row → NULL") {
+    import spark.implicits._
+    val purchases = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 10L, "c"),
+        (3L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val quotes = Seq((1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 3L, 30.0),
+        (3L, 7L, 70.0))
+      .toDF("k", "qt", "price")
+    val got = AsOf.joinForward(purchases, quotes, Seq("k"), "t", "qt",
+        Seq("price"))
+      .select("tag", "price").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(
+      "a" -> Some(100.0), // quote AT the purchase time is visible
+      "b" -> Some(100.0), // earliest of the two future quotes
+      "c" -> None,        // key 2's only quote is in the past
+      "d" -> Some(70.0))) // exact-time match
+  }
+
   test("AsOf.join maxLookback: stale matches null out, fresh ones survive") {
     import spark.implicits._
     val purchases = Seq((1L, 12L, "near"), (1L, 30L, "stale"))
