@@ -596,6 +596,30 @@ object Similarity {
       path: String): DataFrame =
     spark.read.parquet(s"$path/pq_codebook.parquet")
 
+  /** Incremental index maintenance: bucket `newVectors` against the
+    * SAVED centroids and append their assignments to the index — the
+    * steady-state ingest path (a coarse quantizer is retrained rarely;
+    * arrivals just take a bucket). Uses the narrow streaming-safe
+    * kernel, so the same call shape serves a batch backfill or a
+    * `foreachBatch` micro-batch sink. Appending never rewrites the
+    * existing assignment files, and the result is bit-identical to
+    * re-assigning the union from scratch (same centroids, same
+    * per-vector argmin). Caller contract: `vec_id`s not already in the
+    * index (append does not dedup). */
+  def appendToIndex(newVectors: DataFrame, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cent = spark.read.parquet(s"$path/centroids.parquet")
+    // match the saved assignment's column types exactly — the narrow
+    // kernel emits a LongType label, but the saved index may carry the
+    // original (e.g. int) label type, and a parquet append with a
+    // different schema would poison later reads
+    val saved = spark.read.parquet(s"$path/assignment.parquet").schema
+    ivfAssignNarrow(newVectors, cent)
+      .select(col("vec_id").cast(saved("vec_id").dataType),
+        col("centroid").cast(saved("centroid").dataType))
+      .write.mode("append").parquet(s"$path/assignment.parquet")
+  }
+
   /** Drop this session's cached ANN shared stages (see
     * [[SimilarityQueries.sharedStages]]): unpersists the centroid and
     * assignment frames and forgets the cache entries. The library-API

@@ -57,6 +57,26 @@ class IndexPersistenceSpec extends SparkTestBase {
     }
   }
 
+  test("appendToIndex: incremental ingest equals a from-scratch rebuild " +
+      "of the union, with the saved label type preserved") {
+    val dir = Files.createTempDirectory("graft-index").toString
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+    val first = vecs.filter(col("vec_id") < 400)
+    val late = vecs.filter(col("vec_id") >= 400)
+    val (cent, _) = SimilarityQueries.sharedStages(spark, sfDir)
+    Similarity.saveIndex(dir, cent, Similarity.ivfAssign(first, cent))
+    Similarity.appendToIndex(late, dir)
+    val (_, assign) = Similarity.loadIndex(spark, dir)
+    val full = Similarity.ivfAssign(vecs, cent)
+    assert(assign.count() == vecs.count())
+    assert(assign.except(full).isEmpty && full.except(assign).isEmpty,
+      "incremental assignment diverged from the from-scratch rebuild")
+    // label type unchanged by the append (no schema poisoning)
+    assert(assign.schema("centroid").dataType ==
+      full.schema("centroid").dataType)
+  }
+
   test("trainCoarseQuantizer output saves and reloads as a working index " +
       "(the no-labels path end to end)") {
     val dir = Files.createTempDirectory("graft-index").toString
