@@ -75,6 +75,56 @@ class PipelinePropertySpec extends SparkTestBase {
     }
   }
 
+  test("TopK sort-degrade ≡ heap path ≡ window form under random caps " +
+      "(mixed heap/sort partitions in one query)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(100 + seed)
+      val nKeys = 50 + rnd.nextInt(400)
+      val n = 1000 + rnd.nextInt(2000)
+      val parts = 1 + rnd.nextInt(5)
+      val df = (0 until n).map { i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(1000).toLong, i.toLong)
+      }.toDF("k", "v", "uid").repartition(parts)
+      val k = 1 + rnd.nextInt(4)
+      // cap somewhere between "every partition overflows" and "none do"
+      val cap = 1 + rnd.nextInt(nKeys)
+      spark.conf.set("spark.graft.topk.maxKeysPerPartition", cap.toString)
+      try {
+        val got = graft.plans.TopK.perKey(df, Seq("k"),
+            Seq(col("v").desc, col("uid")), k)
+          .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+        val w = Window.partitionBy("k").orderBy(col("v").desc, col("uid"))
+        val want = df.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= k)
+          .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+        assert(got == want,
+          s"seed $seed (keys=$nKeys cap=$cap parts=$parts k=$k): " +
+            s"${got.length} vs ${want.length} rows")
+      } finally spark.conf.unset("spark.graft.topk.maxKeysPerPartition")
+    }
+  }
+
+  test("ivfAssignNarrow ≡ ivfAssign on random vectors and centroids") {
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val dim = 1 + rnd.nextInt(16)
+      val vecs = (0 until 200).map(i =>
+        (i.toLong, Seq.fill(dim)(rnd.nextGaussian()))).toDF("vec_id", "v")
+      val cents = (0 until 1 + rnd.nextInt(9)).map(c =>
+        (c.toLong, Seq.fill(dim)(rnd.nextGaussian()))).toDF("c_label", "c")
+        .withColumn("cnorm2", expr("aggregate(c, 0D, (a, x) -> a + x * x)"))
+      val wide = Similarity.ivfAssign(vecs, cents)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val narrow = Similarity.ivfAssignNarrow(vecs, cents)
+        .select("vec_id", "centroid")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(narrow == wide, s"seed $seed: kernels diverged")
+    }
+  }
+
   test("Dedup.jaccardPairs ≡ naive pairwise jaccard on random corpora") {
     import spark.implicits._
     for (seed <- 1 to 3) {
