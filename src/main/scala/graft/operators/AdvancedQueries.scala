@@ -164,6 +164,21 @@ object AdvancedQueries {
           Seq("signup_sec"))
         .select("event_id", "user_id", "signup_sec")
     },
+    // The same forward semantics through the custom merge exec
+    // (backward streaming merge on the negated time axis — O(1) task
+    // memory); shares asof_forward's LATERAL oracle, so the gate proves
+    // the window and merge compositions agree.
+    "asof_merge_forward" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), expr("ts div 1000000000").as("signup_sec"),
+          col("ts"))
+      graft.plans.AsOfMerge.joinForward(purchases, signups, Seq("user_id"),
+          "ts", "ts", Seq("signup_sec"))
+        .select("event_id", "user_id", "signup_sec")
+    },
     // Exact interpolated median over integer keys (deterministic in
     // double: midpoint of two integers). Exact `percentile` buffers every
     // group's values — fine for 3 order statuses, OOM bait for
@@ -564,6 +579,17 @@ object AdvancedQueries {
             col("exact_orders") * lit(0.05)).as("orders_within_5pct"))
     })
 
+  private val asOfForwardOracle: String =
+    """SELECT p.event_id, p.user_id, n.signup_sec
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN LATERAL (
+      |  SELECT CAST(FLOOR(EPOCH(s.ts)) AS BIGINT) AS signup_sec
+      |  FROM events s
+      |  WHERE s.event_type = 'signup' AND s.user_id = p.user_id
+      |   AND s.ts >= p.ts
+      |  ORDER BY s.ts
+      |  LIMIT 1) n ON TRUE""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "approx_distinct_parts" ->
       """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
@@ -617,16 +643,10 @@ object AdvancedQueries {
         |  WHERE s.event_type = 'signup' AND s.user_id = p.user_id
         |  ORDER BY ABS(epoch_ns(s.ts) - epoch_ns(p.ts)), s.ts
         |  LIMIT 1) n ON TRUE""".stripMargin,
-    "asof_forward" ->
-      """SELECT p.event_id, p.user_id, n.signup_sec
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |LEFT JOIN LATERAL (
-        |  SELECT CAST(FLOOR(EPOCH(s.ts)) AS BIGINT) AS signup_sec
-        |  FROM events s
-        |  WHERE s.event_type = 'signup' AND s.user_id = p.user_id
-        |   AND s.ts >= p.ts
-        |  ORDER BY s.ts
-        |  LIMIT 1) n ON TRUE""".stripMargin,
+    "asof_forward" -> asOfForwardOracle,
+    // same oracle on purpose: window and merge-exec forward
+    // compositions must agree row-for-row
+    "asof_merge_forward" -> asOfForwardOracle,
     "asof_merge_join" ->
       """SELECT p.event_id, p.user_id,
         | CAST(FLOOR(EPOCH(p.ts)) AS BIGINT) AS sec,

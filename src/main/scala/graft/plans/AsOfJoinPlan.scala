@@ -287,4 +287,27 @@ object AsOfMerge {
       df.withColumn(v, when(fresh, col(v)))
     }.drop(mt)
   }
+
+  /** Forward as-of through the merge exec (pandas
+    * `direction='forward'`): the EARLIEST right row at-or-after each
+    * left time — the backward merge on the NEGATED time axis, so it
+    * keeps the exec's shape (co-partitioned streaming merge, O(1) task
+    * memory) and contracts (NULL right times never match, unmatched
+    * rows NULL-filled). Numeric time columns only — negation is the
+    * direction flip (timestamps: convert to epoch first). */
+  def joinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dup = rightVals.filter(left.columns.contains)
+    require(dup.isEmpty, "rightVals collide with left columns: " +
+      dup.mkString(", ") + " — rename before the as-of join")
+    val p = graft.operators.AsOf.freshPrefix(left.columns ++ right.columns)
+    val (negT, negRt) = (p + "negt", p + "negrt")
+    val r = right.withColumn(negRt, -col(rightTime))
+      .select((keys ++ rightVals :+ negRt).map(col): _*)
+    join(left.withColumn(negT, -col(leftTime)), r, keys, negT, negRt,
+        rightVals)
+      .drop(negT)
+  }
 }

@@ -45,6 +45,35 @@ class AsOfJoinPlanSpec extends SparkTestBase {
     assert(exchanges == 2, s"expected 2 key exchanges, got $exchanges:\n$plan")
   }
 
+  test("joinForward (merge exec) ≡ AsOf.joinForward (window form) on " +
+      "random event sets, and it plans on AsOfJoinExec") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val left = (0 until 120).map(i =>
+        (i.toLong, rnd.nextInt(7).toLong, rnd.nextInt(100).toLong))
+        .toDF("lid", "k", "lt")
+      val right = rnd.shuffle(
+        (for (k <- 0L until 7L; t <- 0L until 100L) yield (k, t)).toList)
+        .take(80).map { case (k, t) => (k, t, k * 1000 + t) }
+        .toDF("k", "rt", "v")
+      val viaExec = AsOfMerge.joinForward(left, right, Seq("k"), "lt", "rt",
+        Seq("v"))
+      if (seed == 1)
+        assert(viaExec.queryExecution.executedPlan.toString
+          .contains("AsOfJoin"), "forward wrapper left the merge exec")
+      val a = viaExec.select("lid", "v").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val b = graft.operators.AsOf.joinForward(left, right, Seq("k"),
+          "lt", "rt", Seq("v"))
+        .select("lid", "v").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(a == b, s"seed $seed: merge and window forward joins diverged")
+    }
+  }
+
   test("SQL metrics: output rows = left rows; matched rows = non-null hits") {
     import spark.implicits._
     val left = Seq((1L, 10L, "a"), (1L, 5L, "b"), (2L, 10L, "c"))
