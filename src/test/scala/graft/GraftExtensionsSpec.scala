@@ -21,6 +21,9 @@ class GraftExtensionsSpec extends SparkTestBase {
     import org.apache.spark.sql.graftbridge.Bridge
     assert(Bridge.builtPlannerStrategies(ext, spark)
       .contains(graft.plans.AsOfJoinStrategy))
+    assert(Bridge.builtPlannerStrategies(ext, spark)
+      .contains(graft.plans.TopKPerKeyStrategy),
+      "the heap top-k strategy must install with the extensions")
     assert(Bridge.builtOptimizerRules(ext, spark)
       .contains(graft.plans.PruneAsOfColumns))
     assert(Bridge.builtOptimizerRules(ext, spark)
