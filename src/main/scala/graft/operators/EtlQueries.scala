@@ -37,6 +37,32 @@ object EtlQueries {
             lit("1992-01-01").cast("date")), lit(65536)).cast("long").as("zb"))
         .withColumn("zval", Layout.zValue(col("za"), col("zb"), 16))
     },
+    // Column profiling — the pre-copy audit an ETL tool runs before
+    // sizing a migration: per-column null count, exact distinct count,
+    // and min/max, in ONE scan of the table (the multi-count-distinct
+    // aggregate plans as a single pass with an Expand — never one scan
+    // per column), then stack() pivots the wide row to long form.
+    // min/max stringify for a uniform output schema; the profiled
+    // columns' string forms are engine-identical (ints, ASCII flags,
+    // whole-second timestamps, short decimals-as-doubles).
+    "etl_profile_columns" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag",
+        "l_shipdate", "l_quantity")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+        countDistinct(col(c)).as(s"dist_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+      }
+      val stackExpr = "stack(" + cols.size + ", " + cols.map(c =>
+        s"'$c', null_$c, dist_$c, min_$c, max_$c").mkString(", ") +
+        ") as (col_name, n_null, n_distinct, min_s, max_s)"
+      li.agg(aggs.head, aggs.tail: _*)
+        .selectExpr("n_rows", stackExpr)
+        .select("col_name", "n_rows", "n_null", "n_distinct",
+          "min_s", "max_s")
+    },
     "s1_scan_fidelity" -> { (s, dir) =>
       Tables(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
@@ -342,6 +368,17 @@ object EtlQueries {
 
   val oracles: Map[String, String] = Map(
     "p1_projection" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "etl_profile_columns" -> Seq(
+      "l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate", "l_quantity")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |  AS n_null,
+           | CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           | CAST(MIN($c) AS VARCHAR) AS min_s,
+           | CAST(MAX($c) AS VARCHAR) AS max_s
+           |FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n"),
     "s1_scan_fidelity" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
         | l_extendedprice, l_returnflag, l_linestatus, l_shipdate

@@ -51,6 +51,14 @@ class PlanSpec extends SparkTestBase {
       s"window machinery survived:\n$plan")
   }
 
+  test("etl_profile_columns: one table scan feeds every column's stats " +
+      "(multi-distinct plans as a single pass with Expand)") {
+    val plan = planOf("etl_profile_columns")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"profiling rescans the table ($scans scans):\n$plan")
+    assert(plan.contains("Expand"), s"no Expand — distincts split scans:\n$plan")
+  }
+
   test("q1: shipdate filter is pushed to the parquet scan") {
     val plan = planOf("q1_pricing_summary")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
