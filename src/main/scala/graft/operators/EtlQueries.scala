@@ -39,9 +39,13 @@ object EtlQueries {
     },
     // Column profiling — the pre-copy audit an ETL tool runs before
     // sizing a migration: per-column null count, exact distinct count,
-    // and min/max, in ONE scan of the table (the multi-count-distinct
-    // aggregate plans as a single pass with an Expand — never one scan
-    // per column), then stack() pivots the wide row to long form.
+    // and min/max, in TWO scans of the table: the plain min/max/null
+    // aggregates in one (no Expand), the multi-count-distinct in the
+    // other (Spark plans N distinct columns as ONE pass over an
+    // N+1-way Expand — keeping the plain aggregates out of that pass
+    // stops them being re-evaluated across every expanded branch,
+    // measured 5.1 s → ~1 s at sf0.1). Both results are single rows,
+    // recombined by a trivial cross join; stack() pivots to long form.
     // min/max stringify for a uniform output schema; the profiled
     // columns' string forms are engine-identical (ints, ASCII flags,
     // whole-second timestamps, short decimals-as-doubles).
@@ -49,16 +53,17 @@ object EtlQueries {
       val li = Tables(s, dir, "lineitem")
       val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag",
         "l_shipdate", "l_quantity")
-      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+      val plainAggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
-        countDistinct(col(c)).as(s"dist_$c"),
         min(col(c)).cast("string").as(s"min_$c"),
         max(col(c)).cast("string").as(s"max_$c"))
       }
+      val distinctAggs = cols.map(c => countDistinct(col(c)).as(s"dist_$c"))
       val stackExpr = "stack(" + cols.size + ", " + cols.map(c =>
         s"'$c', null_$c, dist_$c, min_$c, max_$c").mkString(", ") +
         ") as (col_name, n_null, n_distinct, min_s, max_s)"
-      li.agg(aggs.head, aggs.tail: _*)
+      li.agg(plainAggs.head, plainAggs.tail: _*)
+        .crossJoin(broadcast(li.agg(distinctAggs.head, distinctAggs.tail: _*)))
         .selectExpr("n_rows", stackExpr)
         .select("col_name", "n_rows", "n_null", "n_distinct",
           "min_s", "max_s")

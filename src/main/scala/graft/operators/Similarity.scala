@@ -596,6 +596,29 @@ object Similarity {
       path: String): DataFrame =
     spark.read.parquet(s"$path/pq_codebook.parquet")
 
+  /** One-call serving path over a [[saveIndex]] directory: load the
+    * centroids and corpus assignment, bucket the query batch with the
+    * narrow kernel (no window/aggregate — usable from a stream too),
+    * and probe each query's bucket for its exact top-k. `corpus` must
+    * be the vector table the index was built over, as `(vec_id, v)` —
+    * the index stores assignments, not vectors, so the raw corpus scan
+    * (the big side) stays wherever it lives and is joined by id.
+    * Output `(query_id, neighbor_id, rnk)`. */
+  def searchIndex(queries: DataFrame, corpus: DataFrame, path: String,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val (cent, assign) = loadIndex(spark, path)
+    val q = ivfAssignNarrow(
+        queries.select(col("query_id").as("vec_id"), col("va").as("v")), cent)
+      .select(col("vec_id").as("query_id"), col("centroid"))
+      .join(queries, "query_id")
+    val c = corpus
+      .join(assign, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+        col("centroid"))
+    ivfTopK(q.select(col("query_id"), col("va"), col("centroid")), c, k)
+  }
+
   /** Incremental index maintenance: bucket `newVectors` against the
     * SAVED centroids and append their assignments to the index — the
     * steady-state ingest path (a coarse quantizer is retrained rarely;

@@ -57,6 +57,28 @@ class IndexPersistenceSpec extends SparkTestBase {
     }
   }
 
+  test("searchIndex: the one-call serve path equals the hand-composed " +
+      "assign + bucket-probe search") {
+    val dir = Files.createTempDirectory("graft-index").toString
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+    val (cent, assign) = SimilarityQueries.sharedStages(spark, sfDir)
+    Similarity.saveIndex(dir, cent, assign)
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    val got = Similarity.searchIndex(q, vecs, dir, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // hand-composed reference: shared-stage assignment + bucket probe
+    val v = vecs.join(assign, "vec_id")
+    val qq = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("va"), col("centroid"))
+    val cc = v.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+      col("centroid"))
+    val want = Similarity.ivfTopK(qq, cc, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"searchIndex diverged: ${got.size} vs ${want.size}")
+  }
+
   test("appendToIndex: incremental ingest equals a from-scratch rebuild " +
       "of the union, with the saved label type preserved") {
     val dir = Files.createTempDirectory("graft-index").toString

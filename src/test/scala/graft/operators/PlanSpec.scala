@@ -51,11 +51,11 @@ class PlanSpec extends SparkTestBase {
       s"window machinery survived:\n$plan")
   }
 
-  test("etl_profile_columns: one table scan feeds every column's stats " +
-      "(multi-distinct plans as a single pass with Expand)") {
+  test("etl_profile_columns: exactly two scans — plain stats scan + one " +
+      "Expand pass covering ALL distinct columns (never a scan per column)") {
     val plan = planOf("etl_profile_columns")
     val scans = plan.linesIterator.count(_.contains("Scan parquet"))
-    assert(scans == 1, s"profiling rescans the table ($scans scans):\n$plan")
+    assert(scans == 2, s"expected plain+distinct scans, got $scans:\n$plan")
     assert(plan.contains("Expand"), s"no Expand — distincts split scans:\n$plan")
   }
 
