@@ -18,6 +18,42 @@ import graft.Tables
   */
 object TextQueries {
 
+  /** Per-doc add-one-smoothed bigram NLL (`text_bigram_lm`'s pipeline,
+    * shared with the perplexity-bucket report): unigram/bigram count
+    * tables are one partial-aggregated shuffle each; scoring is two
+    * equi-joins on the count keys and a broadcast 1-row vocab size;
+    * per-term NLLs quantize to integers before the per-doc sum, so the
+    * reduction is order-free. Output
+    * `(doc_id, n_bigrams, qnll_sum, avg_qnll)`. */
+  private def bigramNll(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val toks = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w1"))
+      .filter(length(col("w1")) > 0)
+    val uni = toks.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vsz = uni.agg(count(lit(1)).as("vsz"))
+    val bg = docs.select(col("doc_id"),
+      explode(TextAnalysis.wordBigrams(col("text"))).as("bigram"))
+    val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val scored = bg
+      .join(c2, "bigram")
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(uni, "w1")
+      .crossJoin(broadcast(vsz))
+      .select(col("doc_id"), expr(
+        "cast(floor(-ln((c2 + 1) / cast(c1 + vsz as double)) * 1e6 + 0.5d) as bigint)")
+        .as("qnll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("qnll").as("qnll_sum"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("qnll_sum"), lit(0L)).as("qnll_sum"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("qnll_sum").cast(DoubleType) / col("n_bigrams"))
+          .as("avg_qnll"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> { (s, dir) =>
       Tables(s, dir, "documents").select(
@@ -107,33 +143,27 @@ object TextQueries {
     // (floor(x·1e6+0.5)) BEFORE the per-doc sum so the group sum is
     // order-free and hash-exact; the mean is one final integer division
     // pair (single IEEE op, deterministic on both engines).
-    "text_bigram_lm" -> { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val toks = docs
-        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w1"))
-        .filter(length(col("w1")) > 0)
-      val uni = toks.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val vsz = uni.agg(count(lit(1)).as("vsz"))
-      val bg = docs.select(col("doc_id"),
-        explode(TextAnalysis.wordBigrams(col("text"))).as("bigram"))
-      val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
-      val scored = bg
-        .join(c2, "bigram")
-        .withColumn("w1", split(col("bigram"), " ").getItem(0))
-        .join(uni, "w1")
-        .crossJoin(broadcast(vsz))
-        .select(col("doc_id"), expr(
-          "cast(floor(-ln((c2 + 1) / cast(c1 + vsz as double)) * 1e6 + 0.5d) as bigint)")
-          .as("qnll"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum("qnll").as("qnll_sum"))
-      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-          coalesce(col("qnll_sum"), lit(0L)).as("qnll_sum"),
-          when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
-            .otherwise(col("qnll_sum").cast(DoubleType) / col("n_bigrams"))
-            .as("avg_qnll"))
+    "text_bigram_lm" -> { (s, dir) => bigramNll(s, dir) },
+    // CCNet-style perplexity bucketing: rank every doc by its LM score
+    // (quantized mean NLL — exact integer ratio compare via
+    // qnll_sum·n' vs qnll_sum'·n is what NTILE's sort sees through the
+    // double division on identical inputs) and split the corpus into 3
+    // equal buckets — head (most fluent), middle, tail — the classic
+    // quality-mixing knob. NTILE here is a deliberate global window
+    // over ONE ROW PER DOC (already aggregated — same trade as
+    // o2_offset_pagination, documented in PERF.md); the 100 TB path
+    // computes approximate cutoffs once (approxQuantile) and filters.
+    // Per-bucket sums stay exact BIGINTs.
+    "text_ppl_buckets" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("avg_qnll"), col("doc_id"))
+      bigramNll(s, dir)
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("qnll_sum").as("qnll_total"),
+          sum("n_bigrams").as("bigrams_total"),
+          min("doc_id").as("sample_doc"))
     },
     // Okapi BM25 (k1=1.2, b=0.75) of every document against a fixed
     // query-term set — the classic sparse-retrieval scorer a curation
@@ -498,6 +528,51 @@ object TextQueries {
         | CASE WHEN g.n_bigrams IS NULL THEN 0.0
         |      ELSE CAST(g.qnll_sum AS DOUBLE) / g.n_bigrams END AS avg_qnll
         |FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id""".stripMargin,
+    // the text_bigram_lm pipeline + NTILE(3) over (avg_qnll, doc_id) —
+    // both engines divide the same exact integers, so the sort keys are
+    // bit-identical and the bucket split exact
+    "text_ppl_buckets" ->
+      """WITH tok AS (
+        | SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w1
+        | FROM documents),
+        |uni AS (
+        | SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok
+        | WHERE strlen(w1) > 0 GROUP BY 1),
+        |vsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM uni),
+        |bg AS (
+        | SELECT doc_id,
+        |  unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+        | FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |       FROM documents) t0),
+        |c2 AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+        |q AS (
+        | SELECT bg.doc_id,
+        |  CAST(FLOOR(-ln((c2.c2 + 1)
+        |       / CAST(uni.c1 + (SELECT vsz FROM vsz) AS DOUBLE))
+        |       * 1e6 + 0.5) AS BIGINT) AS qnll
+        | FROM bg
+        | JOIN c2 ON bg.bigram = c2.bigram
+        | JOIN uni ON uni.w1 = split_part(bg.bigram, ' ', 1)),
+        |g AS (
+        | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(qnll) AS BIGINT) AS qnll_sum
+        | FROM q GROUP BY 1),
+        |per AS (
+        | SELECT d.doc_id,
+        |  CAST(COALESCE(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(g.qnll_sum, 0) AS BIGINT) AS qnll_sum,
+        |  CASE WHEN g.n_bigrams IS NULL THEN 0.0
+        |       ELSE CAST(g.qnll_sum AS DOUBLE) / g.n_bigrams END AS avg_qnll
+        | FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id),
+        |b AS (
+        | SELECT doc_id, n_bigrams, qnll_sum,
+        |  CAST(NTILE(3) OVER (ORDER BY avg_qnll, doc_id) AS BIGINT) AS bucket
+        | FROM per)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(qnll_sum) AS BIGINT) AS qnll_total,
+        | CAST(SUM(n_bigrams) AS BIGINT) AS bigrams_total,
+        | MIN(doc_id) AS sample_doc
+        |FROM b GROUP BY 1""".stripMargin,
     "text_bigram_counts" ->
       """SELECT bigram, COUNT(*) AS n FROM (
         | SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
