@@ -57,7 +57,13 @@ object SimilarityQueries {
       // index — the session's corpus — as a production session would.
       s.conf.getOption("spark.graft.ann.indexDir") match {
         case Some(idx) =>
-          val (cent, assign) = Similarity.loadIndex(s, idx)
+          val (cent, assign) = try Similarity.loadIndex(s, idx) catch {
+            case e: Exception => throw new IllegalArgumentException(
+              s"spark.graft.ann.indexDir=$idx is not a readable graft " +
+                "index (expected centroids.parquet + assignment.parquet " +
+                "written by Similarity.saveIndex); unset the conf to train " +
+                s"from the corpus instead. Cause: ${e.getMessage}", e)
+          }
           (cent.persist(), assign.persist())
         case None =>
           // cent persists BEFORE assign is built so the assignment's own

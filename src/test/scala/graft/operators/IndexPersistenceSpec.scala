@@ -57,6 +57,52 @@ class IndexPersistenceSpec extends SparkTestBase {
     }
   }
 
+  test("a bad spark.graft.ann.indexDir fails with an actionable message, " +
+      "not a raw path error") {
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.graft.ann.indexDir", "/nonexistent/graft-idx")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SimilarityQueries.sharedStages(fresh, sfDir)
+      }
+      assert(e.getMessage.contains("indexDir") &&
+        e.getMessage.contains("saveIndex"), s"unhelpful: ${e.getMessage}")
+    } finally fresh.conf.unset("spark.graft.ann.indexDir")
+  }
+
+  test("streaming ingest: foreachBatch → appendToIndex across micro-batches " +
+      "equals the batch rebuild (the documented steady-state path)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-index").toString
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+    val (cent, _) = SimilarityQueries.sharedStages(spark, sfDir)
+    val first = vecs.filter(col("vec_id") < 300)
+    Similarity.saveIndex(dir, cent, Similarity.ivfAssign(first, cent))
+    val late = vecs.filter(col("vec_id") >= 300)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = stream.toDF().toDF("vec_id", "v")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendToIndex(batch, dir)
+      }
+      .start()
+    try {
+      stream.addData(late.take(100).toSeq: _*)
+      q.processAllAvailable()
+      stream.addData(late.drop(100).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val (_, assign) = Similarity.loadIndex(spark, dir)
+    val full = Similarity.ivfAssign(vecs, cent)
+    assert(assign.count() == vecs.count())
+    assert(assign.except(full).isEmpty && full.except(assign).isEmpty,
+      "streamed appends diverged from the batch rebuild")
+  }
+
   test("searchIndex: the one-call serve path equals the hand-composed " +
       "assign + bucket-probe search") {
     val dir = Files.createTempDirectory("graft-index").toString
