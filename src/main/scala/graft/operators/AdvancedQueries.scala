@@ -252,6 +252,30 @@ object AdvancedQueries {
         .groupBy("bucket").agg(count(lit(1)).as("n"))
     },
     // Pearson correlation + regression slope from EXACT integer moments:
+    // Exact p50/p90/p99 per event type — the SLO percentile report, in
+    // the nearest-rank (discrete) definition: value at position
+    // ceil(n·p/100) = (n·p+99) div 100 of the sorted group. Everything
+    // is integer selection over cent-quantized values (no interpolation,
+    // no engine quantile builtin — Spark's and DuckDB's continuous
+    // quantiles interpolate with different float op orders), so the
+    // compare is exact. The per-group sort is the honest cost of exact
+    // percentiles; the bounded-memory scale twin is approx_percentile
+    // (the median_order_key_approx precedent).
+    "stat_percentiles_disc" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events").select(col("event_type"),
+        col("event_id"),
+        expr("cast(floor(value * 100 + 0.5d) as bigint)").as("q_cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("q_cents"), col("event_id"))
+      val ranked = ev.withColumn("rn", row_number().over(w).cast("long"))
+      val pos = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          explode(expr("array(50L, 90L, 99L)")).as("p"))
+        .withColumn("idx", expr("(n * p + 99) div 100"))
+      pos.join(ranked, Seq("event_type"))
+        .filter(col("rn") === col("idx"))
+        .select("event_type", "p", "n", "q_cents")
+    },
     // built-in corr() accumulates floats in partition order (last-ulp
     // nondeterminism between engines/runs), so instead the five sums
     // (Σx, Σy, Σxy, Σx², Σy²) aggregate exactly — longs/decimals over
@@ -828,6 +852,24 @@ object AdvancedQueries {
       """SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // 25000 AS bucket,
         | COUNT(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+    "stat_percentiles_disc" ->
+      """WITH ev AS (
+        | SELECT event_type, event_id,
+        |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS q_cents
+        | FROM events),
+        |ranked AS (
+        | SELECT event_type, q_cents,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY q_cents, event_id) AS rn
+        | FROM ev),
+        |counts AS (
+        | SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1),
+        |pos AS (
+        | SELECT event_type, n, CAST(p AS BIGINT) AS p, (n * p + 99) // 100 AS idx
+        | FROM counts, (SELECT UNNEST([50, 90, 99]) AS p) ps)
+        |SELECT pos.event_type, pos.p, pos.n, ranked.q_cents
+        |FROM pos JOIN ranked
+        | ON ranked.event_type = pos.event_type AND ranked.rn = pos.idx""".stripMargin,
     "stat_corr_exact" ->
       """WITH m AS (
         | SELECT CAST(COUNT(*) AS BIGINT) AS n,
