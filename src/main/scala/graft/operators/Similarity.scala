@@ -597,20 +597,25 @@ object Similarity {
     spark.read.parquet(s"$path/pq_codebook.parquet")
 
   /** One-call serving path over a [[saveIndex]] directory: load the
-    * centroids and corpus assignment, bucket the query batch with the
-    * narrow kernel (no window/aggregate — usable from a stream too),
-    * and probe each query's bucket for its exact top-k. `corpus` must
-    * be the vector table the index was built over, as `(vec_id, v)` —
-    * the index stores assignments, not vectors, so the raw corpus scan
+    * centroids and corpus assignment, bucket the query batch (the
+    * narrow kernel at `nprobe = 1` — no window/aggregate, usable from
+    * a stream too; [[ivfAssignN]] multi-probe above that, the serve-
+    * time recall knob [[ivfTopKWithRecall]] tunes), and probe each
+    * query's bucket(s) for its exact top-k. `corpus` must be the
+    * vector table the index was built over, as `(vec_id, v)` — the
+    * index stores assignments, not vectors, so the raw corpus scan
     * (the big side) stays wherever it lives and is joined by id.
     * Output `(query_id, neighbor_id, rnk)`. */
   def searchIndex(queries: DataFrame, corpus: DataFrame, path: String,
-      k: Int): DataFrame = {
+      k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val spark = queries.sparkSession
     val (cent, assign) = loadIndex(spark, path)
-    val q = ivfAssignNarrow(
-        queries.select(col("query_id").as("vec_id"), col("va").as("v")), cent)
-      .select(col("vec_id").as("query_id"), col("centroid"))
+    val qv = queries.select(col("query_id").as("vec_id"), col("va").as("v"))
+    val buckets =
+      if (nprobe == 1) ivfAssignNarrow(qv, cent).select("vec_id", "centroid")
+      else ivfAssignN(qv, cent, nprobe).select("vec_id", "centroid")
+    val q = buckets.select(col("vec_id").as("query_id"), col("centroid"))
       .join(queries, "query_id")
     val c = corpus
       .join(assign, "vec_id")

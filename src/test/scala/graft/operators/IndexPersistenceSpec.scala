@@ -125,6 +125,26 @@ class IndexPersistenceSpec extends SparkTestBase {
     assert(got == want, s"searchIndex diverged: ${got.size} vs ${want.size}")
   }
 
+  test("searchIndex nprobe: multi-probe recall dominates single-probe " +
+      "(the serve-time recall knob)") {
+    val dir = Files.createTempDirectory("graft-index").toString
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+    val (cent, assign) = SimilarityQueries.sharedStages(spark, sfDir)
+    Similarity.saveIndex(dir, cent, assign)
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    val corpus = vecs.filter(col("vec_id") >= 10)
+    val truth = Similarity.bruteForceTopK(q,
+        corpus.select(col("vec_id").as("neighbor_id"), col("v").as("vb")), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(n: Int): Int = Similarity.searchIndex(q, corpus, dir, 3, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .count(truth.contains)
+    val r1 = recall(1); val r2 = recall(2)
+    assert(r2 >= r1, s"probe2 recall $r2 < probe1 recall $r1")
+  }
+
   test("appendToIndex: incremental ingest equals a from-scratch rebuild " +
       "of the union, with the saved label type preserved") {
     val dir = Files.createTempDirectory("graft-index").toString
