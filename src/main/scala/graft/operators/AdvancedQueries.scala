@@ -262,9 +262,13 @@ object AdvancedQueries {
     // percentiles; the bounded-memory scale twin is approx_percentile
     // (the median_order_key_approx precedent).
     "stat_percentiles_disc" -> { (s, dir) =>
-      val ev = Tables(s, dir, "events").select(col("event_type"),
-        col("event_id"),
-        expr("cast(floor(value * 100 + 0.5d) as bigint)").as("q_cents"))
+      // NULL values are excluded from the stats (n counts non-null):
+      // Spark sorts NULLS FIRST asc, DuckDB NULLS LAST — leaving them in
+      // would shift which row sits at each rank between the two engines
+      val ev = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          expr("cast(floor(value * 100 + 0.5d) as bigint)").as("q_cents"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type").orderBy(col("q_cents"), col("event_id"))
       val ranked = ev.withColumn("rn", row_number().over(w).cast("long"))
@@ -856,7 +860,7 @@ object AdvancedQueries {
       """WITH ev AS (
         | SELECT event_type, event_id,
         |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS q_cents
-        | FROM events),
+        | FROM events WHERE value IS NOT NULL),
         |ranked AS (
         | SELECT event_type, q_cents,
         |  ROW_NUMBER() OVER (PARTITION BY event_type

@@ -149,6 +149,31 @@ object AsOf {
       .drop((bVals ++ fVals ++ Seq(bt, ft, negT)): _*)
   }
 
+  /** The forward-direction composition shared by [[joinForward]] and
+    * [[graft.plans.AsOfMerge.joinForward]]: a backward as-of join
+    * (supplied by the caller — window form or merge exec) run on the
+    * NEGATED time axis. One place owns the collision check, the
+    * collision-free helper names, and the negation, so the two entry
+    * points cannot drift. Numeric time columns only — negation is the
+    * direction flip. */
+  private[graft] def forwardVia(
+      backward: (DataFrame, DataFrame, Seq[String], String, String,
+        Seq[String]) => DataFrame)(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+    val dup = rightVals.filter(left.columns.contains)
+    require(dup.isEmpty, "rightVals collide with left columns: " +
+      dup.mkString(", ") + " — rename before the as-of join")
+    val p = freshPrefix(left.columns ++ right.columns)
+    val (negT, negRt) = (p + "negt", p + "negrt")
+    val r = right.withColumn(negRt, -col(rightTime))
+      .select(keys.map(col) ++ (rightVals :+ negRt).map(col): _*)
+    backward(left.withColumn(negT, -col(leftTime)), r, keys,
+      negT, negRt, rightVals)
+      .drop(negT)
+  }
+
   /** Forward as-of join (pandas `merge_asof(direction='forward')`):
     * for every left row, the EARLIEST right row at-or-after leftTime in
     * the key group — "the next quote after the order", the mirror of
@@ -160,16 +185,7 @@ object AsOf {
     * to epoch first, precision of your choice). */
   def joinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      rightVals: Seq[String]): DataFrame = {
-    val dup = rightVals.filter(left.columns.contains)
-    require(dup.isEmpty, "rightVals collide with left columns: " +
-      dup.mkString(", ") + " — rename before the as-of join")
-    val p = freshPrefix(left.columns ++ right.columns)
-    val (negT, negRt) = (p + "negt", p + "negrt")
-    val r = right.withColumn(negRt, -col(rightTime))
-      .select(keys.map(col) ++ (rightVals :+ negRt).map(col): _*)
-    join(left.withColumn(negT, -col(leftTime)), r, keys,
-      negT, negRt, rightVals)
-      .drop(negT)
-  }
+      rightVals: Seq[String]): DataFrame =
+    forwardVia(join(_, _, _, _, _, _))(
+      left, right, keys, leftTime, rightTime, rightVals)
 }

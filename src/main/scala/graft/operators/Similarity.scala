@@ -141,9 +141,13 @@ object Similarity {
         require(c.length == k, s"init has ${c.length} centroids, expected k=$k")
         c
       case None =>
-        vectors.orderBy("vec_id").limit(k).select("v").collect()
+        val seeds = vectors.orderBy("vec_id").limit(k).select("v").collect()
           .zipWithIndex
           .map { case (r, i) => (i.toLong, r.getSeq[Double](0).toArray) }
+        require(seeds.length == k,
+          s"k=$k exceeds the corpus size (${seeds.length} vectors) — " +
+            "cannot seed k distinct centroids")
+        seeds
     }
     def frame(c: Array[(Long, Array[Double])]): DataFrame = centroidFrame(spark, c)
     def q(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
@@ -151,7 +155,10 @@ object Similarity {
     var done = maxIter == 0
     while (!done) {
       val centDf = frame(cent)
-      val assign = ivfAssign(vectors, centDf)
+      // persisted: the re-mean always reads it, and a reseed round
+      // reads it a second time — without the persist that second read
+      // re-runs the whole broadcast-score-argmin pass over the corpus
+      val assign = ivfAssign(vectors, centDf).persist()
       // quantized per-(centroid, dim) sums: one order-free shuffle
       val sums = vectors.join(assign, "vec_id")
         .select(col("centroid"), posexplode(col("v")))
@@ -187,12 +194,17 @@ object Similarity {
           .limit(empties.length)
           .select("v").collect()
           .map(_.getSeq[Double](0).toArray)
+        require(far.length == empties.length,
+          s"${empties.length} empty clusters but only ${far.length} " +
+            "assigned vectors available to reseed from — the corpus has " +
+            "fewer distinct vectors than k; lower k")
         val reseeds = empties.sorted.zip(far).toMap
         next = next.map {
           case (l, null) => (l, reseeds(l))
           case ok => ok
         }
       }
+      assign.unpersist(blocking = false)
       // quantized max component shift; reseeded clusters count too
       val shift = cent.zip(next).iterator.flatMap { case ((_, a), (_, b)) =>
         a.iterator.zip(b.iterator).map { case (x, y) => math.abs(q(x) - q(y)) }
@@ -475,7 +487,13 @@ object Similarity {
             first("v").as("v"))
           .withColumn("d2", greatest(col("d2"), lit(0.0))) // fp guard
           .persist()
-        val phi = d2.agg(sum("d2")).head().getDouble(0)
+        // phi via order-free integer reduction: a raw double SUM would
+        // accumulate in partition order and its last ulps could flip a
+        // borderline keep decision between cluster layouts — the exact
+        // drift the quantize-before-sum pattern exists to prevent
+        val phi = d2.agg(sum(expr(
+            "cast(floor(d2 * 1e6 + 0.5d) as bigint)")).as("phi_q"))
+          .head().getLong(0) / 1e6
         if (phi > 0) {
           val kept = d2
             .withColumn("u",

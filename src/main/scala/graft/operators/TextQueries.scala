@@ -467,7 +467,7 @@ object TextQueries {
         | SELECT tf.doc_id,
         |  CAST(FLOOR(
         |    ln(1.0 + (corp.n_docs - df.df + 0.5) / (df.df + 0.5)) *
-        |    (tf.tf * 2.2) / (tf.tf + 1.2 *
+        |    (tf.tf * CAST(2.2 AS DOUBLE)) / (tf.tf + CAST(1.2 AS DOUBLE) *
         |      (0.25 + 0.75 * dl.dl * corp.n_docs
         |       / CAST(corp.total_toks AS DOUBLE)))
         |    * 1e6 + 0.5) AS BIGINT) AS q_score

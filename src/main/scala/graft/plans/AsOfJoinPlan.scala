@@ -293,21 +293,12 @@ object AsOfMerge {
     * left time — the backward merge on the NEGATED time axis, so it
     * keeps the exec's shape (co-partitioned streaming merge, O(1) task
     * memory) and contracts (NULL right times never match, unmatched
-    * rows NULL-filled). Numeric time columns only — negation is the
-    * direction flip (timestamps: convert to epoch first). */
+    * rows NULL-filled). Numeric time columns only. The composition
+    * itself lives in [[graft.operators.AsOf.forwardVia]] — shared with
+    * the window form so the two entry points cannot drift. */
   def joinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      rightVals: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val dup = rightVals.filter(left.columns.contains)
-    require(dup.isEmpty, "rightVals collide with left columns: " +
-      dup.mkString(", ") + " — rename before the as-of join")
-    val p = graft.operators.AsOf.freshPrefix(left.columns ++ right.columns)
-    val (negT, negRt) = (p + "negt", p + "negrt")
-    val r = right.withColumn(negRt, -col(rightTime))
-      .select((keys ++ rightVals :+ negRt).map(col): _*)
-    join(left.withColumn(negT, -col(leftTime)), r, keys, negT, negRt,
-        rightVals)
-      .drop(negT)
-  }
+      rightVals: Seq[String]): DataFrame =
+    graft.operators.AsOf.forwardVia(join(_, _, _, _, _, _))(
+      left, right, keys, leftTime, rightTime, rightVals)
 }

@@ -83,20 +83,11 @@ class SimilaritySpec extends SparkTestBase {
   private def vecsDf = Tables(spark, sfDir, "embeddings")
     .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
 
-  /** within-cluster SSE: Σ_v min_c ‖v−c‖² — Lloyd's objective */
-  private def kmeansObjective(cent: org.apache.spark.sql.DataFrame): Double =
-    vecsDf.crossJoin(broadcast(cent))
-      .withColumn("dist2", col("cnorm2") -
-        lit(2) * graft.functions.SketchExpressions.dot_product(col("v"), col("c")) +
-        expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
-      .groupBy("vec_id").agg(min("dist2").as("d"))
-      .agg(sum("d")).head().getDouble(0)
-
   test("trainCoarseQuantizer: objective is non-increasing per Lloyd iteration") {
     val seed = SimilarityQueries.sharedStages(spark, sfDir)._1
     val k = seed.count().toInt
     val js = (0 to 3).map { iters =>
-      kmeansObjective(Similarity.trainCoarseQuantizer(
+      objectiveOn(vecsDf, Similarity.trainCoarseQuantizer(
         vecsDf, k, maxIter = iters, tol = 0.0, init = Some(seed)))
     }
     js.sliding(2).foreach { case Seq(a, b) =>
