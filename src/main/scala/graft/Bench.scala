@@ -1,23 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every registered query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line whose `queries` map
-  * carries the FULL per-query min-of-k breakdown (r4 shipped only a
-  * ~23-query headline slice there, which made round-over-round diffs
-  * manual — the full map is ~4.5 KB, well within a stdout line). The
-  * same breakdown also lands in target/bench_full.json (with first-pass
-  * times alongside) as the file-shaped artifact. Nothing else prints to
-  * stdout, and the former stderr copy of the map is gone, so the line
-  * is the last thing the process emits.
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Reporting contract (learned the hard way in r5/r6): the driver keeps
+  * only the LAST ~2000 chars of stdout and parses the final line, so
+  * the stdout metric line carries totals plus a top-20-slowest headline
+  * slice and stays well under that cap. The FULL breakdown — per-query
+  * (min, median, max) over the k passes, first-pass times, a `noisy`
+  * list (max/min > 3×, the ambient-load flag PERF.md's 108–270 s spread
+  * demanded), and a `failed` map — lands in target/bench_full.json,
+  * committed per round as BENCH_full_r{N}.json.
+  *
+  * Failure handling (r6 lesson): a query whose build/write throws is
+  * recorded in `failed` and EXCLUDED from `total`/`queries` — instant
+  * analysis exceptions must not masquerade as 0.06 s query times.
+  *
   * Each query is fully materialized via a noop-format write (count()
   * would let Spark skip computing projected columns).
   *
   * Methodology: each query runs SPARK_GRAFT_BENCH_K times (default 3)
-  * and reports the MINIMUM — PERF.md documents a 108–270 s ambient
-  * spread for the identical binary under host load, so single-pass
-  * numbers made round-over-round deltas noise; min-of-k is the standard
-  * way to estimate the load-free cost. The first-pass sum is kept
-  * alongside (`pass1_total`) for continuity with BENCH_r01–r03. */
+  * back-to-back and reports the MINIMUM — min-of-k is the standard
+  * estimator of the load-free cost under ambient host load. */
 object Bench {
 
   def main(args: Array[String]): Unit = {
@@ -38,37 +42,74 @@ object Bench {
     // whole bench before any query has run
     val k = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_K")
       .flatMap(_.toIntOption).getOrElse(3))
-    def timeOnce(name: String, fn: (SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
+    // one pass → seconds, or the failure message
+    def timeOnce(fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
       }
-      (System.nanoTime() - t0) / 1e9
     }
-    // (name, min-of-k, first-pass) — the k passes per query run
-    // back-to-back so each query's min sees the same ambient load window
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to k).map(_ => timeOnce(name, fn))
-      (name, times.min, times.head)
+    // the k passes per query run back-to-back so each query's min sees
+    // the same ambient load window
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val passes = (1 to k).map(_ => timeOnce(fn))
+      passes.collectFirst { case Left(err) => err } match {
+        case Some(err) =>
+          System.err.println(s"[bench] $name FAILED: $err")
+          failed(name) = err
+          None
+        case None =>
+          val ts = passes.collect { case Right(t) => t }
+          Some((name, ts))
+      }
     }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def jesc(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
     def json(entries: Seq[(String, Double)]): String = entries
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val pass1Total = results.map(_._3).sum
+      .map { case (n, v) => "\"" + n + "\":" + fmt(v) }.mkString("{", ",", "}")
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted; val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val mins = results.map { case (n, ts) => (n, ts.min) }
+    val total = mins.map(_._2).sum
+    val pass1Total = results.map(_._2.head).sum
+    // ambient-load flag: a query whose k passes spread >3× ran under
+    // load at least once — its min is still usable, but round-over-round
+    // deltas on it are suspect
+    val noisy = results.collect {
+      case (n, ts) if ts.min > 0 && ts.max / ts.min > 3.0 => n
+    }
+    val headline = mins.sortBy(-_._2).take(20)
+    val failedJson = failed
+      .map { case (n, e) => s"${jesc(n)}:${jesc(e)}" }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
-      s""","n_queries":${results.size},"k":$k,"pass1_total":${fmt(pass1Total)}""" +
-      s""","queries":${json(results.map(r => r._1 -> r._2))},"sf":"$sfDir"}"""
+      s""","n_queries":${mins.size},"n_failed":${failed.size},"k":$k""" +
+      s""","pass1_total":${fmt(pass1Total)},"failed":${
+        failed.keys.map(jesc).mkString("[", ",", "]")}""" +
+      s""","queries":${json(headline)},"sf":"$sfDir"}"""
     try {
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
       java.nio.file.Files.writeString(dir.resolve("bench_full.json"),
-        s"""{"total":${fmt(total)},"k":$k,"pass1_total":${fmt(pass1Total)},""" +
-          s""""queries":${json(results.map(r => r._1 -> r._2))},""" +
-          s""""queries_pass1":${json(results.map(r => r._1 -> r._3))},"sf":"$sfDir"}""")
+        s"""{"total":${fmt(total)},"k":$k,"n_queries":${mins.size},""" +
+          s""""pass1_total":${fmt(pass1Total)},""" +
+          s""""queries":${json(mins)},""" +
+          s""""queries_median":${json(results.map { case (n, ts) => (n, median(ts)) })},""" +
+          s""""queries_max":${json(results.map { case (n, ts) => (n, ts.max) })},""" +
+          s""""queries_pass1":${json(results.map { case (n, ts) => (n, ts.head) })},""" +
+          s""""noisy":${noisy.map(jesc).mkString("[", ",", "]")},""" +
+          s""""failed":$failedJson,"sf":"$sfDir"}""")
     } catch { case _: Throwable => () }
     println(line)
     spark.stop()

@@ -43,7 +43,26 @@ object Tables {
       Seq(("s_nationkey", true)), unique = false)))
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Normalize the event-time encoding at the load boundary. Fixture
+    * generations have shipped `events.ts` both as parquet timestamp[ns]
+    * (which `nanosAsLong` surfaces as a raw LONG of epoch nanos) and as
+    * timestamp[us] (which Spark reads as TIMESTAMP_NTZ). Every
+    * downstream site does integer epoch math on `ts` as long NANOS, so
+    * a timestamp-typed `ts` is converted to epoch nanos here — the
+    * session time zone is pinned to UTC (GraftSession.configure), so
+    * the NTZ→LTZ cast is the identity and `unix_micros * 1000` is the
+    * exact epoch-nanos value for any µs-precision encoding. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampNTZType) |
+           Some(org.apache.spark.sql.types.TimestampType) =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(cast(ts as timestamp)) * 1000L"))
+      case _ => df
+    }
 }
 
 /** One place for session settings every entry point (Verify, Bench, tests)

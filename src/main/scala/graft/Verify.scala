@@ -17,6 +17,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failure manifest: a query whose build/write throws must surface as
+    // an explicit error artifact, never as a silently-missing dump (in
+    // round 6 an 18-query breakage read as "deregistered" because the
+    // only trace was stderr).
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -24,6 +29,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,6 +47,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always write the manifest (empty object when all green) so its
+    // absence is itself a signal that Verify died before finishing.
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failed
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }
+      .mkString("{", ",", "}"))
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} quer${
+        if (failed.size == 1) "y" else "ies"} FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
 }
