@@ -280,6 +280,46 @@ object AdvancedQueries {
         .filter(col("rn") === col("idx"))
         .select("event_type", "p", "n", "q_cents")
     },
+    // The bounded-memory scale twin of stat_percentiles_disc:
+    // approx_percentile keeps an O(accuracy) Greenwald–Khanna summary
+    // per group instead of sorting the group — the shape you'd actually
+    // run on a 10^9-row group at 100 TB. Sketch values can't hash-match
+    // an oracle across engines, so per the approx_distinct_parts
+    // precedent the query emits the exact group counts plus booleans,
+    // and the oracle asserts the same counts with `true` literals — a
+    // drifting estimate flips a boolean and fails the driver's hash
+    // compare. The booleans audit the sketch's ACTUAL contract (rank
+    // error ≤ n/accuracy, not a value distance — tail value gaps at
+    // small n are ~6% of value, unboundable across sfs): pass 2
+    // broadcast-joins the tiny per-group sketch output back and counts
+    // each returned element's rank interval (strictlyBelow, atOrBelow],
+    // tie-robust, which must intersect target ± (n/10000 + 1).
+    // Deterministic: GK compression has no RNG.
+    "stat_percentiles_approx" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("cast(floor(value * 100 + 0.5d) as bigint)").as("q_cents"))
+      val sk = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(q_cents, array(0.5d, 0.9d, 0.99d), 10000)").as("ap"))
+      val ranked = ev.join(broadcast(sk), Seq("event_type"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(
+          sum(when(expr("q_cents < ap[0]"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(expr("q_cents <= ap[0]"), 1L).otherwise(0L)).as("le50"),
+          sum(when(expr("q_cents < ap[1]"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(expr("q_cents <= ap[1]"), 1L).otherwise(0L)).as("le90"),
+          sum(when(expr("q_cents < ap[2]"), 1L).otherwise(0L)).as("lt99"),
+          sum(when(expr("q_cents <= ap[2]"), 1L).otherwise(0L)).as("le99"))
+      def ok(p: Int, lt: String, le: String) = {
+        val target = expr(s"(n * $p + 99) div 100")
+        val eps = expr("cast(n as double) / 10000d + 1d")
+        (col(lt) <= target + eps && col(le) >= target - eps).as(s"p${p}_ok")
+      }
+      ranked.select(col("event_type"), col("n"),
+        ok(50, "lt50", "le50"), ok(90, "lt90", "le90"), ok(99, "lt99", "le99"))
+    },
     // built-in corr() accumulates floats in partition order (last-ulp
     // nondeterminism between engines/runs), so instead the five sums
     // (Σx, Σy, Σxy, Σx², Σy²) aggregate exactly — longs/decimals over
@@ -874,6 +914,11 @@ object AdvancedQueries {
         |SELECT pos.event_type, pos.p, pos.n, ranked.q_cents
         |FROM pos JOIN ranked
         | ON ranked.event_type = pos.event_type AND ranked.rn = pos.idx""".stripMargin,
+    "stat_percentiles_approx" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        | true AS p50_ok, true AS p90_ok, true AS p99_ok
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
     "stat_corr_exact" ->
       """WITH m AS (
         | SELECT CAST(COUNT(*) AS BIGINT) AS n,

@@ -24,6 +24,40 @@ class AdvancedSpec extends SparkTestBase {
     assert(math.abs(est.getLong(1) - exactOrders).toDouble / exactOrders < 0.05)
   }
 
+  test("approx percentiles: booleans true and raw sketch error within rank bound") {
+    val rows = SparkEntry.queries("stat_percentiles_approx")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+        s"tolerance boolean false for ${r.getString(0)}")
+    }
+    // numeric bound, directly on the sketch: at accuracy 10k the GK
+    // summary guarantees rank error ≤ n/10000, so the returned element's
+    // exact rank must sit within that band of the target rank
+    val ev = Tables(spark, sfDir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("cast(floor(value * 100 + 0.5d) as bigint)").as("q_cents"))
+    val est = ev.groupBy("event_type")
+      .agg(expr("approx_percentile(q_cents, 0.5d, 10000)").as("ap"),
+        count(lit(1)).as("n")).collect()
+    est.foreach { r =>
+      val (et, ap, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      // tie-robust: the returned element occupies the rank interval
+      // (strictlyBelow, atOrBelow]; that interval must intersect
+      // [target − eps, target + eps]
+      val strictlyBelow = ev.filter(col("event_type") === et &&
+        col("q_cents") < ap).count()
+      val atOrBelow = ev.filter(col("event_type") === et &&
+        col("q_cents") <= ap).count()
+      val target = 0.5 * n
+      val eps = n.toDouble / 10000 + 1
+      assert(strictlyBelow <= target + eps && atOrBelow >= target - eps,
+        s"$et: sketch median rank interval ($strictlyBelow, $atOrBelow] " +
+          s"misses target $target ± $eps (n=$n)")
+    }
+  }
+
   test("asof join: every purchase with a prior signup gets the latest one") {
     val out = SparkEntry.queries("asof_last_signup")(spark, sfDir)
     val purchases = Tables(spark, sfDir, "events")
