@@ -603,11 +603,34 @@ object Similarity {
       .parquet(s"$path/pq_codebook.parquet"))
   }
 
-  /** Load a [[saveIndex]]-written index: `(centroids, assignment)`. */
+  private def fsPath(spark: org.apache.spark.sql.SparkSession, p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp, hp.getFileSystem(spark.sessionState.newHadoopConf()))
+  }
+
+  private def pathExists(spark: org.apache.spark.sql.SparkSession,
+      p: String): Boolean = {
+    val (hp, fs) = fsPath(spark, p)
+    fs.exists(hp)
+  }
+
+  /** Load a [[saveIndex]]-written index: `(centroids, assignment)`.
+    * Tombstoned ids ([[removeFromIndex]]) are filtered here — every
+    * consumer (search, shared stages, recall maintenance) sees only
+    * live assignments. The anti-join's tombstone side is the small one
+    * (deletes between compactions), so it broadcasts. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): (DataFrame, DataFrame) =
-    (spark.read.parquet(s"$path/centroids.parquet"),
-      spark.read.parquet(s"$path/assignment.parquet"))
+      path: String): (DataFrame, DataFrame) = {
+    val cent = spark.read.parquet(s"$path/centroids.parquet")
+    val assign = spark.read.parquet(s"$path/assignment.parquet")
+    val live =
+      if (pathExists(spark, s"$path/tombstones.parquet"))
+        assign.join(
+          broadcast(spark.read.parquet(s"$path/tombstones.parquet")),
+          Seq("vec_id"), "left_anti")
+      else assign
+    (cent, live)
+  }
 
   /** Load the optional PQ codebook artifact of a [[saveIndex]] dir. */
   def loadPqCodebook(spark: org.apache.spark.sql.SparkSession,
@@ -664,6 +687,116 @@ object Similarity {
       .select(col("vec_id").cast(saved("vec_id").dataType),
         col("centroid").cast(saved("centroid").dataType))
       .write.mode("append").parquet(s"$path/assignment.parquet")
+  }
+
+  /** Delete `ids` (one `vec_id` column) from the index by TOMBSTONE:
+    * the ids append to `tombstones.parquet` and [[loadIndex]] anti-joins
+    * them out, so a delete is O(|ids|) — no rewrite of the (corpus-
+    * sized) assignment table, which is what lets deletes run at ingest
+    * cadence on a 10⁹-vector index. Search results over the survivors
+    * are bit-identical to an index never containing the ids (the
+    * assignment rows are dropped before any scoring). Tombstones
+    * accumulate until [[compactIndex]] folds them in; re-adding a
+    * tombstoned `vec_id` via [[appendToIndex]] requires compacting
+    * first (the anti-join is by id and would hide the new row too). */
+  def removeFromIndex(ids: DataFrame, path: String): Unit = {
+    val spark = ids.sparkSession
+    val saved = spark.read.parquet(s"$path/assignment.parquet").schema
+    ids.select(col("vec_id").cast(saved("vec_id").dataType))
+      .write.mode("append").parquet(s"$path/tombstones.parquet")
+  }
+
+  /** Fold accumulated tombstones into the assignment table: rewrite
+    * the live rows, atomically swap them in (write-aside + rename, so
+    * a crash never leaves a half-rewritten index), and drop the
+    * tombstone file. Run at maintenance cadence — the rewrite is one
+    * scan of the assignment table, the price deferred from every
+    * [[removeFromIndex]] call. No-op when nothing is tombstoned. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    if (!pathExists(spark, s"$path/tombstones.parquet")) return
+    val (_, live) = loadIndex(spark, path)
+    val tmp = s"$path/assignment.compact.parquet"
+    live.write.mode("overwrite").parquet(tmp)
+    val (assignP, fs) = fsPath(spark, s"$path/assignment.parquet")
+    val (tmpP, _) = fsPath(spark, tmp)
+    val (tombP, _) = fsPath(spark, s"$path/tombstones.parquet")
+    fs.delete(assignP, true)
+    fs.rename(tmpP, assignP)
+    fs.delete(tombP, true)
+  }
+
+  /** The outcome of one [[maintainIndex]] pass: measured recall before,
+    * whether the quantizer was retrained, and recall after (== before
+    * when no retrain happened). */
+  case class MaintenanceReport(recallBefore: Double, retrained: Boolean,
+      recallAfter: Double)
+
+  /** Recall-drift maintenance — the missing third of the index
+    * lifecycle (train/serve/append → delete/compact/RETRAIN). Appends
+    * and deletes slowly invalidate the trained coarse quantizer: the
+    * corpus drifts away from the centroids, buckets go lopsided, and
+    * recall@k decays. This pass measures it and heals it:
+    *
+    *  1. recall@k of the saved index (nprobe=1 serve path) on a
+    *     held-out sample — the `sampleSize` lowest query ids,
+    *     deterministic, vs a brute-force ground truth over the live
+    *     corpus (both sides tombstone-filtered via [[loadIndex]]).
+    *  2. if recall ≥ `recallTarget`: report, touch nothing.
+    *  3. else: [[compactIndex]], then retrain the quantizer WARM —
+    *     [[trainCoarseQuantizer]] seeded from the saved centroids (k
+    *     and dim preserved; drift adaptation, not from-scratch) — and
+    *     rewrite centroids + assignment (+ PQ codebook when present,
+    *     rebuilt at its saved block count) via [[saveIndex]].
+    *
+    * Cost: the measurement is one bucket probe + one brute-force pass
+    * of a broadcast-sized sample; the retrain is `maxIter` corpus
+    * scans, paid only on drift. `corpus` is the LIVE vector table
+    * `(vec_id, v)` the index serves (the index stores assignments, not
+    * vectors); `queries` as `(query_id, va)`. */
+  def maintainIndex(queries: DataFrame, corpus: DataFrame, path: String,
+      k: Int, recallTarget: Double, sampleSize: Int = 16,
+      maxIter: Int = 4, tol: Double = 0.0): MaintenanceReport = {
+    require(recallTarget > 0 && recallTarget <= 1,
+      s"recallTarget must be in (0,1], got $recallTarget")
+    val spark = queries.sparkSession
+    val sample = queries.orderBy("query_id").limit(sampleSize)
+    def recallOf(): Double = {
+      val truth = bruteForceTopK(sample,
+        corpus.select(col("vec_id").as("neighbor_id"), col("v").as("vb")), k)
+        .select("query_id", "neighbor_id")
+      val ann = searchIndex(
+        sample.select(col("query_id"), col("va")), corpus, path, k)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val agg = truth.join(ann, Seq("query_id", "neighbor_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+          count(lit(1)).as("total")).head()
+      if (agg.getLong(1) == 0L) 1.0
+      else agg.getLong(0).toDouble / agg.getLong(1)
+    }
+    val before = recallOf()
+    if (before >= recallTarget) MaintenanceReport(before, retrained = false, before)
+    else {
+      compactIndex(spark, path)
+      val saved = spark.read.parquet(s"$path/centroids.parquet")
+      val kCent = saved.count().toInt
+      val warm = saved.select("c_label", "c")
+      val cent = trainCoarseQuantizer(corpus, kCent, maxIter, tol,
+        init = Some(warm))
+      val savedAssign = spark.read.parquet(s"$path/assignment.parquet").schema
+      val assign = ivfAssign(corpus, cent)
+        .select(col("vec_id").cast(savedAssign("vec_id").dataType),
+          col("centroid").cast(savedAssign("centroid").dataType))
+      val pq =
+        if (pathExists(spark, s"$path/pq_codebook.parquet")) {
+          val old = loadPqCodebook(spark, path)
+          val blocks = old.agg(max("block")).head().getLong(0).toInt + 1
+          val dim = cent.select(size(col("c"))).head().getInt(0)
+          Some(pqCodebook(cent, blocks, dim))
+        } else None
+      saveIndex(path, cent, assign, pq)
+      MaintenanceReport(before, retrained = true, recallOf())
+    }
   }
 
   /** Drop this session's cached ANN shared stages (see

@@ -165,6 +165,92 @@ class IndexPersistenceSpec extends SparkTestBase {
       full.schema("centroid").dataType)
   }
 
+  test("removeFromIndex: tombstoned ids vanish from load and search; " +
+      "survivors' search is bit-identical to an index never containing them") {
+    val dir = Files.createTempDirectory("graft-index").toString
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+    val (cent, _) = SimilarityQueries.sharedStages(spark, sfDir)
+    Similarity.saveIndex(dir, cent, Similarity.ivfAssign(vecs, cent))
+    val dead = vecs.filter(col("vec_id") % 7 === 0).select("vec_id")
+    Similarity.removeFromIndex(dead, dir)
+    val survivors = vecs.filter(col("vec_id") % 7 =!= 0)
+    val (_, assign) = Similarity.loadIndex(spark, dir)
+    assert(assign.count() == survivors.count())
+    assert(assign.join(dead, "vec_id").count() == 0)
+    // search over the tombstoned index == search over an index built
+    // from the survivors only (the delete semantics contract)
+    val q = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    val got = Similarity.searchIndex(q, survivors, dir, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val cleanDir = Files.createTempDirectory("graft-index").toString
+    Similarity.saveIndex(cleanDir, cent, Similarity.ivfAssign(survivors, cent))
+    val want = Similarity.searchIndex(q, survivors, cleanDir, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, "tombstoned search diverged from clean rebuild")
+  }
+
+  test("compactIndex folds tombstones in: same live rows, tombstone file " +
+      "gone, delete-then-readd works after compaction") {
+    val dir = Files.createTempDirectory("graft-index").toString
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+    val (cent, _) = SimilarityQueries.sharedStages(spark, sfDir)
+    Similarity.saveIndex(dir, cent, Similarity.ivfAssign(vecs, cent))
+    val dead = vecs.filter(col("vec_id") < 50).select("vec_id")
+    Similarity.removeFromIndex(dead, dir)
+    val (_, before) = Similarity.loadIndex(spark, dir)
+    val beforeRows = before.collect().map(_.toSeq).toSet
+    Similarity.compactIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones.parquet").exists())
+    val (_, after) = Similarity.loadIndex(spark, dir)
+    assert(after.collect().map(_.toSeq).toSet == beforeRows,
+      "compaction changed the live row set")
+    // re-adding a previously deleted id is visible again post-compaction
+    Similarity.appendToIndex(vecs.filter(col("vec_id") < 50), dir)
+    val (_, readded) = Similarity.loadIndex(spark, dir)
+    assert(readded.count() == vecs.count())
+  }
+
+  test("maintainIndex: healthy index untouched; drifted index retrains " +
+      "warm and recovers recall") {
+    val dir = Files.createTempDirectory("graft-index").toString
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+    val trained = Similarity.trainCoarseQuantizer(vecs, k = 8, maxIter = 2,
+      tol = 0.0)
+    Similarity.saveIndex(dir, trained, Similarity.ivfAssign(vecs, trained))
+    val q = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    // healthy: a permissive target leaves every artifact untouched
+    val centMtime = new java.io.File(s"$dir/centroids.parquet").lastModified()
+    val healthy = Similarity.maintainIndex(q, vecs, dir, k = 3,
+      recallTarget = 0.05, sampleSize = 8)
+    assert(!healthy.retrained && healthy.recallAfter == healthy.recallBefore)
+    assert(new java.io.File(s"$dir/centroids.parquet").lastModified() == centMtime)
+    // drift: scramble the stored assignment (corpus rows in the wrong
+    // buckets — what accumulated appends/deletes do to a stale
+    // quantizer, in exaggerated form) so the probed bucket misses the
+    // true neighbors, then demand high recall — the pass must detect,
+    // retrain warm (recomputing the assignment), and measurably recover
+    val scrambled = Similarity.ivfAssign(vecs, trained)
+      .selectExpr("vec_id",
+        "cast((centroid + 1 + vec_id % 7) % 8 as bigint) AS centroid")
+    Similarity.saveIndex(dir, trained, scrambled)
+    val report = Similarity.maintainIndex(q, vecs, dir, k = 3,
+      recallTarget = 0.9, sampleSize = 8, maxIter = 3)
+    assert(report.retrained, "drifted index was not retrained")
+    assert(report.recallAfter >= report.recallBefore,
+      s"retrain regressed recall: ${report.recallBefore} → ${report.recallAfter}")
+    // the rewritten artifact pair is internally consistent
+    val (cent2, assign2) = Similarity.loadIndex(spark, dir)
+    val reassigned = Similarity.ivfAssign(vecs, cent2)
+    assert(reassigned.except(assign2).isEmpty &&
+      assign2.except(reassigned).isEmpty)
+    assert(cent2.count() == 8)
+  }
+
   test("trainCoarseQuantizer output saves and reloads as a working index " +
       "(the no-labels path end to end)") {
     val dir = Files.createTempDirectory("graft-index").toString
