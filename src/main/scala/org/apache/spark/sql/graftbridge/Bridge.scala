@@ -40,6 +40,16 @@ object Bridge {
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
     ext.buildOptimizerRules(spark)
 
+  /** `registerFunctions` is `private[sql]` — the production path
+    * `spark.sql.extensions` uses to install `injectFunction` entries
+    * into a registry. Exposed so the SQL-surface audit registers (and
+    * enumerates) exactly what a configured extension would. */
+  def registerInjectedFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(registry)
+
   /** `MemoryManager.pageSizeBytes` is `private[spark]` — the page size a
     * spilling sorter should use (what SortExec itself passes to
     * `UnsafeExternalRowSorter`). */
