@@ -665,6 +665,26 @@ object Similarity {
     ivfTopK(q.select(col("query_id"), col("va"), col("centroid")), c, k)
   }
 
+  /** Streaming ANN serve: answer a STREAM of queries `(query_id, va)`
+    * from a [[saveIndex]] directory, one [[searchIndex]] call per
+    * micro-batch via `foreachBatch`. The per-batch search is the full
+    * bucket-probe top-k (window rank inside — not expressible as a pure
+    * append-mode streaming plan, which is exactly what `foreachBatch`
+    * is for), so each batch's results are bit-identical to the batch
+    * serve path on the same rows; `sink` receives them with the batch
+    * id. The static sides — centroids, assignment, `corpus` — reload
+    * per batch from their sources, so index maintenance
+    * ([[appendToIndex]]/[[removeFromIndex]]) between batches is picked
+    * up live. Caller starts/stops the returned query. */
+  def searchIndexStream(queries: DataFrame, corpus: DataFrame,
+      path: String, k: Int, nprobe: Int = 1)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(searchIndex(batch, corpus, path, k, nprobe), batchId)
+      }
+
   /** Incremental index maintenance: bucket `newVectors` against the
     * SAVED centroids and append their assignments to the index — the
     * steady-state ingest path (a coarse quantizer is retrained rarely;

@@ -205,6 +205,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming ANN serve: searchIndexStream answers each micro-batch " +
+      "bit-identically to the batch serve path, with oracle-checked top-k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-serve").toString
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+    val (cent, assign) = graft.operators.SimilarityQueries.sharedStages(spark, sfDir)
+    graft.operators.Similarity.saveIndex(dir, cent, assign)
+    val qrows = vecs.filter(col("vec_id") < 12).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val perBatch = new java.util.concurrent.ConcurrentHashMap[Long,
+      Array[(Long, Long, Long)]]()
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val q = graft.operators.Similarity.searchIndexStream(
+      stream.toDF().toDF("query_id", "va"), vecs, dir, k = 3) {
+      (res, id) => perBatch.put(id,
+        res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    }.start()
+    try {
+      stream.addData(qrows.take(6).toSeq: _*); q.processAllAvailable()
+      stream.addData(qrows.drop(6).toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(perBatch.size == 2, s"expected 2 served batches, got ${perBatch.size}")
+    // per-batch: bit-identical to the batch serve path on the same rows
+    Seq(qrows.take(6), qrows.drop(6)).zipWithIndex.foreach { case (rows, i) =>
+      val batchDf = rows.toSeq.toDF("query_id", "va")
+      val want = graft.operators.Similarity.searchIndex(batchDf, vecs, dir, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(perBatch.get(i.toLong).toSet == want,
+        s"batch $i diverged from the batch serve path")
+    }
+    // oracle check: queries are corpus members, so each query's rank-1
+    // neighbor in its own probed bucket is itself (cos=1 with itself,
+    // ties broken by neighbor_id can't beat an exact self-match... they
+    // can tie only on an identical vector; fixture embeddings are
+    // distinct), and every query got exactly k results
+    val all = perBatch.values().toArray.flatMap(
+      _.asInstanceOf[Array[(Long, Long, Long)]])
+    assert(all.length == 12 * 3, s"expected 36 rows, got ${all.length}")
+    all.filter(_._3 == 1L).foreach { case (qid, nid, _) =>
+      assert(qid == nid, s"query $qid rank-1 neighbor was $nid, not itself")
+    }
+  }
+
   test("stream-stream interval join (click attribution) matches the batch oracle query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
