@@ -43,7 +43,7 @@ object Tables {
       Seq(("s_nationkey", true)), unique = false)))
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    normalizeDates(normalizeTs(spark.read.parquet(s"$dir/$name.parquet")))
 
   /** Normalize the event-time encoding at the load boundary. Fixture
     * generations have shipped `events.ts` both as parquet timestamp[ns]
@@ -63,6 +63,23 @@ object Tables {
             "unix_micros(cast(ts as timestamp)) * 1000L"))
       case _ => df
     }
+
+  /** Columns the queries treat as TIMESTAMPs (date filters, EXTRACT,
+    * interval math). The inverse hazard of `ts`: if a fixture regen
+    * writes these as parquet timestamp[ns], `nanosAsLong` surfaces
+    * them as raw LONG nanos and every TIMESTAMP-literal comparison
+    * breaks. Normalize long-nanos → TimestampType here (session TZ is
+    * UTC) so both encodings behave identically downstream. */
+  private val dateColumns = Set("o_orderdate", "l_shipdate")
+
+  def normalizeDates(df: DataFrame): DataFrame =
+    df.schema.fields
+      .filter(f => dateColumns(f.name) &&
+        f.dataType == org.apache.spark.sql.types.LongType)
+      .foldLeft(df) { (d, f) =>
+        d.withColumn(f.name, org.apache.spark.sql.functions.expr(
+          s"timestamp_micros(${f.name} div 1000)"))
+      }
 }
 
 /** One place for session settings every entry point (Verify, Bench, tests)
