@@ -31,9 +31,21 @@ object StreamingOps {
 
   val SessionGapSeconds = 1800L
 
-  /** raw nanos column → TimestampType (µs precision) */
+  /** event-time column from `ts`, whatever its encoding: raw long
+    * nanos (the [[graft.Tables]] post-normalize contract and the
+    * MemoryStream test shape) → TimestampType at µs precision;
+    * timestamp-typed `ts` (a direct `readStream.parquet` over a
+    * timestamp[us] fixture that bypassed Tables) → used as-is. Same
+    * load-boundary tolerance as `Tables.normalizeTs`, stream-safe
+    * (narrow expression either way). */
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+    events.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampNTZType) |
+           Some(org.apache.spark.sql.types.TimestampType) =>
+        events.withColumn("event_time", expr("cast(ts as timestamp)"))
+      case _ =>
+        events.withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+    }
 
   /** Tumbling 5-minute window counts/sums with a 10-minute watermark —
     * streaming twin of the `ev_tumbling_window` batch query. */

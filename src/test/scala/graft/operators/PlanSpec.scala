@@ -27,6 +27,17 @@ class PlanSpec extends SparkTestBase {
       s"documents scan not pruned:\n${reads.mkString("\n")}")
   }
 
+  test("stat_percentiles_approx: sketch output broadcasts back (no shuffle " +
+      "of events for the audit join); aggregates are partial; no window") {
+    val plan = planOf("stat_percentiles_approx")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sketch side not broadcast:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window (the approx twin " +
+      s"must not sort groups):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("cur_sample_per_source: plans on the bounded-heap exec — no window, " +
       "no per-source sort, one key exchange") {
     val plan = planOf("cur_sample_per_source")
