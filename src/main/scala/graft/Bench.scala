@@ -70,11 +70,7 @@ object Bench {
     }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def jesc(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+    def jesc(s: String): String = JsonUtil.quote(s)
     def json(entries: Seq[(String, Double)]): String = entries
       .map { case (n, v) => "\"" + n + "\":" + fmt(v) }.mkString("{", ",", "}")
     def median(ts: Seq[Double]): Double = {

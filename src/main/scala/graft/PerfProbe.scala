@@ -38,7 +38,11 @@ object PerfProbe {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"[probe] $name%-24s min=${times.head}%.3f med=${times(times.size / 2)}%.3f max=${times.last}%.3f | ${cacheFootprint()}")
+      // true median (mean of the middle pair at even k — same formula
+      // as Bench.median, not the upper middle element)
+      val med = if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+      println(f"[probe] $name%-24s min=${times.head}%.3f med=$med%.3f max=${times.last}%.3f | ${cacheFootprint()}")
     }
     spark.stop()
   }

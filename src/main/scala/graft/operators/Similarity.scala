@@ -672,11 +672,16 @@ object Similarity {
     * append-mode streaming plan, which is exactly what `foreachBatch`
     * is for), so each batch's results are bit-identical to the batch
     * serve path on the same rows; `sink` receives them with the batch
-    * id. The static sides — centroids, assignment, `corpus` — reload
-    * per batch from their sources, so index maintenance
-    * ([[appendToIndex]]/[[removeFromIndex]]) between batches is picked
-    * up live. Caller starts/stops the returned query. */
-  def searchIndexStream(queries: DataFrame, corpus: DataFrame,
+    * id. The static sides reload per batch: centroids and assignment
+    * re-read from `path` inside [[searchIndex]], and `corpus` is
+    * BY-NAME — re-evaluated every micro-batch — so passing a
+    * `spark.read.parquet(...)`-style read expression picks up files
+    * appended between batches (a captured DataFrame val would pin its
+    * file listing at stream start and silently hide vectors ingested
+    * after it). Index maintenance ([[appendToIndex]]/
+    * [[removeFromIndex]]) between batches is therefore served live.
+    * Caller starts/stops the returned query. */
+  def searchIndexStream(queries: DataFrame, corpus: => DataFrame,
       path: String, k: Int, nprobe: Int = 1)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     queries.writeStream
@@ -726,11 +731,17 @@ object Similarity {
       .write.mode("append").parquet(s"$path/tombstones.parquet")
   }
 
-  /** Fold accumulated tombstones into the assignment table: rewrite
-    * the live rows, atomically swap them in (write-aside + rename, so
-    * a crash never leaves a half-rewritten index), and drop the
-    * tombstone file. Run at maintenance cadence — the rewrite is one
-    * scan of the assignment table, the price deferred from every
+  /** Fold accumulated tombstones into the assignment table: write the
+    * live rows aside, swap via RENAMES (never a bare delete of the only
+    * copy), and drop the tombstone file last. Every filesystem step
+    * checks its boolean return — Hadoop `FileSystem.rename`/`delete`
+    * signal failure by returning false, not throwing — and the
+    * tombstones are only removed after the swap has fully succeeded,
+    * so no failure mode loses both the assignment rows and the
+    * tombstone intent: at worst a crash leaves `assignment.parquet`
+    * under its `.old` name plus the completed `.compact` copy, both
+    * recoverable on disk. Run at maintenance cadence — the rewrite is
+    * one scan of the assignment table, the price deferred from every
     * [[removeFromIndex]] call. No-op when nothing is tombstoned. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
@@ -741,9 +752,24 @@ object Similarity {
     val (assignP, fs) = fsPath(spark, s"$path/assignment.parquet")
     val (tmpP, _) = fsPath(spark, tmp)
     val (tombP, _) = fsPath(spark, s"$path/tombstones.parquet")
-    fs.delete(assignP, true)
-    fs.rename(tmpP, assignP)
-    fs.delete(tombP, true)
+    val (oldP, _) = fsPath(spark, s"$path/assignment.old.parquet")
+    if (fs.exists(oldP) && !fs.delete(oldP, true))
+      throw new java.io.IOException(
+        s"compactIndex: cannot clear stale $oldP — aborting before any swap")
+    if (!fs.rename(assignP, oldP))
+      throw new java.io.IOException(
+        s"compactIndex: rename $assignP -> $oldP failed; index unchanged")
+    if (!fs.rename(tmpP, assignP)) {
+      // roll the original back so the index stays serveable
+      fs.rename(oldP, assignP)
+      throw new java.io.IOException(
+        s"compactIndex: rename $tmpP -> $assignP failed; original restored")
+    }
+    if (!fs.delete(tombP, true))
+      throw new java.io.IOException(
+        s"compactIndex: swap succeeded but $tombP could not be removed — " +
+          "delete it manually or re-run (the anti-join stays correct meanwhile)")
+    fs.delete(oldP, true) // best-effort cleanup; stale .old is harmless
   }
 
   /** The outcome of one [[maintainIndex]] pass: measured recall before,
@@ -771,22 +797,39 @@ object Similarity {
     *
     * Cost: the measurement is one bucket probe + one brute-force pass
     * of a broadcast-sized sample; the retrain is `maxIter` corpus
-    * scans, paid only on drift. `corpus` is the LIVE vector table
+    * scans, paid only on drift. `corpus` is the vector table
     * `(vec_id, v)` the index serves (the index stores assignments, not
-    * vectors); `queries` as `(query_id, va)`. */
+    * vectors); ids tombstoned via [[removeFromIndex]] are filtered out
+    * of it here — ground truth, retrain input, and rewritten
+    * assignment all see only live vectors, so a retrain can never
+    * resurrect a deleted id even when the caller passes the original
+    * unfiltered table. `queries` as `(query_id, va)`. */
   def maintainIndex(queries: DataFrame, corpus: DataFrame, path: String,
       k: Int, recallTarget: Double, sampleSize: Int = 16,
       maxIter: Int = 4, tol: Double = 0.0): MaintenanceReport = {
     require(recallTarget > 0 && recallTarget <= 1,
       s"recallTarget must be in (0,1], got $recallTarget")
     val spark = queries.sparkSession
+    // The live corpus is the caller's table restricted to ids the index
+    // actually serves: semi-join against the (tombstone-filtered)
+    // assignment, RE-RESOLVED at each use — removeFromIndex never
+    // touches the caller's table, so the natural call pattern passes
+    // the frame the index was built over, deleted ids included. A
+    // def (not a val) matters twice: the tombstone file the pre-compact
+    // plan reads is deleted by compactIndex (a captured lazy plan would
+    // hit a missing path), and the post-retrain recall must see the
+    // REWRITTEN assignment.
+    def liveCorpus(): DataFrame =
+      corpus.join(loadIndex(spark, path)._2.select("vec_id"),
+        Seq("vec_id"), "left_semi")
     val sample = queries.orderBy("query_id").limit(sampleSize)
     def recallOf(): Double = {
+      val lc = liveCorpus()
       val truth = bruteForceTopK(sample,
-        corpus.select(col("vec_id").as("neighbor_id"), col("v").as("vb")), k)
+        lc.select(col("vec_id").as("neighbor_id"), col("v").as("vb")), k)
         .select("query_id", "neighbor_id")
       val ann = searchIndex(
-        sample.select(col("query_id"), col("va")), corpus, path, k)
+        sample.select(col("query_id"), col("va")), lc, path, k)
         .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
       val agg = truth.join(ann, Seq("query_id", "neighbor_id"), "left")
         .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
@@ -798,13 +841,15 @@ object Similarity {
     if (before >= recallTarget) MaintenanceReport(before, retrained = false, before)
     else {
       compactIndex(spark, path)
+      // post-compact: the assignment itself is the live id set
+      val lc = liveCorpus()
       val saved = spark.read.parquet(s"$path/centroids.parquet")
       val kCent = saved.count().toInt
       val warm = saved.select("c_label", "c")
-      val cent = trainCoarseQuantizer(corpus, kCent, maxIter, tol,
+      val cent = trainCoarseQuantizer(lc, kCent, maxIter, tol,
         init = Some(warm))
       val savedAssign = spark.read.parquet(s"$path/assignment.parquet").schema
-      val assign = ivfAssign(corpus, cent)
+      val assign = ivfAssign(lc, cent)
         .select(col("vec_id").cast(savedAssign("vec_id").dataType),
           col("centroid").cast(savedAssign("centroid").dataType))
       val pq =

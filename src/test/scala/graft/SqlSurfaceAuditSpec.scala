@@ -28,7 +28,10 @@ class SqlSurfaceAuditSpec extends SparkTestBase {
     probe.listFunction().map(_.funcName).toSet
   }
 
-  private def sql1(q: String) = spark.sql(q).collect()(0)
+  // forcing injectedNames here makes every test self-sufficient: a
+  // single test run in isolation (-z) still registers the functions
+  // instead of depending on an earlier test having touched the lazy val
+  private def sql1(q: String) = { injectedNames; spark.sql(q).collect()(0) }
 
   test("the audit covers every injected function, enumerated from the extension") {
     val audited = Set("rolling_hash", "simhash64", "minhash_sig",

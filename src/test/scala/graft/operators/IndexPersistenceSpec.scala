@@ -251,6 +251,34 @@ class IndexPersistenceSpec extends SparkTestBase {
     assert(cent2.count() == 8)
   }
 
+  test("maintainIndex retrain never resurrects tombstoned ids, even when " +
+      "the caller passes the original unfiltered corpus") {
+    val dir = Files.createTempDirectory("graft-index").toString
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+    val trained = Similarity.trainCoarseQuantizer(vecs, k = 8, maxIter = 2,
+      tol = 0.0)
+    // scrambled assignment forces the recall dip → retrain path
+    val scrambled = Similarity.ivfAssign(vecs, trained)
+      .selectExpr("vec_id",
+        "cast((centroid + 1 + vec_id % 7) % 8 as bigint) AS centroid")
+    Similarity.saveIndex(dir, trained, scrambled)
+    val dead = vecs.filter(col("vec_id") % 5 === 0).select("vec_id")
+    val nDead = dead.count()
+    Similarity.removeFromIndex(dead, dir)
+    val q = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    val report = Similarity.maintainIndex(q, vecs, dir, k = 3,
+      recallTarget = 0.9, sampleSize = 8, maxIter = 2)
+    assert(report.retrained, "scrambled index was not retrained")
+    val (_, assign) = Similarity.loadIndex(spark, dir)
+    assert(assign.join(dead, "vec_id").count() == 0,
+      "retrain resurrected tombstoned ids")
+    assert(assign.count() == vecs.count() - nDead)
+    // compaction ran inside the retrain: tombstone file folded away
+    assert(!new java.io.File(s"$dir/tombstones.parquet").exists())
+  }
+
   test("trainCoarseQuantizer output saves and reloads as a working index " +
       "(the no-labels path end to end)") {
     val dir = Files.createTempDirectory("graft-index").toString
