@@ -205,6 +205,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source streaming: readStream.parquet over the raw fixture " +
+      "(timestamp-typed ts, no Tables normalization) matches the batch " +
+      "tumbling counts — the real ingest path end to end") {
+    // every other streaming test feeds MemoryStream with long-nanos ts;
+    // this one drives Spark's actual FileStreamSource, whose ts arrives
+    // as the parquet file's own timestamp type and takes withEventTime's
+    // timestamp branch — proving the two ts encodings produce identical
+    // windows (the round-6 breakage class, covered as a stream)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-filesrc")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val raw = spark.read.parquet(srcDir.toString)
+    assert(raw.schema("ts").dataType !=
+      org.apache.spark.sql.types.LongType,
+      "precondition: the raw fixture must carry a timestamp-typed ts " +
+        "(re-point this test if the driver regenerates ns-encoded fixtures)")
+    val stream = spark.readStream.schema(raw.schema).parquet(srcDir.toString)
+    // complete mode: emit every window even though the single static
+    // file never advances the watermark past the last events
+    val q = tumblingCounts(stream)
+      .writeStream.format("memory").queryName("file_tumbling")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getTimestamp(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val got = keyed(spark.table("file_tumbling"))
+      // batch twin over the Tables-normalized (long nanos) encoding
+      val want = keyed(tumblingCounts(events))
+      assert(got.nonEmpty && got.keySet == want.keySet,
+        s"file-source windows diverged: ${got.size} vs ${want.size}")
+      got.foreach { case (k, (n, total)) =>
+        val (wn, wTotal) = want(k)
+        assert(n == wn, s"$k: count $n vs $wn")
+        // double sums may differ in the last ulps between the two
+        // encodings' partition orders — tolerance, not equality
+        assert(math.abs(total - wTotal) < 1e-6, s"$k: $total vs $wTotal")
+      }
+    } finally q.stop()
+  }
+
   test("streaming ANN serve: searchIndexStream answers each micro-batch " +
       "bit-identically to the batch serve path, with oracle-checked top-k") {
     import spark.implicits._
