@@ -864,6 +864,39 @@ object Similarity {
     }
   }
 
+  /** Health snapshot of a [[saveIndex]] directory. `imbalance` is
+    * max-bucket ÷ mean-bucket — the serve-latency killer at scale: a
+    * probe costs O(bucket size), so imbalance N means the hottest
+    * bucket serves N× slower than the index's average promise. Rule of
+    * thumb: imbalance > ~4 or a fast-growing `nTombstones` is the cue
+    * to run [[compactIndex]]/[[maintainIndex]]. */
+  case class IndexStats(nVectors: Long, nCentroids: Long, nTombstones: Long,
+      minBucket: Long, medianBucket: Long, maxBucket: Long, imbalance: Double)
+
+  /** Compute [[IndexStats]] with one aggregate over the live
+    * assignment (bucket sizes — at most `nCentroids` rows reach the
+    * driver, bounded by construction) plus tiny counts. Empty buckets
+    * (centroids attracting nothing after deletes) count as size 0. */
+  def indexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): IndexStats = {
+    val (cent, live) = loadIndex(spark, path)
+    val nCentroids = cent.count()
+    val nTomb =
+      if (pathExists(spark, s"$path/tombstones.parquet"))
+        spark.read.parquet(s"$path/tombstones.parquet").count()
+      else 0L
+    val sizes = live.groupBy("centroid").count()
+      .collect().map(_.getLong(1))
+    val all = (sizes ++ Array.fill((nCentroids - sizes.length).toInt)(0L)).sorted
+    val n = all.sum
+    val median = if (all.isEmpty) 0L else all(all.length / 2)
+    val mean = if (nCentroids == 0) 0.0 else n.toDouble / nCentroids
+    IndexStats(n, nCentroids, nTomb,
+      if (all.isEmpty) 0L else all.head, median,
+      if (all.isEmpty) 0L else all.last,
+      if (mean == 0) 0.0 else all.lastOption.getOrElse(0L) / mean)
+  }
+
   /** Drop this session's cached ANN shared stages (see
     * [[SimilarityQueries.sharedStages]]): unpersists the centroid and
     * assignment frames and forgets the cache entries. The library-API

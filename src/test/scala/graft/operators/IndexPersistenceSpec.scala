@@ -279,6 +279,26 @@ class IndexPersistenceSpec extends SparkTestBase {
     assert(!new java.io.File(s"$dir/tombstones.parquet").exists())
   }
 
+  test("indexStats: totals, bucket spread, and tombstone count reflect " +
+      "deletes; empty buckets count as zero") {
+    val dir = Files.createTempDirectory("graft-index").toString
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+    val nVecs = vecs.count()
+    val (cent, _) = SimilarityQueries.sharedStages(spark, sfDir)
+    Similarity.saveIndex(dir, cent, Similarity.ivfAssign(vecs, cent))
+    val s0 = Similarity.indexStats(spark, dir)
+    assert(s0.nVectors == nVecs && s0.nCentroids == cent.count() &&
+      s0.nTombstones == 0)
+    assert(s0.minBucket <= s0.medianBucket && s0.medianBucket <= s0.maxBucket)
+    assert(s0.imbalance >= 1.0, s"imbalance ${s0.imbalance} < 1")
+    val dead = vecs.filter(col("vec_id") % 3 === 0).select("vec_id")
+    Similarity.removeFromIndex(dead, dir)
+    val s1 = Similarity.indexStats(spark, dir)
+    assert(s1.nVectors == nVecs - dead.count())
+    assert(s1.nTombstones == dead.count())
+  }
+
   test("trainCoarseQuantizer output saves and reloads as a working index " +
       "(the no-labels path end to end)") {
     val dir = Files.createTempDirectory("graft-index").toString
