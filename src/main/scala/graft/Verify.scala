@@ -9,6 +9,10 @@ object Verify {
     // Optional extra args: restrict the dump to these query names (dev
     // iteration aid — the driver always passes exactly two args).
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      System.err.println(s"[verify] WARNING: unknown query name(s) " +
+        s"ignored: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
