@@ -36,6 +36,22 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     topK(corpus.crossJoin(broadcast(queries)), k)
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query, the top-k most-similar corpus vectors with a DIFFERENT
+    * label (nearest non-matches = the negatives that actually teach a
+    * contrastive model something). Same broadcast shape as
+    * [[bruteForceTopK]] — query batch broadcasts, corpus scans once,
+    * never shuffles — with the label-mismatch predicate fused into the
+    * join; at 100 TB the corpus side swaps for an IVF bucket probe
+    * exactly like search does. Query side `(query_id, va, label)`,
+    * corpus side `(neighbor_id, vb, label)`; output
+    * `(query_id, neighbor_id, rnk)`. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    topK(
+      corpus.withColumnRenamed("label", "c_label")
+        .crossJoin(broadcast(queries.withColumnRenamed("label", "q_label")))
+        .filter(col("q_label") =!= col("c_label")), k)
+
   /** Random-hyperplane LSH top-k: `tables` hash tables of `bits` sign
     * bits each (one-pass `HyperplaneBuckets`, deterministic sign table);
     * candidates share a bucket in ≥ 1 table, then exact cosine ranks the

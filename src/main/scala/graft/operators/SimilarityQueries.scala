@@ -103,6 +103,22 @@ object SimilarityQueries {
       val e = vecs(s, dir)
       Similarity.bruteForceTopK(querySide(e), corpusSide(e), k = 5)
     },
+    // Hard-negative mining for contrastive training: each query's top-3
+    // most-similar corpus vectors with a DIFFERENT label — the nearest
+    // non-matches a contrastive objective needs as negatives. Same
+    // broadcast scan shape as sim_topk_bruteforce with the label
+    // predicate fused into the join.
+    "sim_hard_negatives" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+        .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v",
+          "label")
+      Similarity.hardNegatives(
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("va"), col("label")),
+        e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("label")),
+        k = 3)
+    },
     // LSH-bucketed ANN: same query set, approximate candidates. The
     // hyperplane signs come from a Lehmer step over plain BIGINT
     // arithmetic (see SketchImpl.hyperplaneSigns), so the entire
@@ -399,6 +415,16 @@ object SimilarityQueries {
         | FROM embeddings q, embeddings c
         | WHERE q.vec_id < 10 AND c.vec_id >= 10
         |) t WHERE rnk <= 5""".stripMargin,
+    "sim_hard_negatives" ->
+      """SELECT query_id, neighbor_id, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                    CAST(c.embedding AS DOUBLE[])) DESC,
+        |             c.vec_id) AS rnk
+        | FROM embeddings q, embeddings c
+        | WHERE q.vec_id < 10 AND c.vec_id >= 10 AND q.label <> c.label
+        |) t WHERE rnk <= 3""".stripMargin,
     "ivf_assign" -> ivfAssignOracle,
     // same oracle on purpose: the gate proves the narrow streaming
     // kernel and the window-argmin kernel produce identical assignments

@@ -12,6 +12,24 @@ class SimilaritySpec extends SparkTestBase {
       .groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSeq }
 
+  test("sim_hard_negatives: every negative has a different label than its " +
+      "query; k per query; ranks are the label-filtered cosine order") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val labels = e.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("sim_hard_negatives")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n, _) =>
+      assert(labels(q) != labels(n),
+        s"query $q (label ${labels(q)}) got same-label negative $n")
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length == 3 && rs.map(_._3).sorted.sameElements(Seq(1L, 2L, 3L)),
+        s"query $q: ranks ${rs.map(_._3).toSeq}")
+    }
+  }
+
   test("ivf_assign: every vector gets exactly one centroid") {
     val out = SparkEntry.queries("ivf_assign")(spark, sfDir)
     val n = Tables(spark, sfDir, "embeddings").count()
