@@ -112,6 +112,14 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"global sort used:\n$plan")
   }
 
+  test("sim_hard_negatives: corpus is not shuffled — query side broadcasts, " +
+      "label predicate fused into the join") {
+    val plan = planOf("sim_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query batch not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unbroadcast cartesian:\n$plan")
+  }
+
   test("sim_topk_bruteforce: corpus is not shuffled — query side broadcasts") {
     val plan = planOf("sim_topk_bruteforce")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
