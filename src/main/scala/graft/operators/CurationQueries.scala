@@ -90,6 +90,20 @@ object CurationQueries {
         d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
         "doc_id", "text", k = 5)
     },
+    // Fuzzy decontamination: training docs that are a NEAR-duplicate
+    // (word-5-gram jaccard >= 1/2) of a benchmark doc (doc_id < 50) —
+    // the leak class exact hashing misses and any-shingle overlap
+    // over-flags. MinHash-banded candidates with the benchmark side
+    // broadcast; exact integer-Jaccard verify. Fixture-validated
+    // recall 1.0 for the 16x2 banding at this threshold (the
+    // qualifying pairs sit at j >= 0.857, where the banding miss
+    // probability is ~6e-10; next non-qualifying pair is at j = 0.015).
+    "decon_fuzzy_minhash" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      Curation.decontaminateFuzzy(
+        d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
+        "doc_id", "text", k = 5)
+    },
     // Exact-match decontamination up to case/whitespace: the train side
     // is docs >= 50 plus re-ingested copies of every third benchmark doc
     // (upper-cased, extra whitespace — the "lightly reformatted leak"),
@@ -329,6 +343,29 @@ object CurationQueries {
         | CAST(COUNT(DISTINCT bench.bench_id) AS BIGINT) AS n_bench_docs
         |FROM train JOIN bench ON train.s = bench.s
         |GROUP BY 1""".stripMargin,
+    // Oracle = the EXACT word-5-gram jaccard answer at threshold 1/2
+    // (no LSH in the oracle — the gate also proves the banding lost no
+    // qualifying pair on this fixture).
+    "decon_fuzzy_minhash" ->
+      """WITH sh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(t) < 5 THEN []
+        |        ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |              || ' ' || t[i+4] for i in range(1, len(t) - 3)] END)) AS s
+        | FROM (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents) t0),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        | SELECT t.doc_id, b.doc_id AS bench_id, CAST(COUNT(*) AS BIGINT) AS i
+        | FROM sh t JOIN sh b ON t.s = b.s AND t.doc_id >= 50 AND b.doc_id < 50
+        | GROUP BY 1, 2)
+        |SELECT inter.doc_id, bench_id, i AS n_inter,
+        | ct.n AS n_train, cb.n AS n_bench
+        |FROM inter
+        |JOIN cnt ct ON ct.doc_id = inter.doc_id
+        |JOIN cnt cb ON cb.doc_id = bench_id
+        |WHERE 3 * i >= ct.n + cb.n""".stripMargin,
     "cur_pack_sequences" ->
       """SELECT source, doc_id, seq_id,
         | GREATEST(tok_start, seq_id * 256) - tok_start AS tok_from,

@@ -154,23 +154,19 @@ object Dedup {
     banded.join(broadcast(hot), keys, "left_anti")
   }
 
-  /** MinHash + LSH near-dup pairs: k-permutation signatures (single-pass
-    * `MinHashSig`), banded rows-per-band = k/bands, candidates agree on
-    * ≥ 1 band, exact-Jaccard verified. Recall at the threshold follows
-    * the banding s-curve (16×2 ≈ 0.999 at jaccard 0.6). */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 32, bands: Int = 16,
-      bucketCap: Int = 1000, num: Int = 3, den: Int = 8): DataFrame = {
+  /** Banded MinHash rows (`doc_id`, `band`, `sigh`) from shingle sets
+    * (`doc_id`, `shs`): k-permutation signature (single-pass
+    * `MinHashSig`), split into `bands` bands of k/bands rows, each
+    * band's slice hashed to one bucket key. Docs with EMPTY shingle
+    * sets are excluded — every empty set gets the identical
+    * all-sentinel signature, so without the filter all short docs
+    * band-collide (and verify vacuously downstream). */
+  def bandedMinhash(sets: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands); " +
         "otherwise trailing signature components are silently unused and " +
         "the banding s-curve shifts")
     val rows = numHashes / bands
-    val sets = shingleSets(docs, idCol, textCol, n)
-    // docs shorter than the shingle width have EMPTY shingle sets, and
-    // every empty set gets the identical all-sentinel signature — without
-    // this filter all such docs band-collide and verify vacuously
-    // (den·0 ≥ num·(0+0)), reporting unrelated short docs as near-dups
     val sig = sets.filter(size(col("shs")) > 0).select(col("doc_id"),
       SketchExpressions.minhash_sig(col("shs"), numHashes).as("sig"))
     val bandCols = (0 until bands).map { b =>
@@ -178,9 +174,19 @@ object Dedup {
         xxhash64((b * rows until (b + 1) * rows).map(i => col("sig").getItem(i)): _*)
           .as("sigh"))
     }
-    val banded = capBuckets(
-      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.sigh").as("sigh")),
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sigh").as("sigh"))
+  }
+
+  /** MinHash + LSH near-dup pairs: k-permutation signatures (single-pass
+    * `MinHashSig`), banded rows-per-band = k/bands, candidates agree on
+    * ≥ 1 band, exact-Jaccard verified. Recall at the threshold follows
+    * the banding s-curve (16×2 ≈ 0.999 at jaccard 0.6). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      bucketCap: Int = 1000, num: Int = 3, den: Int = 8): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    val banded = capBuckets(bandedMinhash(sets, numHashes, bands),
       Seq("band", "sigh"), bucketCap)
     val cand = banded.alias("x").join(banded.alias("y"), Seq("band", "sigh"))
       .filter(col("x.doc_id") < col("y.doc_id"))

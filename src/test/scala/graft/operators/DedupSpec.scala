@@ -28,6 +28,30 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.95, s"LSH recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("decon_fuzzy_minhash: every flagged pair clears jaccard >= 1/2 " +
+      "exactly; an exact benchmark copy injected into train is flagged") {
+    val rows = graft.SparkEntry.queries("decon_fuzzy_minhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, "fixture should contain natural cross near-dups")
+    rows.foreach { case (d, b, i, nt, nb) =>
+      assert(d >= 50 && b < 50, s"sides crossed: train $d bench $b")
+      assert(3 * i >= nt + nb, s"($d,$b): 3*$i < $nt+$nb — below threshold")
+      assert(i <= math.min(nt, nb), s"($d,$b): intersection exceeds a side")
+    }
+    // synthesized leak: a verbatim benchmark doc re-ingested as train
+    // must be flagged against itself (jaccard 1)
+    val d = Tables(spark, sfDir, "documents")
+    val bench = d.filter(col("doc_id") < 50)
+    val train = d.filter(col("doc_id") >= 50).select("doc_id", "text")
+      .unionAll(bench.filter(col("doc_id") === 7)
+        .select((col("doc_id") + 90000L).as("doc_id"), col("text")))
+    val flagged = Curation.decontaminateFuzzy(train, bench, "doc_id", "text")
+      .filter(col("doc_id") === 90007L).collect()
+    assert(flagged.length == 1 && flagged(0).getLong(1) == 7L,
+      s"verbatim leak not flagged: ${flagged.mkString(",")}")
+  }
+
   test("simhash: identical texts collide, hamming filter is symmetric-free (a<b)") {
     import spark.implicits._
     val df = Seq("the quick brown fox", "the quick brown fox", "totally different words here")
