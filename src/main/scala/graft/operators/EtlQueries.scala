@@ -238,6 +238,30 @@ object EtlQueries {
     // user-keyed join — no per-user event sort, and every stage shuffles
     // on the same key so the exchanges line up. Timestamps compare as
     // raw nanos and emit µs-truncated (fixture sub-µs is always zero).
+    // Event-sequence mining: the 20 most frequent 3-step event paths
+    // across all users — "what do users actually do, in order" (the
+    // product-analytics path report, and the n-gram statistic a
+    // behavioral-cloning dataset is curated by). Per-user windows
+    // (ordered by ts, event_id — total order, no ties) emit each
+    // consecutive trigram via lead(); one groupBy counts them, and the
+    // top-20 cut is tie-broken by the full path so the LIMIT edge is
+    // deterministic. Scale shape: the window partitions by user (no
+    // global sort), the count is a partial-agg shuffle over ≤ |types|³
+    // keys, and the final top-k is TakeOrderedAndProject.
+    "ev_event_trigrams" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(col("event_type").as("e1"), col("e2"), col("e3"))
+        .groupBy("e1", "e2", "e3")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    },
     "ev_funnel" -> { (s, dir) =>
       val ev = Tables(s, dir, "events")
         .select(col("user_id"), col("event_type"), col("ts"))
@@ -476,6 +500,18 @@ object EtlQueries {
     "ev_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events""".stripMargin,
+    "ev_event_trigrams" ->
+      """WITH seq AS (
+        | SELECT event_type AS e1,
+        |  LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS e2,
+        |  LEAD(event_type, 2) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS e3
+        | FROM events)
+        |SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
     "ev_funnel" ->
       """WITH v AS (
         | SELECT user_id, MIN(ts) AS t_view FROM events
