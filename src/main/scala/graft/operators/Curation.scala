@@ -89,6 +89,28 @@ object Curation {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Quality-ranked token-budget selection — "fill N tokens with the
+    * best documents": take docs in (quality desc, id) order until the
+    * cumulative token count would exceed `budget`. The final curation
+    * step when the training-compute budget, not the corpus, is the
+    * binding constraint. The running total comes from
+    * [[Ids.cumulativeSum]] (range-repartition + per-partition prefix
+    * sums + metadata-sized offsets — no single-task global window), so
+    * the selection survives a corpus where "sort by quality" is a
+    * 100 TB distributed sort. Keeps every doc whose INCLUSIVE running
+    * total fits (prefix property: the kept set is exactly the sort
+    * order's longest affordable prefix). Output: (`idCol`, quality,
+    * tokens, `cum_tokens`). */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, quality: Column,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val base = docs.select(col(idCol), quality.cast("long").as("quality"),
+      tokens.cast("long").as("n_tokens"))
+    Ids.cumulativeSum(base, Seq(col("quality").desc, col(idCol)),
+        col("n_tokens"), sumName = "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Fuzzy decontamination — the third member of the decon family
     * (exact hash < FUZZY near-dup < any-shingle overlap): which
     * training docs are a NEAR-duplicate of a benchmark doc at

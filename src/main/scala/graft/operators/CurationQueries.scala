@@ -90,6 +90,18 @@ object CurationQueries {
         d.filter(col("doc_id") >= 50), d.filter(col("doc_id") < 50),
         "doc_id", "text", k = 5)
     },
+    // Quality-ranked token-budget selection: the best docs (by distinct
+    // token count, ties by doc_id) until 20k cumulative tokens — the
+    // "fill the compute budget with the best data" final curation step.
+    // Distributed cumulative sum via Ids.cumulativeSum: no single-task
+    // global window anywhere.
+    "cur_token_budget_select" -> { (s, dir) =>
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      Curation.tokenBudgetSelect(
+        Tables(s, dir, "documents"), "doc_id",
+        quality = size(array_distinct(toks)),
+        tokens = size(toks), budget = 20000L)
+    },
     // Fuzzy decontamination: training docs that are a NEAR-duplicate
     // (word-5-gram jaccard >= 1/2) of a benchmark doc (doc_id < 50) —
     // the leak class exact hashing misses and any-shingle overlap
@@ -343,6 +355,20 @@ object CurationQueries {
         | CAST(COUNT(DISTINCT bench.bench_id) AS BIGINT) AS n_bench_docs
         |FROM train JOIN bench ON train.s = bench.s
         |GROUP BY 1""".stripMargin,
+    "cur_token_budget_select" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS quality,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, quality, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
+        | FROM t)
+        |SELECT doc_id, quality, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 20000""".stripMargin,
     // Oracle = the EXACT word-5-gram jaccard answer at threshold 1/2
     // (no LSH in the oracle — the gate also proves the banding lost no
     // qualifying pair on this fixture).

@@ -49,4 +49,36 @@ object Ids {
       .withColumn(idName, col("_offset") + col("_local") - 1)
       .drop("_pid", "_local", "_offset")
   }
+
+  /** Weighted twin of [[contiguous]]: the running SUM of `weight` in
+    * `orderBy` order, distributed the same way — range-repartition on
+    * the sort expressions, per-partition running sums, per-partition
+    * TOTALS (one row each — metadata) prefix-summed and broadcast back.
+    * No single-task global window; survives the same 100× scale-up.
+    * `orderBy` may carry direction (`col.desc`) and must be a total
+    * order for a deterministic result. Output: input columns plus
+    * `sumName` = inclusive running sum. The primitive behind
+    * "take items in priority order until a budget is hit"
+    * ([[Curation.tokenBudgetSelect]]): the kept prefix in sort order
+    * is exactly `sumName <= budget`. */
+  def cumulativeSum(df: DataFrame, orderBy: Seq[Column], weight: Column,
+      sumName: String = "cum", numPartitions: Int = 0): DataFrame = {
+    val np =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(np, orderBy: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_w", weight.cast("long"))
+    val local = ranged.withColumn("_local",
+      sum("_w").over(Window.partitionBy("_pid").orderBy(orderBy: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = ranged.groupBy("_pid").agg(sum("_w").as("_n"))
+      .withColumn("_offset",
+        coalesce(sum("_n").over(Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_offset")
+    local.join(broadcast(offsets), "_pid")
+      .withColumn(sumName, col("_offset") + col("_local"))
+      .drop("_pid", "_w", "_local", "_offset")
+  }
 }

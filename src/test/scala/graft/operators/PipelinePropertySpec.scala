@@ -35,6 +35,26 @@ class PipelinePropertySpec extends SparkTestBase {
     }
   }
 
+  test("Ids.cumulativeSum ≡ driver-side running sum on random weights, " +
+      "asc and desc order, across partition boundaries") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 500).map(i => (i.toLong, rnd.nextInt(100).toLong))
+      val df = rows.toDF("id", "w").repartition(7) // scramble layout
+      for (desc <- Seq(false, true)) {
+        val order = if (desc) Seq(col("id").desc) else Seq(col("id"))
+        val got = Ids.cumulativeSum(df, order, col("w"))
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        val sorted = if (desc) rows.sortBy(-_._1) else rows
+        val expect = sorted.scanLeft((Long.MinValue, 0L)) {
+          case ((_, acc), (id, w)) => (id, acc + w)
+        }.drop(1).toMap
+        assert(got == expect, s"seed $seed desc=$desc")
+      }
+    }
+  }
+
   test("RewriteWindowTopK ≡ window form on random keys/order/k/conjuncts") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
