@@ -126,20 +126,26 @@ object Curation {
     * ever shuffling — then exact-Jaccard verification on the candidate
     * pairs only (integer cross-multiplied, float-free). Banding recall
     * follows the 16×2 s-curve: ≥ 0.999 at jaccard 0.6, higher above.
+    *
+    * Deliberately NO bucket cap, unlike the self-join dedup paths: a
+    * hot train bucket here joins against at most the benchmark rows in
+    * that bucket (bounded by the tiny broadcast side), so cost is
+    * linear in the banded train rows — no O(bucket²) blow-up exists in
+    * the cross shape. And a decontamination filter must not drop hot
+    * buckets: a benchmark doc mass-duplicated into the training corpus
+    * is exactly the leak it exists to catch.
     * Output: (`doc_id`, `bench_id`, `n_inter`, `n_train`, `n_bench`)
     * per flagged (train, benchmark) pair — all integers, so
     * jaccard = n_inter/(n_train+n_bench−n_inter) is reconstructible
     * exactly. */
   def decontaminateFuzzy(train: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, k: Int = 5, numHashes: Int = 32,
-      bands: Int = 16, bucketCap: Int = 1000, num: Int = 1,
-      den: Int = 3): DataFrame = {
+      bands: Int = 16, num: Int = 1, den: Int = 3): DataFrame = {
     def sets(df: DataFrame) = df.select(col(idCol).as("doc_id"),
       array_distinct(TextAnalysis.wordNgrams(col(textCol), k)).as("shs"))
     val tSets = sets(train)
     val bSets = sets(benchmark)
-    val tBand = Dedup.capBuckets(Dedup.bandedMinhash(tSets, numHashes, bands),
-      Seq("band", "sigh"), bucketCap)
+    val tBand = Dedup.bandedMinhash(tSets, numHashes, bands)
     val bBand = Dedup.bandedMinhash(bSets, numHashes, bands)
     val cand = tBand
       .join(broadcast(bBand.select(col("doc_id").as("bench_id"),

@@ -233,11 +233,6 @@ object EtlQueries {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
     },
-    // Ordered funnel (view → first click at-or-after it → first purchase
-    // at-or-after that): three stage aggregations, each a groupBy-min +
-    // user-keyed join — no per-user event sort, and every stage shuffles
-    // on the same key so the exchanges line up. Timestamps compare as
-    // raw nanos and emit µs-truncated (fixture sub-µs is always zero).
     // Event-sequence mining: the 20 most frequent 3-step event paths
     // across all users — "what do users actually do, in order" (the
     // product-analytics path report, and the n-gram statistic a
@@ -262,6 +257,11 @@ object EtlQueries {
         .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
         .limit(20)
     },
+    // Ordered funnel (view → first click at-or-after it → first purchase
+    // at-or-after that): three stage aggregations, each a groupBy-min +
+    // user-keyed join — no per-user event sort, and every stage shuffles
+    // on the same key so the exchanges line up. Timestamps compare as
+    // raw nanos and emit µs-truncated (fixture sub-µs is always zero).
     "ev_funnel" -> { (s, dir) =>
       val ev = Tables(s, dir, "events")
         .select(col("user_id"), col("event_type"), col("ts"))

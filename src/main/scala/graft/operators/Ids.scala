@@ -30,37 +30,23 @@ import org.apache.spark.sql.functions._
 object Ids {
 
   def contiguous(df: DataFrame, orderCols: Seq[String],
-      idName: String = "rid", numPartitions: Int = 0): DataFrame = {
-    val cols: Seq[Column] = orderCols.map(col)
-    val np =
-      if (numPartitions > 0) numPartitions
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.repartitionByRange(np, cols: _*)
-      .withColumn("_pid", spark_partition_id())
-    val local = ranged.withColumn("_local",
-      row_number().over(Window.partitionBy("_pid").orderBy(cols: _*)))
-    // one row per partition: the tiny window here is metadata, not data
-    val offsets = ranged.groupBy("_pid").agg(count(lit(1)).as("_n"))
-      .withColumn("_offset",
-        coalesce(sum("_n").over(Window.orderBy("_pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("_pid", "_offset")
-    local.join(broadcast(offsets), "_pid")
-      .withColumn(idName, col("_offset") + col("_local") - 1)
-      .drop("_pid", "_local", "_offset")
-  }
+      idName: String = "rid", numPartitions: Int = 0): DataFrame =
+    // dense rank = inclusive running count − 1: one shared
+    // implementation of the subtle distributed scaffold
+    cumulativeSum(df, orderCols.map(col), lit(1L), idName, numPartitions)
+      .withColumn(idName, col(idName) - 1)
 
-  /** Weighted twin of [[contiguous]]: the running SUM of `weight` in
-    * `orderBy` order, distributed the same way — range-repartition on
-    * the sort expressions, per-partition running sums, per-partition
-    * TOTALS (one row each — metadata) prefix-summed and broadcast back.
-    * No single-task global window; survives the same 100× scale-up.
-    * `orderBy` may carry direction (`col.desc`) and must be a total
-    * order for a deterministic result. Output: input columns plus
-    * `sumName` = inclusive running sum. The primitive behind
-    * "take items in priority order until a budget is hit"
-    * ([[Curation.tokenBudgetSelect]]): the kept prefix in sort order
-    * is exactly `sumName <= budget`. */
+  /** The distributed running SUM of `weight` in `orderBy` order —
+    * the generalization [[contiguous]] is the weight-1 case of:
+    * range-repartition on the sort expressions, per-partition running
+    * sums, per-partition TOTALS (one row each — metadata) prefix-summed
+    * and broadcast back. No single-task global window; survives the
+    * same 100× scale-up. `orderBy` may carry direction (`col.desc`)
+    * and must be a total order for a deterministic result. Output:
+    * input columns plus `sumName` = inclusive running sum. The
+    * primitive behind "take items in priority order until a budget is
+    * hit" ([[Curation.tokenBudgetSelect]]): the kept prefix in sort
+    * order is exactly `sumName <= budget`. */
   def cumulativeSum(df: DataFrame, orderBy: Seq[Column], weight: Column,
       sumName: String = "cum", numPartitions: Int = 0): DataFrame = {
     val np =

@@ -45,11 +45,21 @@ object Similarity {
     * join; at 100 TB the corpus side swaps for an IVF bucket probe
     * exactly like search does. Query side `(query_id, va, label)`,
     * corpus side `(neighbor_id, vb, label)`; output
-    * `(query_id, neighbor_id, rnk)`. */
+    * `(query_id, neighbor_id, rnk)`.
+    *
+    * Null-label semantics (explicit, not an accident of SQL
+    * three-valued logic): rows with a NULL label are excluded from
+    * BOTH sides. "Unknown label" cannot be safely treated as
+    * "different label" — an unlabeled duplicate of the query would
+    * become a catastrophically wrong negative — so unlabeled vectors
+    * take no part in mining rather than silently vanishing only on
+    * whichever side the null lands. */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     topK(
-      corpus.withColumnRenamed("label", "c_label")
-        .crossJoin(broadcast(queries.withColumnRenamed("label", "q_label")))
+      corpus.filter(col("label").isNotNull)
+        .withColumnRenamed("label", "c_label")
+        .crossJoin(broadcast(queries.filter(col("label").isNotNull)
+          .withColumnRenamed("label", "q_label")))
         .filter(col("q_label") =!= col("c_label")), k)
 
   /** Random-hyperplane LSH top-k: `tables` hash tables of `bits` sign
@@ -895,12 +905,19 @@ object Similarity {
     * (centroids attracting nothing after deletes) count as size 0. */
   def indexStats(spark: org.apache.spark.sql.SparkSession,
       path: String): IndexStats = {
-    val (cent, live) = loadIndex(spark, path)
-    val nCentroids = cent.count()
-    val nTomb =
+    val cent = spark.read.parquet(s"$path/centroids.parquet")
+    val assign = spark.read.parquet(s"$path/assignment.parquet")
+    // one existence probe + one read of the tombstone file, shared by
+    // the count and the live anti-join (loadIndex would re-probe and
+    // re-read — this is the poll-cheap monitoring path)
+    val tomb =
       if (pathExists(spark, s"$path/tombstones.parquet"))
-        spark.read.parquet(s"$path/tombstones.parquet").count()
-      else 0L
+        Some(spark.read.parquet(s"$path/tombstones.parquet"))
+      else None
+    val live = tomb.fold(assign)(t =>
+      assign.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    val nCentroids = cent.count()
+    val nTomb = tomb.map(_.count()).getOrElse(0L)
     val sizes = live.groupBy("centroid").count()
       .collect().map(_.getLong(1))
     val all = (sizes ++ Array.fill((nCentroids - sizes.length).toInt)(0L)).sorted

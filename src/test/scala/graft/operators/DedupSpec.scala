@@ -39,17 +39,22 @@ class DedupSpec extends SparkTestBase {
       assert(3 * i >= nt + nb, s"($d,$b): 3*$i < $nt+$nb — below threshold")
       assert(i <= math.min(nt, nb), s"($d,$b): intersection exceeds a side")
     }
-    // synthesized leak: a verbatim benchmark doc re-ingested as train
-    // must be flagged against itself (jaccard 1)
+    // synthesized leak: a benchmark doc MASS-duplicated into train (30
+    // verbatim copies — all sharing one MinHash signature, so they pile
+    // into the same band buckets) must be flagged copy-for-copy; a
+    // bucket cap here would silently drop exactly the worst leak,
+    // which is why decontaminateFuzzy deliberately has none
     val d = Tables(spark, sfDir, "documents")
     val bench = d.filter(col("doc_id") < 50)
+    val copies = (0 until 30).map(i => lit(90000L + i)).toArray
     val train = d.filter(col("doc_id") >= 50).select("doc_id", "text")
       .unionAll(bench.filter(col("doc_id") === 7)
-        .select((col("doc_id") + 90000L).as("doc_id"), col("text")))
+        .select(explode(array(copies: _*)).as("doc_id"), col("text")))
     val flagged = Curation.decontaminateFuzzy(train, bench, "doc_id", "text")
-      .filter(col("doc_id") === 90007L).collect()
-    assert(flagged.length == 1 && flagged(0).getLong(1) == 7L,
-      s"verbatim leak not flagged: ${flagged.mkString(",")}")
+      .filter(col("doc_id") >= 90000L).collect()
+    assert(flagged.length == 30 &&
+      flagged.forall(_.getLong(1) == 7L),
+      s"mass-duplicated leak not fully flagged: ${flagged.length}/30")
   }
 
   test("simhash: identical texts collide, hamming filter is symmetric-free (a<b)") {
