@@ -24,11 +24,24 @@ object CurationPipeline {
 
   final case class Report(stage: String, rows: Long)
 
-  /** Run the full pipeline; returns (packed train sequences, report). */
+  /** Run the full pipeline; returns (packed train sequences, report).
+    *
+    * `decontamMode` is the drop-rule strictness knob, ordered from
+    * most to least aggressive (flagged sets nest — overlap ⊇ fuzzy ⊇
+    * exact, since a near-dup shares shingles and an exact copy is a
+    * jaccard-1 near-dup):
+    *  - `"overlap"` (default, strictest): any shared `decontamK`-gram
+    *    with the benchmark drops the doc.
+    *  - `"fuzzy"`: only word-5-gram jaccard ≥ ½ near-duplicates drop
+    *    ([[Curation.decontaminateFuzzy]]) — the right rule when the
+    *    benchmark shares natural idioms with honest data and the
+    *    overlap rule would starve the corpus.
+    *  - `"exact"`: only verbatim (case/whitespace-normalized) copies
+    *    drop. */
   def curate(docs: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, sourceCol: String, minChars: Int = 100,
       minTokens: Int = 10, decontamK: Int = 5,
-      seqLen: Long = 256L): (DataFrame, Seq[Report]) = {
+      seqLen: Long = 256L, decontamMode: String = "overlap"): (DataFrame, Seq[Report]) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -43,10 +56,20 @@ object CurationPipeline {
       .select(col("doc_id").as(idCol))
     val gated = deduped.join(quality, idCol)
 
-    // 3. decontamination: drop docs overlapping the benchmark
-    val dirty = Curation.decontaminate(gated, benchmark, idCol, textCol,
-        decontamK)
-      .select(col("doc_id").as(idCol))
+    // 3. decontamination at the chosen strictness
+    val dirty = (decontamMode match {
+      case "overlap" =>
+        Curation.decontaminate(gated, benchmark, idCol, textCol, decontamK)
+          .select(col("doc_id").as(idCol))
+      case "fuzzy" =>
+        Curation.decontaminateFuzzy(gated, benchmark, idCol, textCol)
+          .select(col("doc_id").as(idCol))
+      case "exact" =>
+        Curation.decontaminateExact(gated, benchmark, idCol, textCol)
+          .select(col(idCol))
+      case other => throw new IllegalArgumentException(
+        s"decontamMode must be overlap|fuzzy|exact, got '$other'")
+    }).distinct()
     val clean = gated.join(dirty, Seq(idCol), "left_anti")
 
     // 4. leak-safe split; 5. pack the train split

@@ -428,6 +428,37 @@ class LibraryApiSpec extends SparkTestBase {
     }
   }
 
+  test("CurationPipeline.curate decontamMode: drop-rule strictness nests " +
+      "(overlap drops ⊇ fuzzy drops ⊇ exact drops); bad mode rejected") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val bench = docs.filter(col("doc_id") < 50)
+    // train side seeded with one verbatim and one truncated bench copy
+    // so every mode has something to catch
+    val train = docs.filter(col("doc_id") >= 50).select("doc_id", "text", "source")
+      .unionAll(bench.filter(col("doc_id") === 3)
+        .select(lit(91000L).as("doc_id"), col("text"), col("source")))
+      .unionAll(bench.filter(col("doc_id") === 5)
+        .select(lit(91001L).as("doc_id"),
+          expr("substring(text, 1, cast(length(text) * 0.8 as int))").as("text"),
+          col("source")))
+    def decontaminated(mode: String): Long =
+      CurationPipeline.curate(train, bench, "doc_id", "text", "source",
+        minChars = 50, minTokens = 5, decontamMode = mode)
+        ._2.find(_.stage == "decontaminated").get.rows
+    val (ov, fz, ex) = (decontaminated("overlap"), decontaminated("fuzzy"),
+      decontaminated("exact"))
+    // stricter rule drops more, so fewer survive
+    assert(ov <= fz && fz <= ex, s"nesting violated: $ov <= $fz <= $ex")
+    // exact catches the verbatim copy but not the truncated one; fuzzy
+    // catches both — strictly between exact and overlap on this seed
+    assert(ex > fz, "fuzzy should drop the truncated near-dup exact keeps")
+    intercept[IllegalArgumentException] {
+      CurationPipeline.curate(train, bench, "doc_id", "text", "source",
+        decontamMode = "typo")
+    }
+  }
+
   test("Curation.packSequences: full sequences, spans partition each doc") {
     import spark.implicits._
     val docs = Seq(
