@@ -375,6 +375,36 @@ object EtlQueries {
           floor(col("c_acctbal") * 100 + lit(0.5d)).cast("long"),
           col("c_mktsegment"))))
     },
+    // Snapshot diff — derive the CDC stream between two versions of a
+    // PK-keyed table (the reference's copy-validation domain, one step
+    // further: not "are they equal" but "exactly what changed"). The
+    // next version is synthesized deterministically from orders: every
+    // %97 key removed, every %101 key's price bumped 1%, plus shifted-id
+    // copies as inserts. A full outer join on the PK classifies each
+    // key: added (no base row), removed (no next row), changed (both
+    // present, canonical content differs). Unchanged rows — the 100 TB
+    // bulk — are filtered before the result materializes. One shuffle
+    // per side on the PK; prices compare as exact integer cents.
+    "etl_snapshot_diff" -> { (s, dir) =>
+      val base = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100 + lit(0.5d)).cast("long").as("cents"))
+      val next = base.filter(col("k") % 97 =!= 0)
+        .select(col("k"),
+          when(col("k") % 101 === 0, expr("cents * 101 div 100"))
+            .otherwise(col("cents")).cast("long").as("cents"))
+        .unionAll(base.filter(col("k") % 103 === 0)
+          .select((col("k") + 10000000L).as("k"), col("cents")))
+      base.select(col("k"), col("cents").as("old_cents"))
+        .join(next.select(col("k"), col("cents").as("new_cents")), Seq("k"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_cents").isNull, "added")
+            .when(col("new_cents").isNull, "removed")
+            .when(col("old_cents") =!= col("new_cents"), "changed"))
+        .filter(col("change_type").isNotNull)
+        .select(col("k").as("o_orderkey"), col("change_type"),
+          col("old_cents"), col("new_cents"))
+    },
     // Purchase→click attribution: every (purchase, click) pair by the
     // same user with the click in the 4 h up to the purchase — the batch
     // twin of StreamingOps.clickAttribution's watermarked stream-stream
@@ -546,6 +576,24 @@ object EtlQueries {
         | (stats.n * q.q - stats.sq) * (stats.n * q.q - stats.sq)
         |   > 9 * (stats.n * stats.qq - stats.sq * stats.sq) AS is_anomaly
         |FROM q JOIN stats ON q.user_id = stats.user_id""".stripMargin,
+    "etl_snapshot_diff" ->
+      """WITH base AS (
+        | SELECT o_orderkey AS k,
+        |  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        | FROM orders),
+        |nxt AS (
+        | SELECT k, CASE WHEN k % 101 = 0 THEN (cents * 101) // 100
+        |                ELSE cents END AS cents
+        | FROM base WHERE k % 97 <> 0
+        | UNION ALL
+        | SELECT k + 10000000, cents FROM base WHERE k % 103 = 0)
+        |SELECT COALESCE(b.k, n.k) AS o_orderkey,
+        | CASE WHEN b.cents IS NULL THEN 'added'
+        |      WHEN n.cents IS NULL THEN 'removed'
+        |      WHEN b.cents <> n.cents THEN 'changed' END AS change_type,
+        | b.cents AS old_cents, n.cents AS new_cents
+        |FROM base b FULL OUTER JOIN nxt n ON b.k = n.k
+        |WHERE b.cents IS NULL OR n.cents IS NULL OR b.cents <> n.cents""".stripMargin,
     "etl_table_checksum" ->
       """WITH o AS (
         | SELECT ('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
