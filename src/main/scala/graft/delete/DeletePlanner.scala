@@ -38,16 +38,23 @@ object DeletePlanner {
 
   /** O3: exact keyset split points — the PK tuple at every
     * ceil(n/workers)-th ordinal of PK order. Returns `workers - 1`
-    * boundary tuples (may be fewer when the table is small). */
+    * boundary tuples (may be fewer when the table is small). The
+    * ordinal is the distributed running count ([[graft.operators.Ids
+    * .cumulativeSum]]: range-repartition + per-partition ranks +
+    * broadcast offsets) — same numbering as an unpartitioned
+    * row_number window with no single-task global sort, so the exact
+    * probe itself survives a 100× scale-up (the reference computes the
+    * same ordinals one OFFSET query at a time —
+    * TableDeleter.java:54,63-99). */
   def splitPoints(df: DataFrame, pkCols: Seq[String], workers: Int): Seq[Seq[Any]] = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(pkCols.map(col): _*)
     val n = df.count()
     if (n == 0 || workers <= 1) return Seq.empty
     val step = (n + workers - 1) / workers
-    df.select(pkCols.map(col): _*)
-      .withColumn("__rn", row_number().over(w))
+    graft.operators.Ids
+      .cumulativeSum(df.select(pkCols.map(col): _*), pkCols.map(col),
+        lit(1L), "__rn")
       .filter(col("__rn") % step === 0 && col("__rn") < n)
+      .orderBy(col("__rn"))
       .drop("__rn")
       .collect()
       .map(r => pkCols.indices.map(r.get))

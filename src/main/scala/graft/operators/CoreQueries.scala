@@ -470,13 +470,14 @@ object CoreQueries {
     "win_rank_dense" -> { (s, dir) =>
       val byKey = Tables(s, dir, "part")
         .groupBy("p_size").agg(count(lit(1)).as("cnt"))
-      val wk = Window.orderBy(col("p_size"))
-      val ranks = byKey
-        .withColumn("r",
-          (coalesce(sum(col("cnt")).over(
-            wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
-            .cast("long"))
-        .withColumn("dr", row_number().over(wk).cast("long"))
+      // rank = 1 + exclusive prefix-sum of group counts; dense rank =
+      // the group's ordinal. Both ride Ids.cumulativeSum (distributed
+      // running sums — no unpartitioned window even over the key table,
+      // so the shape holds for arbitrarily high-cardinality keys).
+      val ranks = Ids.cumulativeSum(
+          Ids.cumulativeSum(byKey, Seq(col("p_size")), col("cnt"), "rsum"),
+          Seq(col("p_size")), lit(1L), "dr")
+        .withColumn("r", (col("rsum") - col("cnt") + 1L).cast("long"))
         .select("p_size", "r", "dr")
       Tables(s, dir, "part")
         .join(broadcast(ranks), "p_size")

@@ -174,12 +174,15 @@ object CurationQueries {
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_copies"),
           sum("n_tokens").as("tokens_out"))
-      // total via an unpartitioned window OVER THE 20 AGGREGATED ROWS —
-      // a crossJoin(per.agg(...)) would re-plan and re-execute the whole
-      // mix+join+aggregate subtree a second time just for the total
-      per.select(col("source"), col("n_docs"), col("n_copies"),
-        col("tokens_out"),
-        expr("tokens_out * 1000 div sum(tokens_out) over ()").as("share_pm"))
+      // the grand token total rides Ids.cumulativeSum's metadata-sized
+      // offsets table (totalName) — no unpartitioned window over the
+      // per-source rows and no re-execution of the mix+join+aggregate
+      // subtree for a crossJoin total
+      Ids.cumulativeSum(per, Seq(col("source")), col("tokens_out"),
+          "__cum", totalName = Some("__tot"))
+        .select(col("source"), col("n_docs"), col("n_copies"),
+          col("tokens_out"),
+          expr("tokens_out * 1000 div __tot").as("share_pm"))
     },
     // Sequence packing with document splitting: per-source 256-token
     // training sequences; straddling docs emit one row per covered

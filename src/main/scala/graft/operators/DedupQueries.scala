@@ -168,7 +168,11 @@ object DedupQueries {
         .orderBy(col("cos").desc, col("a_id"), col("b_id"))
         .limit(20)
         .select(col("a_id"), col("b_id"),
-          row_number().over(Window.orderBy(col("cos").desc, col("a_id"), col("b_id")))
+          // ranks the LIMIT-20 result — constant partition key (pmod, so
+          // EliminateWindowPartitions keeps it) marks the deliberately-
+          // single-task window (input provably 20 rows)
+          row_number().over(Window.partitionBy(pmod(col("a_id"), lit(1)))
+              .orderBy(col("cos").desc, col("a_id"), col("b_id")))
             .cast("long").as("rnk"))
     })
 

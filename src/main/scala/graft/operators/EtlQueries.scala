@@ -74,31 +74,37 @@ object EtlQueries {
         col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
         col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
     },
-    // O1/O2: deterministic ORDER-BY-PK LIMIT/OFFSET pagination window
-    // (rows 1001..1100 of the composite-PK order) via row_number.
+    // O1/O2: deterministic ORDER-BY-PK LIMIT/OFFSET pagination
+    // (rows 1001..1100 of the composite-PK order). The ordinal is the
+    // distributed running count (Ids.cumulativeSum: range-repartition +
+    // per-partition ranks + broadcast offsets) — identical numbering to
+    // an unpartitioned row_number window, with no single-task global
+    // sort, so the exact-offset semantics survive a 100× scale-up.
     "o2_offset_pagination" -> { (s, dir) =>
-      val w = Window.orderBy("l_orderkey", "l_linenumber")
-      Tables(s, dir, "lineitem")
+      val base = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rn", row_number().over(w).cast("long"))
+      Ids.cumulativeSum(base,
+          Seq(col("l_orderkey"), col("l_linenumber")), lit(1L), "rn")
         .filter(col("rn") > 1000 && col("rn") <= 1100)
     },
     // O3/X4: keyset probes — the PK value at every ceil(n/8)-th ordinal,
     // i.e. the split points the reference derives per delete worker.
+    // Same distributed-ordinal scaffold; the total rides a broadcast
+    // single-row aggregate instead of a global count-over-() window.
     "o3_keyset_probe" -> { (s, dir) =>
-      val w = Window.orderBy("o_orderkey")
-      Tables(s, dir, "orders").select(col("o_orderkey"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("total", count(lit(1)).over(Window.partitionBy()))
+      Ids.cumulativeSum(Tables(s, dir, "orders").select(col("o_orderkey")),
+          Seq(col("o_orderkey")), lit(1L), "rn", totalName = Some("total"))
         .withColumn("step", expr("(total + 7) div 8"))
         .filter(col("rn") % col("step") === 0)
         .select(col("rn"), col("o_orderkey"))
     },
     // X4/S9: delete partitioning — 8 PK ranges with bounds + row counts.
+    // NTILE(8) in closed form from the distributed ordinal + row total
+    // (Ids.ntileExact) — bit-identical to ntile(8).over(orderBy(pk))
+    // without funnelling the table through one window task.
     "x4_delete_partition" -> { (s, dir) =>
-      Tables(s, dir, "orders")
-        .select(col("o_orderkey"),
-          ntile(8).over(Window.orderBy("o_orderkey")).cast("long").as("worker"))
+      Ids.ntileExact(Tables(s, dir, "orders").select(col("o_orderkey")),
+          Seq(col("o_orderkey")), 8, "worker")
         .groupBy("worker")
         .agg(min("o_orderkey").as("begin_key"), max("o_orderkey").as("end_key"),
           count(lit(1)).as("n_rows"))

@@ -155,10 +155,11 @@ object TextQueries {
     // computes approximate cutoffs once (approxQuantile) and filters.
     // Per-bucket sums stay exact BIGINTs.
     "text_ppl_buckets" -> { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("avg_qnll"), col("doc_id"))
-      bigramNll(s, dir)
-        .withColumn("bucket", ntile(3).over(w).cast("long"))
+      // NTILE(3) over the per-doc perplexity table is corpus-sized —
+      // computed distributed (Ids.ntileExact closed form), never as a
+      // single-task ntile window
+      Ids.ntileExact(bigramNll(s, dir),
+          Seq(col("avg_qnll"), col("doc_id")), 3, "bucket")
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"),
           sum("qnll_sum").as("qnll_total"),

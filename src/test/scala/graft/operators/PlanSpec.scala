@@ -375,6 +375,40 @@ class PlanSpec extends SparkTestBase {
       s"no windowed carry:\n$plan")
   }
 
+  test("sweep: zero unpartitioned Window nodes over unbounded input across " +
+      "ALL registered query plans") {
+    // THE 100 TB guard: an unpartitioned window funnels its whole input
+    // through one task ("No Partition Defined for Window operation").
+    // A window partitioned only by LITERALS is the same plan wearing a
+    // disguise (every row hashes to one key), so it's flagged too —
+    // `partitionSpec.forall(_.foldable)` covers both (vacuously true
+    // when empty). Whitelisted shapes, both provably metadata-sized:
+    //  - a window ordered solely by `_pid` — Ids.cumulativeSum's offsets
+    //    table, one row per shuffle partition (≤ numShufflePartitions);
+    //  - a window whose input subtree is capped by a LIMIT ≤ 1000
+    //    (e.g. dedup_embedding_topk ranks its top-20 result).
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = q(spark, sfDir).queryExecution.optimizedPlan
+      val bad = plan.collectWithSubqueries {
+        case w: LWindow if w.partitionSpec.forall(_.foldable) => w
+      }.filterNot { w =>
+        val pidOnly = w.orderSpec.nonEmpty &&
+          w.orderSpec.forall(_.child.references.forall(_.name == "_pid"))
+        val limited = w.child.collectFirst {
+          case GlobalLimit(IntegerLiteral(n), _) if n <= 1000 => ()
+        }.nonEmpty
+        pidOnly || limited
+      }
+      bad.foreach(w => offenders +=
+        s"$name: unpartitioned Window over unbounded input: ${w.simpleString(60)}")
+    }
+    assert(offenders.isEmpty,
+      s"single-task window plans found:\n${offenders.mkString("\n")}")
+  }
+
   test("ev_gap_fill: the user filter reaches the events scan") {
     val plan = planOf("ev_gap_fill")
     assert(plan.contains("LessThan(user_id,10"), s"filter not pushed:\n$plan")
