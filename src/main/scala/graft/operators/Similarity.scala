@@ -624,9 +624,43 @@ object Similarity {
   def saveIndex(path: String, centroids: DataFrame, assignment: DataFrame,
       pqCodebook: Option[DataFrame] = None): Unit = {
     centroids.write.mode("overwrite").parquet(s"$path/centroids.parquet")
-    assignment.write.mode("overwrite").parquet(s"$path/assignment.parquet")
+    writeAssignment(assignment, s"$path/assignment.parquet",
+      mode = "overwrite")
     pqCodebook.foreach(_.write.mode("overwrite")
       .parquet(s"$path/pq_codebook.parquet"))
+  }
+
+  /** Hive-style partition directory column of the saved assignment —
+    * a COPY of `centroid`, so the data column keeps its exact type
+    * through the round trip (a partition column's type is re-inferred
+    * from directory names on read, which would turn a LongType label
+    * into IntegerType and break bit-exact reload guarantees). The
+    * payoff is bucket-pruned serving: a [[searchIndex]] probe filters
+    * on `centroid_b` and the scan reads ONLY the probed buckets'
+    * files (`PartitionFilters` in the plan) — at 10⁹ vectors a
+    * 1-bucket probe touches 1/k of the corpus assignment instead of
+    * every file. */
+  private[operators] val BucketCol = "centroid_b"
+
+  /** Write an assignment table in the bucket-partitioned layout:
+    * repartition by bucket first (one file per bucket instead of one
+    * per task×bucket — the small-files guard at corpus scale), then
+    * `partitionBy` the derived directory column. */
+  private def writeAssignment(assignment: DataFrame, dest: String,
+      mode: String): Unit =
+    assignment.withColumn(BucketCol, col("centroid"))
+      .repartition(col(BucketCol))
+      .write.mode(mode).partitionBy(BucketCol).parquet(dest)
+
+  /** Read a saved assignment directory in either layout: the
+    * bucket-partitioned form (r8+, `centroid_b=N` subdirs) or the flat
+    * pre-r8 form. Returns the frame WITH the partition column retained
+    * when present (callers that probe filter on it for partition
+    * pruning, everyone else drops it) plus the layout flag. */
+  private def readAssignment(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, Boolean) = {
+    val raw = spark.read.parquet(s"$path/assignment.parquet")
+    (raw, raw.schema.fieldNames.contains(BucketCol))
   }
 
   private def fsPath(spark: org.apache.spark.sql.SparkSession, p: String) = {
@@ -648,7 +682,8 @@ object Similarity {
   def loadIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): (DataFrame, DataFrame) = {
     val cent = spark.read.parquet(s"$path/centroids.parquet")
-    val assign = spark.read.parquet(s"$path/assignment.parquet")
+    val (raw, partitioned) = readAssignment(spark, path)
+    val assign = if (partitioned) raw.drop(BucketCol) else raw
     val live =
       if (pathExists(spark, s"$path/tombstones.parquet"))
         assign.join(
@@ -677,11 +712,37 @@ object Similarity {
       k: Int, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val spark = queries.sparkSession
-    val (cent, assign) = loadIndex(spark, path)
+    val cent = spark.read.parquet(s"$path/centroids.parquet")
     val qv = queries.select(col("query_id").as("vec_id"), col("va").as("v"))
     val buckets =
       if (nprobe == 1) ivfAssignNarrow(qv, cent).select("vec_id", "centroid")
       else ivfAssignN(qv, cent, nprobe).select("vec_id", "centroid")
+    // The probed bucket set is collected up front — bounded by
+    // min(|batch| × nprobe, nCentroids) distinct labels, i.e. driver-
+    // safe by construction — and pushed into the assignment scan as a
+    // PARTITION filter on the bucket-partitioned layout: the probe
+    // reads only the probed buckets' files (`PartitionFilters` in the
+    // plan), not the corpus-sized assignment. Flat pre-r8 layouts get
+    // the same predicate as an ordinary pushed filter. The equi-join
+    // on `centroid` below stays the correctness boundary; the filter
+    // is its (superset) pruning form.
+    val probed = buckets.select("centroid").distinct().collect()
+      .map(_.get(0).asInstanceOf[Number].longValue()).toSeq
+    val (raw, partitioned) = readAssignment(spark, path)
+    val pruned =
+      if (partitioned) {
+        val lits: Seq[Any] = raw.schema(BucketCol).dataType match {
+          case org.apache.spark.sql.types.IntegerType => probed.map(_.toInt)
+          case _ => probed
+        }
+        raw.filter(col(BucketCol).isin(lits: _*)).drop(BucketCol)
+      } else raw.filter(col("centroid").isin(probed: _*))
+    val assign =
+      if (pathExists(spark, s"$path/tombstones.parquet"))
+        pruned.join(
+          broadcast(spark.read.parquet(s"$path/tombstones.parquet")),
+          Seq("vec_id"), "left_anti")
+      else pruned
     val q = buckets.select(col("vec_id").as("query_id"), col("centroid"))
       .join(queries, "query_id")
     val c = corpus
@@ -732,12 +793,19 @@ object Similarity {
     // match the saved assignment's column types exactly — the narrow
     // kernel emits a LongType label, but the saved index may carry the
     // original (e.g. int) label type, and a parquet append with a
-    // different schema would poison later reads
-    val saved = spark.read.parquet(s"$path/assignment.parquet").schema
-    ivfAssignNarrow(newVectors, cent)
+    // different schema would poison later reads. The append also
+    // mirrors the saved LAYOUT: bucket-partitioned appends land in the
+    // matching centroid_b= directories (partition pruning keeps
+    // working across appends), flat pre-r8 dirs stay flat until a
+    // compaction/saveIndex upgrades them.
+    val (raw, partitioned) = readAssignment(spark, path)
+    val saved = raw.schema
+    val rows = ivfAssignNarrow(newVectors, cent)
       .select(col("vec_id").cast(saved("vec_id").dataType),
         col("centroid").cast(saved("centroid").dataType))
-      .write.mode("append").parquet(s"$path/assignment.parquet")
+    if (partitioned) writeAssignment(rows, s"$path/assignment.parquet",
+      mode = "append")
+    else rows.write.mode("append").parquet(s"$path/assignment.parquet")
   }
 
   /** Delete `ids` (one `vec_id` column) from the index by TOMBSTONE:
@@ -768,13 +836,28 @@ object Similarity {
     * under its `.old` name plus the completed `.compact` copy, both
     * recoverable on disk. Run at maintenance cadence — the rewrite is
     * one scan of the assignment table, the price deferred from every
-    * [[removeFromIndex]] call. No-op when nothing is tombstoned. */
+    * [[removeFromIndex]] call. No-op when nothing is tombstoned.
+    *
+    * The rewrite always lands in the bucket-partitioned layout
+    * ([[saveIndex]]'s `centroid_b=` directories), so compacting a flat
+    * pre-partitioning index upgrades it in place.
+    *
+    * CONCURRENCY: the swap is two directory renames, and between them
+    * `assignment.parquet` does not exist — a [[loadIndex]]/
+    * [[searchIndex]] call or a [[searchIndexStream]] micro-batch
+    * racing the swap fails with a missing-path error (correctness is
+    * never at risk: both old and new contents exist on disk
+    * throughout, the reader just can't see one atomically). QUIESCE
+    * SERVES for the swap window, or schedule compaction in the
+    * maintenance slot the serve stream already pauses for — crash
+    * recovery (documented above) covers the failure modes, not
+    * concurrent readers. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     if (!pathExists(spark, s"$path/tombstones.parquet")) return
     val (_, live) = loadIndex(spark, path)
     val tmp = s"$path/assignment.compact.parquet"
-    live.write.mode("overwrite").parquet(tmp)
+    writeAssignment(live, tmp, mode = "overwrite")
     val (assignP, fs) = fsPath(spark, s"$path/assignment.parquet")
     val (tmpP, _) = fsPath(spark, tmp)
     val (tombP, _) = fsPath(spark, s"$path/tombstones.parquet")

@@ -316,4 +316,33 @@ class IndexPersistenceSpec extends SparkTestBase {
       assign2.except(reassigned).isEmpty)
     assert(cent2.count() == 8)
   }
+
+  test("searchIndex probe is partition-pruned: the assignment scan carries " +
+      "a PartitionFilters on centroid_b and reads only the probed buckets") {
+    val dir = Files.createTempDirectory("graft-index").toString
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+    val (cent, assign) = SimilarityQueries.sharedStages(spark, sfDir)
+    Similarity.saveIndex(dir, cent, assign)
+    // the saved layout is Hive-partitioned by bucket
+    val subdirs = new java.io.File(s"$dir/assignment.parquet")
+      .listFiles().filter(_.isDirectory).map(_.getName)
+    assert(subdirs.nonEmpty && subdirs.forall(_.startsWith("centroid_b=")),
+      s"assignment not bucket-partitioned: ${subdirs.mkString(", ")}")
+    val q = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    val df = Similarity.searchIndex(q, vecs, dir, k = 3)
+    val scanLines = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("assignment"))
+      .toSeq
+    assert(scanLines.nonEmpty, "no assignment scan in the searchIndex plan:\n" +
+      df.queryExecution.executedPlan.toString)
+    scanLines.foreach { l =>
+      assert(l.contains("PartitionFilters: [") && l.contains("centroid_b"),
+        s"assignment scan reads all buckets (no partition filter): $l")
+    }
+    // and pruning bites: the probe can touch at most 5 of the k buckets
+    assert(subdirs.length > 5, s"fixture too small: ${subdirs.length} buckets")
+    assert(df.count() > 0)
+  }
 }
