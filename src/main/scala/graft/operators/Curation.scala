@@ -100,11 +100,14 @@ object Curation {
     * 100 TB distributed sort. Keeps every doc whose INCLUSIVE running
     * total fits (prefix property: the kept set is exactly the sort
     * order's longest affordable prefix). Output: (`idCol`, quality,
-    * tokens, `cum_tokens`). */
+    * tokens, `cum_tokens`); `quality` keeps the caller's type and
+    * ORDERS UNCAST — a fractional score (the [0,1] classifier-output
+    * shape) ranks at full precision rather than collapsing to a
+    * truncated integer. */
   def tokenBudgetSelect(docs: DataFrame, idCol: String, quality: Column,
       tokens: Column, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    val base = docs.select(col(idCol), quality.cast("long").as("quality"),
+    val base = docs.select(col(idCol), quality.as("quality"),
       tokens.cast("long").as("n_tokens"))
     Ids.cumulativeSum(base, Seq(col("quality").desc, col(idCol)),
         col("n_tokens"), sumName = "cum_tokens")

@@ -32,10 +32,12 @@ object CurationPipeline {
     * jaccard-1 near-dup):
     *  - `"overlap"` (default, strictest): any shared `decontamK`-gram
     *    with the benchmark drops the doc.
-    *  - `"fuzzy"`: only word-5-gram jaccard ≥ ½ near-duplicates drop
-    *    ([[Curation.decontaminateFuzzy]]) — the right rule when the
-    *    benchmark shares natural idioms with honest data and the
-    *    overlap rule would starve the corpus.
+    *  - `"fuzzy"`: only word-`decontamK`-gram jaccard ≥ ½
+    *    near-duplicates drop ([[Curation.decontaminateFuzzy]]) — the
+    *    right rule when the benchmark shares natural idioms with
+    *    honest data and the overlap rule would starve the corpus.
+    *    Both modes shingle at the SAME `decontamK`, which is what
+    *    makes the overlap ⊇ fuzzy nesting hold for every k.
     *  - `"exact"`: only verbatim (case/whitespace-normalized) copies
     *    drop. */
   def curate(docs: DataFrame, benchmark: DataFrame, idCol: String,
@@ -62,7 +64,8 @@ object CurationPipeline {
         Curation.decontaminate(gated, benchmark, idCol, textCol, decontamK)
           .select(col("doc_id").as(idCol))
       case "fuzzy" =>
-        Curation.decontaminateFuzzy(gated, benchmark, idCol, textCol)
+        Curation.decontaminateFuzzy(gated, benchmark, idCol, textCol,
+            k = decontamK)
           .select(col("doc_id").as(idCol))
       case "exact" =>
         Curation.decontaminateExact(gated, benchmark, idCol, textCol)

@@ -99,7 +99,7 @@ object CurationQueries {
       val toks = split(lower(trim(col("text"))), "\\s+")
       Curation.tokenBudgetSelect(
         Tables(s, dir, "documents"), "doc_id",
-        quality = size(array_distinct(toks)),
+        quality = size(array_distinct(toks)).cast("long"),
         tokens = size(toks), budget = 20000L)
     },
     // Fuzzy decontamination: training docs that are a NEAR-duplicate

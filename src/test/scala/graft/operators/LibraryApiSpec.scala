@@ -166,6 +166,33 @@ class LibraryApiSpec extends SparkTestBase {
     assert(plan.toLowerCase.contains("rangepartitioning"))
   }
 
+  test("Curation.tokenBudgetSelect ranks fractional quality scores at full " +
+      "precision (classifier-score shape) and NULL token counts add zero") {
+    import spark.implicits._
+    // quality 0.91 must outrank 0.9 — an integer cast would collapse all
+    // of these to 0 and degenerate the selection to id order
+    val docs = Seq(
+      (1L, 0.90, 60L), (2L, 0.91, 60L), (3L, 0.10, 60L), (4L, 0.95, 60L)
+    ).toDF("doc_id", "q", "n")
+    val got = Curation.tokenBudgetSelect(docs, "doc_id",
+        quality = col("q"), tokens = col("n"), budget = 120L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(4L, 2L), s"best-first prefix wrong: $got")
+    // quality keeps its fractional type end to end
+    val schema = Curation.tokenBudgetSelect(docs, "doc_id",
+      quality = col("q"), tokens = col("n"), budget = 120L).schema
+    assert(schema("quality").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    // a NULL token count contributes 0 to the running total (documented
+    // cumulativeSum behavior), so it rides along without inflating cum
+    val withNull = Seq((1L, 1.0, Some(100L)), (2L, 0.9, None),
+      (3L, 0.8, Some(100L))).toDF("doc_id", "q", "n")
+    val rows = Curation.tokenBudgetSelect(withNull, "doc_id",
+        quality = col("q"), tokens = col("n"), budget = 200L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rows == Set(1L, 2L, 3L), s"null-weight handling changed: $rows")
+  }
+
   test("Dedup.incrementalExact: exact result — bloom FPs verified away") {
     import spark.implicits._
     val known = (0 until 500).map(i => (i.toLong, s"known document $i"))
