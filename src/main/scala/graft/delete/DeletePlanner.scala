@@ -64,7 +64,9 @@ object DeletePlanner {
   /** O3 at scale: approximate split points via `approxQuantile` — one
     * pass with bounded memory instead of a global row_number sort. Only
     * for single-column numeric PKs (the common case the reference's
-    * offset probes serve); composite PKs fall back to exact probes.
+    * offset probes serve); composite PKs use
+    * [[splitPointsApproxTuples]] (sampled tuple boundaries) or the
+    * JDBC-pushed [[splitPointsOffset]].
     * relativeError 0.01 keeps worker ranges within ~1% of even. */
   def splitPointsApprox(df: org.apache.spark.sql.DataFrame, pkCol: String,
       workers: Int, relativeError: Double = 0.01): Seq[Seq[Any]] = {
@@ -72,6 +74,65 @@ object DeletePlanner {
     val probs = (1 until workers).map(_.toDouble / workers).toArray
     df.stat.approxQuantile(pkCol, probs, relativeError)
       .distinct.sorted.map(q => Seq[Any](q.toLong)).toSeq
+  }
+
+  /** Driver-side lexicographic ordering over PK tuples — the same
+    * column-by-column comparison [[rangePredicates]] renders as SQL.
+    * NULLs sort first (Spark's ASC NULLS FIRST default), mixed
+    * comparable types (numbers, strings, dates, timestamps) compare
+    * via their natural Comparable. */
+  private val tupleOrd: Ordering[Seq[Any]] = new Ordering[Seq[Any]] {
+    def compare(a: Seq[Any], b: Seq[Any]): Int = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val c = (a(i), b(i)) match {
+          case (null, null) => 0
+          case (null, _) => -1
+          case (_, null) => 1
+          case (x: java.lang.Number, y: java.lang.Number)
+              if !x.isInstanceOf[Comparable[_]] || x.getClass != y.getClass =>
+            java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+          case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+        }
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(a.length, b.length)
+    }
+  }
+
+  /** O3 at scale for COMPOSITE PKs: approximate split tuples from a
+    * bounded random sample — the `RangePartitioner` recipe that backs
+    * every distributed ORDER BY. `approxQuantile` only handles one
+    * numeric column; this samples `sampleSize` whole PK TUPLES
+    * (TakeOrdered by a seeded rand — a per-partition heap + driver
+    * merge, NO global sort and no full-table shuffle), sorts the
+    * sample driver-side (bounded by `sampleSize`), and takes every
+    * s/workers-th tuple as a boundary. With a uniform sample of size
+    * s the per-boundary rank error is O(1/√s) — sampleSize 10k keeps
+    * worker ranges within a few percent of even, which is all a
+    * delete/copy fan-out needs (ranges stay EXACT-coverage half-open
+    * regardless; only their sizes are approximate). Duplicate
+    * boundaries (heavy single-value keys) collapse, so fewer than
+    * `workers - 1` tuples may return. */
+  def splitPointsApproxTuples(df: DataFrame, pkCols: Seq[String],
+      workers: Int, sampleSize: Int = 10000,
+      seed: Long = 42L): Seq[Seq[Any]] = {
+    require(sampleSize >= workers, s"sampleSize $sampleSize < workers $workers")
+    if (workers <= 1) return Seq.empty
+    val sampled = df.select(pkCols.map(col): _*)
+      .orderBy(rand(seed))
+      .limit(sampleSize)
+      .collect()
+      .map(r => pkCols.indices.map(r.get): Seq[Any])
+      .sorted(tupleOrd)
+    if (sampled.isEmpty) Seq.empty
+    else {
+      val s = sampled.length
+      (1 until workers)
+        .map(i => sampled(math.min((i.toLong * s / workers).toInt, s - 1)))
+        .distinct
+    }
   }
 
   /** O3 pushed to the source, the reference's own probe shape

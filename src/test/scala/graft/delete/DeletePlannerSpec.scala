@@ -37,6 +37,37 @@ class DeletePlannerSpec extends SparkTestBase {
     assert(counts.sum == li.count())
   }
 
+  test("sampled composite-PK split tuples: exact disjoint cover, <=5% " +
+      "range-size skew, no global sort or full-table shuffle in the plan") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val pk = Seq("l_orderkey", "l_linenumber")
+    val n = li.count()
+    val workers = 8
+    val splits = DeletePlanner.splitPointsApproxTuples(li, pk, workers)
+    assert(splits.nonEmpty && splits.size <= workers - 1)
+    // coverage is EXACT regardless of boundary placement (half-open
+    // lexicographic ranges)
+    val preds = DeletePlanner.rangePredicates(pk, splits)
+    val counts = preds.map(p => li.filter(expr(p)).count())
+    assert(counts.sum == n, s"cover broken: $counts vs $n")
+    // balance: every worker within 5% of the even share (10k-sample
+    // rank error is O(1/sqrt(10000)) ~ 1% per boundary; seeded rand
+    // keeps this deterministic)
+    val even = n.toDouble / preds.size
+    assert(counts.max <= even * 1.05 && counts.min >= even * 0.95,
+      s"skew > 5%: $counts (even share $even)")
+    // scale shape: the sample is a TakeOrdered (per-partition heap +
+    // driver merge of sampleSize rows) — never a global range sort of
+    // the table
+    val samplePlan = li.select(pk.map(col): _*)
+      .orderBy(rand(42L)).limit(10000)
+      .queryExecution.executedPlan.toString
+    assert(samplePlan.contains("TakeOrderedAndProject"),
+      s"sample not a bounded top-k:\n$samplePlan")
+    assert(!samplePlan.contains("Exchange rangepartitioning"),
+      s"sample plan global-sorts the table:\n$samplePlan")
+  }
+
   test("range predicates render temporal PK literals as JDBC escapes " +
       "and reject unsupported types") {
     val ts = java.sql.Timestamp.valueOf("2024-03-01 12:30:45.5")
