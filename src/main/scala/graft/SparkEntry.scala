@@ -18,6 +18,7 @@ object SparkEntry {
       (AdvancedQueries.queries, AdvancedQueries.oracles),
       (EtlQueries.queries, EtlQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
+      (HybridQueries.queries, HybridQueries.oracles),
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (MultimodalQueries.queries, MultimodalQueries.oracles),

@@ -294,6 +294,19 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Sort "), s"heap form must not sort:\n$plan")
   }
 
+  test("text_hybrid_rrf: both retrieval sides are top-k pruned on the " +
+      "bounded heap BEFORE the fusion join; fusion is equi-keyed") {
+    val plan = planOf("text_hybrid_rrf")
+    // bm25 lexical rank + final RRF rank both rewrite onto the heap exec
+    assert("TopKPerKey".r.findAllIn(plan).size >= 2,
+      s"rank prunes not on the bounded heap:\n$plan")
+    // fusion joins two metadata-sized top-k lists on (query_id, doc_id) —
+    // an equi-join, never a cartesian (the only nested-loop join allowed
+    // is the dense side's broadcast query-batch scan)
+    assert(plan.contains("FullOuter"), s"fusion join missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in fusion:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // One key owns ~90% of the fact rows; with the skew thresholds scaled
     // to fixture size, AQE's runtime re-plan must split that partition
