@@ -244,16 +244,35 @@ object Curation {
     * span [tok_from, tok_to). This is [[tokenShards]]' strict sibling —
     * shards round docs down to whole units, packing splits them so every
     * sequence is exactly full (the last per group excepted). One window
-    * shuffle on the group key + a narrow explode; all integer math. */
+    * shuffle on the group key + a narrow explode; all integer math.
+    *
+    * `baseOffsets` (optional, `(groupCol, tok_base)`) shifts each
+    * group's token axis by a carried starting offset — the incremental
+    * form: a streaming ingest packs each micro-batch against the token
+    * totals of everything packed before it ([[graft.streaming.StreamingCuration]]),
+    * so the union of per-batch outputs is bit-identical to one batch
+    * pack of the whole corpus (given id-ordered arrival per group).
+    * Groups absent from `baseOffsets` start at 0; `None` is the plain
+    * batch form. The offsets table is one row per group — broadcast. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-      groupCol: String, seqLen: Long): DataFrame = {
+      groupCol: String, seqLen: Long,
+      baseOffsets: Option[DataFrame] = None): DataFrame = {
     val w = Window.partitionBy(groupCol).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val cum = docs
       .select(col(groupCol), col(idCol).as("doc_id"),
         TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
       .filter(col("n_tokens") > 0)
-      .withColumn("tok_end", sum("n_tokens").over(w))
+      .withColumn("tok_end_rel", sum("n_tokens").over(w))
+    val based = baseOffsets match {
+      case None => cum.withColumn("tok_base", lit(0L))
+      case Some(o) => cum
+        .join(broadcast(o.select(col(groupCol), col("tok_base"))),
+          Seq(groupCol), "left")
+        .withColumn("tok_base", coalesce(col("tok_base"), lit(0L)))
+    }
+    based
+      .withColumn("tok_end", col("tok_end_rel") + col("tok_base"))
       .withColumn("tok_start", col("tok_end") - col("n_tokens"))
       .withColumn("seq_id", explode(expr(
         s"sequence(tok_start div $seqLen, (tok_end - 1) div $seqLen)")))

@@ -24,6 +24,29 @@ object CurationPipeline {
 
   final case class Report(stage: String, rows: Long)
 
+  /** The decontamination drop-set at the chosen strictness — one id
+    * column of contaminated docs. Shared by the batch pipeline and its
+    * incremental twin ([[graft.streaming.StreamingCuration]]) so the
+    * drop rule can't drift between them. Per-doc vs the static
+    * benchmark only, so it is batch-decomposable by construction. */
+  private[graft] def dirtyIds(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, decontamK: Int,
+      decontamMode: String): DataFrame =
+    (decontamMode match {
+      case "overlap" =>
+        Curation.decontaminate(docs, benchmark, idCol, textCol, decontamK)
+          .select(col("doc_id").as(idCol))
+      case "fuzzy" =>
+        Curation.decontaminateFuzzy(docs, benchmark, idCol, textCol,
+            k = decontamK)
+          .select(col("doc_id").as(idCol))
+      case "exact" =>
+        Curation.decontaminateExact(docs, benchmark, idCol, textCol)
+          .select(col(idCol))
+      case other => throw new IllegalArgumentException(
+        s"decontamMode must be overlap|fuzzy|exact, got '$other'")
+    }).distinct()
+
   /** Run the full pipeline; returns (packed train sequences, report).
     *
     * `decontamMode` is the drop-rule strictness knob, ordered from
@@ -39,11 +62,17 @@ object CurationPipeline {
     *    Both modes shingle at the SAME `decontamK`, which is what
     *    makes the overlap ⊇ fuzzy nesting hold for every k.
     *  - `"exact"`: only verbatim (case/whitespace-normalized) copies
-    *    drop. */
+    *    drop.
+    *
+    * `quotaPerSource` (optional) caps each source at its k lowest-id
+    * clean docs ([[Curation.groupQuota]]) after decontamination, before
+    * the split — deterministic source balancing so one crawl dump
+    * can't dominate the mix. */
   def curate(docs: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, sourceCol: String, minChars: Int = 100,
       minTokens: Int = 10, decontamK: Int = 5,
-      seqLen: Long = 256L, decontamMode: String = "overlap"): (DataFrame, Seq[Report]) = {
+      seqLen: Long = 256L, decontamMode: String = "overlap",
+      quotaPerSource: Option[Int] = None): (DataFrame, Seq[Report]) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -59,24 +88,19 @@ object CurationPipeline {
     val gated = deduped.join(quality, idCol)
 
     // 3. decontamination at the chosen strictness
-    val dirty = (decontamMode match {
-      case "overlap" =>
-        Curation.decontaminate(gated, benchmark, idCol, textCol, decontamK)
-          .select(col("doc_id").as(idCol))
-      case "fuzzy" =>
-        Curation.decontaminateFuzzy(gated, benchmark, idCol, textCol,
-            k = decontamK)
-          .select(col("doc_id").as(idCol))
-      case "exact" =>
-        Curation.decontaminateExact(gated, benchmark, idCol, textCol)
-          .select(col(idCol))
-      case other => throw new IllegalArgumentException(
-        s"decontamMode must be overlap|fuzzy|exact, got '$other'")
-    }).distinct()
+    val dirty = dirtyIds(gated, benchmark, idCol, textCol, decontamK,
+      decontamMode)
     val clean = gated.join(dirty, Seq(idCol), "left_anti")
 
+    // 3b. optional per-source quota over the clean docs
+    val quotad = quotaPerSource match {
+      case None => clean
+      case Some(k) =>
+        Curation.groupQuota(clean, idCol, sourceCol, k).drop("rn")
+    }
+
     // 4. leak-safe split; 5. pack the train split
-    val split = clean.withColumn("split", Curation.split(col(textCol)))
+    val split = quotad.withColumn("split", Curation.split(col(textCol)))
     val train = split.filter(col("split") === "train")
     val packed = Curation.packSequences(train, idCol, textCol, sourceCol,
       seqLen)
@@ -84,6 +108,7 @@ object CurationPipeline {
     val report = Seq(
       Report("input", docs.count()), Report("deduped", deduped.count()),
       Report("quality", gated.count()), Report("decontaminated", clean.count()),
+      Report("quota", quotad.count()),
       Report("train", train.count()), Report("packed_spans", packed.count()))
     (packed, report)
   }
