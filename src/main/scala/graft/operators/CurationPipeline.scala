@@ -73,8 +73,37 @@ object CurationPipeline {
       minTokens: Int = 10, decontamK: Int = 5,
       seqLen: Long = 256L, decontamMode: String = "overlap",
       quotaPerSource: Option[Int] = None): (DataFrame, Seq[Report]) = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+    val st = stages(docs, benchmark, idCol, textCol, sourceCol, minChars,
+      minTokens, decontamK, seqLen, decontamMode, quotaPerSource)
+    val report = Seq(
+      Report("input", docs.count()), Report("deduped", st.deduped.count()),
+      Report("quality", st.gated.count()),
+      Report("decontaminated", st.clean.count()),
+      Report("quota", st.quotad.count()),
+      Report("train", st.train.count()),
+      Report("packed_spans", st.packed.count()))
+    (st.packed, report)
+  }
+
+  /** [[curate]] without the per-stage counts — the same packed-train
+    * DataFrame as one lazy plan (the form a registered query or a
+    * downstream pipeline composes; counting every stage forces five
+    * extra jobs a production run doesn't want). */
+  def curatePacked(docs: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, minChars: Int = 100,
+      minTokens: Int = 10, decontamK: Int = 5,
+      seqLen: Long = 256L, decontamMode: String = "overlap",
+      quotaPerSource: Option[Int] = None): DataFrame =
+    stages(docs, benchmark, idCol, textCol, sourceCol, minChars,
+      minTokens, decontamK, seqLen, decontamMode, quotaPerSource).packed
+
+  private final case class Stages(deduped: DataFrame, gated: DataFrame,
+    clean: DataFrame, quotad: DataFrame, train: DataFrame, packed: DataFrame)
+
+  private def stages(docs: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, minChars: Int,
+      minTokens: Int, decontamK: Int, seqLen: Long, decontamMode: String,
+      quotaPerSource: Option[Int]): Stages = {
 
     // 1. exact dedup: keep the minimum-id representative of each hash
     val keep = Dedup.exact(docs, idCol, textCol)
@@ -105,11 +134,6 @@ object CurationPipeline {
     val packed = Curation.packSequences(train, idCol, textCol, sourceCol,
       seqLen)
 
-    val report = Seq(
-      Report("input", docs.count()), Report("deduped", deduped.count()),
-      Report("quality", gated.count()), Report("decontaminated", clean.count()),
-      Report("quota", quotad.count()),
-      Report("train", train.count()), Report("packed_spans", packed.count()))
-    (packed, report)
+    Stages(deduped, gated, clean, quotad, train, packed)
   }
 }

@@ -191,6 +191,21 @@ object CurationQueries {
       Curation.packSequences(Tables(s, dir, "documents"),
         "doc_id", "text", "source", 256L)
     },
+    // The FULL curation pipeline as one oracle-checked composition:
+    // dedup → quality gate → overlap decontamination vs the doc_id<50
+    // benchmark → per-source quota (15) → hash split → train-side
+    // 256-token sequence packing. Each stage is oracle-checked alone
+    // elsewhere; this row proves the COMPOSITION (stage order, column
+    // threading, join semantics between stages) end to end.
+    "cur_pipeline_packed" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      CurationPipeline.curatePacked(
+        docs.filter(col("doc_id") >= 50).select("doc_id", "text", "source"),
+        docs.filter(col("doc_id") < 50),
+        "doc_id", "text", "source", minChars = 50, minTokens = 5,
+        decontamK = 5, seqLen = 256L, decontamMode = "overlap",
+        quotaPerSource = Some(15))
+    },
     // Temperature-flattened domain mixing (α = 1/2) over the source
     // family (leading digit of the source id — src1 + src10..src19 form
     // one 11×-oversized family): each family keeps ~sqrt(n_d/n_max) of
@@ -414,6 +429,73 @@ object CurationQueries {
         |         ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
         |    END AS n_tokens
         |   FROM documents) t0
+        |  WHERE n_tokens > 0) t1) t2""".stripMargin,
+    // the stage-oracle fragments composed in pipeline order — dedup
+    // (min-id per md5), quality (50/5/50‰), overlap 5-gram decontam vs
+    // doc_id<50, quota 15/source, md5 split, train-side 256 packing
+    "cur_pipeline_packed" ->
+      """WITH train0 AS (
+        | SELECT doc_id, text, source FROM documents WHERE doc_id >= 50),
+        |keep AS (
+        | SELECT MIN(doc_id) AS doc_id FROM train0 GROUP BY md5(text)),
+        |dd AS (SELECT t.* FROM train0 t JOIN keep USING (doc_id)),
+        |q AS (
+        | SELECT doc_id FROM (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
+        |   CASE WHEN length(trim(text)) = 0 THEN 0
+        |        ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |   END AS nt,
+        |   CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |        AS BIGINT) AS np
+        |  FROM dd) t
+        | WHERE nc >= 50 AND nt >= 5 AND np * 1000 <= nc * 50),
+        |g AS (SELECT dd.* FROM dd JOIN q USING (doc_id)),
+        |gsh AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(t) < 5 THEN []
+        |        ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |              || ' ' || t[i+4] for i in range(1, len(t) - 3)] END)) AS s
+        | FROM (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM g) t0),
+        |bsh AS (
+        | SELECT DISTINCT s FROM (
+        |  SELECT unnest(list_distinct(
+        |   CASE WHEN len(t) < 5 THEN []
+        |        ELSE [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |              || ' ' || t[i+4] for i in range(1, len(t) - 3)] END)) AS s
+        |  FROM (
+        |   SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |   FROM documents WHERE doc_id < 50) t0) t1),
+        |dirty AS (SELECT DISTINCT doc_id FROM gsh JOIN bsh USING (s)),
+        |clean AS (
+        | SELECT g.* FROM g WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        |quota AS (
+        | SELECT doc_id, text, source FROM (
+        |  SELECT clean.*,
+        |   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM clean) t WHERE rn <= 15),
+        |tr AS (
+        | SELECT * FROM quota
+        | WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < 80)
+        |SELECT source, doc_id, seq_id,
+        | GREATEST(tok_start, seq_id * 256) - tok_start AS tok_from,
+        | LEAST(tok_end, (seq_id + 1) * 256) - tok_start AS tok_to
+        |FROM (
+        | SELECT source, doc_id, tok_end - n_tokens AS tok_start, tok_end,
+        |  unnest(range((tok_end - n_tokens) // 256, (tok_end - 1) // 256 + 1))
+        |   AS seq_id
+        | FROM (
+        |  SELECT source, doc_id, n_tokens,
+        |   CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS tok_end
+        |  FROM (
+        |   SELECT source, doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    END AS n_tokens
+        |   FROM tr) t0
         |  WHERE n_tokens > 0) t1) t2""".stripMargin,
     "cur_temperature_mix" ->
       """WITH d AS (
