@@ -91,38 +91,58 @@ object HybridQueries {
     * embedding for the dense side, their text for the lexical side),
     * corpus is ids >= 10 — the `documents`/`embeddings` tables share
     * the id space by construction. Top-20 per side, RRF top-10 out. */
-  private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir, "embeddings")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+
+  private def lexicalTop(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    bm25TopK(
+      docs.filter(col("doc_id") < 10),
+      docs.filter(col("doc_id") >= 10), k = 20)
+  }
+
+  private def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
     val dense = Similarity.bruteForceTopK(
-        emb.filter(col("vec_id") < 10)
+        e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("v").as("va")),
-        emb.filter(col("vec_id") >= 10)
+        e.filter(col("vec_id") >= 10)
           .select(col("vec_id").as("neighbor_id"), col("v").as("vb")),
         k = 20)
       .withColumnRenamed("neighbor_id", "doc_id")
-    val docs = Tables(s, dir, "documents")
-    val lexical = bm25TopK(
-      docs.filter(col("doc_id") < 10),
-      docs.filter(col("doc_id") >= 10), k = 20)
-    rrfFuse(dense, lexical, k = 10)
+    rrfFuse(dense, lexicalTop(s, dir), k = 10)
+  }
+
+  /** The scale form: dense side = the IVF bucket probe over the shared
+    * coarse-quantizer stages (what `searchIndex` serves at 10⁹
+    * vectors) instead of the brute-force scan — fusion, lexical side
+    * and output contract unchanged. The candidate set is the query's
+    * centroid bucket, so the dense ranking is approximate (fewer than
+    * 20 in-bucket neighbors is normal) and RRF degrades gracefully:
+    * docs missing from one list just score 0 from that side. */
+  private def hybridRrfIvf(s: SparkSession, dir: String): DataFrame = {
+    val assign = SimilarityQueries.sharedStages(s, dir)._2
+    val v = emb(s, dir).join(assign, "vec_id")
+    val dense = Similarity.ivfTopK(
+        v.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("va"), col("centroid")),
+        v.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("centroid")),
+        k = 20)
+      .withColumnRenamed("neighbor_id", "doc_id")
+    rrfFuse(dense, lexicalTop(s, dir), k = 10)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_hybrid_rrf" -> { (s, dir) => hybridRrf(s, dir) })
+    "text_hybrid_rrf" -> { (s, dir) => hybridRrf(s, dir) },
+    "text_hybrid_rrf_ivf" -> { (s, dir) => hybridRrfIvf(s, dir) })
 
-  val oracles: Map[String, String] = Map(
-    "text_hybrid_rrf" ->
-      """WITH dense AS (
-        | SELECT query_id, doc_id, rnk AS rnk_d FROM (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-        |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
-        |     ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                                     CAST(c.embedding AS DOUBLE[])) DESC,
-        |              c.vec_id) AS rnk
-        |  FROM embeddings q, embeddings c
-        |  WHERE q.vec_id < 10 AND c.vec_id >= 10) t WHERE rnk <= 20),
-        |ctoks AS (
+  /** Lexical + fusion oracle fragments, shared by both hybrid variants
+    * so the BM25/RRF SQL cannot drift between them; only the `dense`
+    * CTE differs (brute-force scan vs IVF bucket probe). */
+  private val lexAndFuseSql: String =
+      """ctoks AS (
         | SELECT doc_id, w FROM (
         |  SELECT doc_id,
         |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
@@ -170,5 +190,53 @@ object HybridQueries {
         | SELECT query_id, doc_id, rrf_q,
         |  ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY rrf_q DESC, doc_id) AS rnk
-        | FROM fused) t WHERE rnk <= 10""".stripMargin)
+        | FROM fused) t WHERE rnk <= 10""".stripMargin
+
+  private val denseExactSql: String =
+    """dense AS (
+      | SELECT query_id, doc_id, rnk AS rnk_d FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+      |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |     ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                     CAST(c.embedding AS DOUBLE[])) DESC,
+      |              c.vec_id) AS rnk
+      |  FROM embeddings q, embeddings c
+      |  WHERE q.vec_id < 10 AND c.vec_id >= 10) t WHERE rnk <= 20)""".stripMargin
+
+  // the sim_ann_ivf pipeline (rounded per-label mean centroids → argmin
+  // assignment → same-bucket probe) ranked to top-20
+  private val denseIvfSql: String =
+    """m AS (
+      | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
+      |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+      |   CAST(unnest(embedding) AS DOUBLE) AS val
+      |  FROM embeddings) t GROUP BY 1, 2),
+      |cent AS (
+      | SELECT label AS c_label, list(m ORDER BY dim) AS c FROM m GROUP BY label),
+      |cent2 AS (
+      | SELECT c_label, c,
+      |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
+      | FROM cent),
+      |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |assign AS (
+      | SELECT vec_id, c_label AS centroid FROM (
+      |  SELECT vec_id, c_label,
+      |   ROW_NUMBER() OVER (PARTITION BY vec_id
+      |     ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
+      |  FROM v, cent2) t WHERE rn = 1),
+      |dense AS (
+      | SELECT query_id, doc_id, rnk AS rnk_d FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+      |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |     ORDER BY list_cosine_similarity(qv.v, cv.v) DESC, c.vec_id) AS rnk
+      |  FROM assign q
+      |  JOIN assign c ON q.centroid = c.centroid
+      |  JOIN v qv ON qv.vec_id = q.vec_id
+      |  JOIN v cv ON cv.vec_id = c.vec_id
+      |  WHERE q.vec_id < 10 AND c.vec_id >= 10
+      | ) t WHERE rnk <= 20)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_hybrid_rrf" -> s"WITH $denseExactSql,\n$lexAndFuseSql",
+    "text_hybrid_rrf_ivf" -> s"WITH $denseIvfSql,\n$lexAndFuseSql")
 }

@@ -307,6 +307,21 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"cartesian in fusion:\n$plan")
   }
 
+  test("text_hybrid_rrf_ivf: the scale form's dense side is a centroid " +
+      "equi-join probe — no nested-loop join anywhere in the plan") {
+    val plan = planOf("text_hybrid_rrf_ivf")
+    assert("TopKPerKey".r.findAllIn(plan).size >= 2,
+      s"rank prunes not on the bounded heap:\n$plan")
+    assert(plan.contains("FullOuter"), s"fusion join missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    // unlike the brute-force twin, the dense candidate stage is a
+    // centroid equi-join (bucket probe), not a query×corpus scan — the
+    // only nested-loop joins left are the one-row corpus-stat broadcasts
+    assert(plan.linesIterator.exists(l =>
+      l.matches(".*(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*centroid.*")),
+      s"dense probe not centroid-equi-keyed:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // One key owns ~90% of the fact rows; with the skew thresholds scaled
     // to fixture size, AQE's runtime re-plan must split that partition
