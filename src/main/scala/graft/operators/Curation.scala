@@ -58,6 +58,47 @@ object Curation {
         col("n_punct") * 1000 <= col("n_chars_f") * maxPunctPerMille)
   }
 
+  /** Hashed bag-of-words linear quality model — the full *plumbing* of
+    * a fastText-style learned quality filter: tokens hash to
+    * `numFeatures` buckets, per-doc bucket counts dot a broadcast
+    * weight vector, and the normalized logit maps through a sigmoid to
+    * a quality score in [0, 1] (quantized to ppm so the gate hashes
+    * exactly). The weights here are a DETERMINISTIC STUB (a Knuth-hash
+    * ramp over the bucket id — there is no model training in this
+    * sandbox, same policy as the multimodal decode stubs); production
+    * swaps the generated `weights` table for exported model weights and
+    * nothing else changes.
+    *
+    * Scale shape: one narrow tokenize+hash pass, one partial-aggregated
+    * (doc, bucket) count shuffle, a broadcast join against the
+    * numFeatures-row weight table, one per-doc sum. The weight table
+    * never exceeds numFeatures rows no matter the corpus.
+    * Output `(doc_id, n_toks, raw_dot, score_q, pass)`, all integers. */
+  def modelQualityScore(docs: DataFrame, idCol: String, textCol: String,
+      numFeatures: Int = 1024, threshold: Int = 500000): DataFrame = {
+    val spark = docs.sparkSession
+    val weights = spark.range(numFeatures.toLong).toDF("bucket")
+      .withColumn("wgt", (col("bucket") * 2654435761L) % 1001L - 500L)
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(org.apache.spark.sql.functions.split(
+          lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("bucket", hashBucket(col("w"), numFeatures))
+    val feats = toks.groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("tf"))
+    feats.join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_toks"),
+        sum(col("tf") * col("wgt")).as("raw_dot"))
+      .withColumn("score_q", expr(
+        """cast(floor(
+          |  1.0d / (1.0d + exp(-(cast(raw_dot as double)
+          |                       / (1000.0d * n_toks))))
+          |  * 1e6 + 0.5d) as bigint)""".stripMargin))
+      .withColumn("pass",
+        when(col("score_q") >= threshold, 1L).otherwise(0L))
+  }
+
   /** Per-group quota sampling: keep the k lowest-id docs per group —
     * deterministic source balancing. One shuffle keyed by the group;
     * each group's window state is bounded because rows past the quota

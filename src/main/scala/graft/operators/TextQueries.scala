@@ -82,6 +82,14 @@ object TextQueries {
         q.getField("n_upper").as("n_upper"),
         q.getField("n_spaces").as("n_spaces"))
     },
+    // Model-based quality scoring — the hashed-BoW linear-classifier
+    // plumbing ([[Curation.modelQualityScore]]; stub weights, real
+    // feature pipeline): tokens → 1024 hash buckets → broadcast weight
+    // dot → sigmoid ppm score → pass gate at 0.5.
+    "text_quality_model" -> { (s, dir) =>
+      Curation.modelQualityScore(Tables(s, dir, "documents"),
+        "doc_id", "text")
+    },
     "text_langid" -> { (s, dir) =>
       val padded = concat(lit(" "), lower(col("text")), lit(" "))
       val Seq(sEn, sEs, sDe, sFr) = TextAnalysis.DefaultProfiles
@@ -394,6 +402,38 @@ object TextQueries {
         | CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
         | CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_spaces
         |FROM documents""".stripMargin,
+    // identical stub-weight ramp, hash-bucketing and sigmoid operation
+    // sequence as the Spark side (exp/ln cross-engine agreement follows
+    // the text_bm25 precedent)
+    "text_quality_model" ->
+      """WITH toks AS (
+        | SELECT doc_id, w FROM (
+        |  SELECT doc_id,
+        |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents) t WHERE strlen(w) > 0),
+        |tk AS (
+        | SELECT doc_id,
+        |  ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS bucket
+        | FROM toks),
+        |feats AS (
+        | SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+        | FROM tk GROUP BY 1, 2),
+        |wgts AS (
+        | SELECT CAST(b AS BIGINT) AS bucket,
+        |  (b * 2654435761) % 1001 - 500 AS wgt
+        | FROM (SELECT unnest(range(1024)) AS b) t),
+        |agg AS (
+        | SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_toks,
+        |  CAST(SUM(tf * wgt) AS BIGINT) AS raw_dot
+        | FROM feats JOIN wgts USING (bucket) GROUP BY 1)
+        |SELECT doc_id, n_toks, raw_dot, score_q,
+        | CAST(CASE WHEN score_q >= 500000 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM (
+        | SELECT doc_id, n_toks, raw_dot,
+        |  CAST(FLOOR(1.0 / (1.0 + exp(-(CAST(raw_dot AS DOUBLE)
+        |                                / (1000.0 * n_toks))))
+        |       * 1e6 + 0.5) AS BIGINT) AS score_q
+        | FROM agg) t""".stripMargin,
     "text_langid" -> langidSql,
     // Prediction vs the corpus's ground-truth lang column, as a
     // confusion-matrix count — the audit that decides whether the

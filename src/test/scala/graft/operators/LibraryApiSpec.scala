@@ -704,4 +704,29 @@ class LibraryApiSpec extends SparkTestBase {
     assert(Curation.epochMix(docs, "doc_id", "src", "text",
       Map("hot" -> 2300, "cold" -> 250)).count() == out.count())
   }
+
+  test("Curation.modelQualityScore: deterministic stub-weight scorer; " +
+      "scores bounded in [0, 1e6]; numFeatures bounds the weight table") {
+    val docs = graft.Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 50)
+    val out = Curation.modelQualityScore(docs, "doc_id", "text",
+      numFeatures = 64)
+    val rows = out.collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val (nToks, scoreQ, pass) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(nToks > 0)
+      assert(scoreQ >= 0L && scoreQ <= 1000000L, s"score out of range: $r")
+      assert(pass == (if (scoreQ >= 500000L) 1L else 0L))
+    }
+    // pure function of content: a rerun is bit-identical
+    val again = Curation.modelQualityScore(docs, "doc_id", "text",
+      numFeatures = 64).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // coarser hash space changes scores (the knob is live), same schema
+    val coarse = Curation.modelQualityScore(docs, "doc_id", "text",
+      numFeatures = 8)
+    assert(coarse.columns.toSeq == out.columns.toSeq)
+    assert(coarse.count() == 50)
+  }
 }
