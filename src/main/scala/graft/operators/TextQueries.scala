@@ -82,6 +82,28 @@ object TextQueries {
         q.getField("n_upper").as("n_upper"),
         q.getField("n_spaces").as("n_spaces"))
     },
+    // Vocabulary build + corpus encode — the tokenization-prep step of
+    // a training pipeline: top-256 tokens by corpus frequency (ties on
+    // the token string) become ids 1..256, every corpus token position
+    // encodes to its id with OOV → 0. Scale shape: one token shuffle
+    // for counts, the vocab via TakeOrderedAndProject (distributed
+    // heap, no global sort; the rank window runs over the 256-row
+    // LIMIT result — whitelisted bounded input), then the encode is a
+    // narrow broadcast join over the token stream.
+    "text_vocab_encode" -> { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+      val top = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(256)
+      val vocab = top.withColumn("tok_id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("w")))
+          .cast("long"))
+      toks.join(broadcast(vocab.select("w", "tok_id")), Seq("w"), "left")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          coalesce(col("tok_id"), lit(0L)).as("tok_id"))
+    },
     // Model-based quality scoring — the hashed-BoW linear-classifier
     // plumbing ([[Curation.modelQualityScore]]; stub weights, real
     // feature pipeline): tokens → 1024 hash buckets → broadcast weight
@@ -402,6 +424,20 @@ object TextQueries {
         | CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
         | CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_spaces
         |FROM documents""".stripMargin,
+    "text_vocab_encode" ->
+      """WITH toks AS (
+        | SELECT doc_id, CAST(unnest(range(len(t))) AS BIGINT) AS pos,
+        |  unnest(t) AS w
+        | FROM (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents) t0),
+        |toks2 AS (SELECT * FROM toks WHERE strlen(w) > 0),
+        |vocab AS (
+        | SELECT w, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS tok_id FROM (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks2 GROUP BY 1
+        |  ORDER BY cnt DESC, w LIMIT 256) t)
+        |SELECT doc_id, pos, CAST(COALESCE(v.tok_id, 0) AS BIGINT) AS tok_id
+        |FROM toks2 LEFT JOIN vocab v USING (w)""".stripMargin,
     // identical stub-weight ramp, hash-bucketing and sigmoid operation
     // sequence as the Spark side (exp/ln cross-engine agreement follows
     // the text_bm25 precedent)

@@ -561,4 +561,49 @@ class StreamingSpec extends SparkTestBase {
     assert(byStage("quota") < byStage("decontaminated"))
     assert(!got.exists(_(1) == 90001L))
   }
+
+  test("streaming curation survives a restart: a NEW curator instance on " +
+      "the same state dirs continues bit-identically (state is durable, " +
+      "not in-process)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val bench = docs.filter(col("doc_id") < 50)
+    val all = docs.filter(col("doc_id") >= 50)
+      .select("doc_id", "text", "source")
+    val rows = all.orderBy("doc_id").as[(Long, String, String)].collect()
+    val (firstHalf, secondHalf) = rows.splitAt(rows.length / 2)
+    val tmp = java.nio.file.Files.createTempDirectory("cur_restart").toString
+    def mkCurator() = new graft.streaming.StreamingCuration(
+      bench, s"$tmp/out", s"$tmp/state", "doc_id", "text", "source",
+      minChars = 50, minTokens = 5, quotaPerSource = Some(15))
+    def drive(curator: graft.streaming.StreamingCuration,
+        batch: Array[(Long, String, String)], ckpt: String): Unit = {
+      val stream = MemoryStream[(Long, String, String)]
+      val q = stream.toDF().toDF("doc_id", "text", "source")
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          curator.processBatch(b, id))
+        .option("checkpointLocation", s"$tmp/$ckpt")
+        .start()
+      try { stream.addData(batch.toIndexedSeq); q.processAllAvailable() }
+      finally q.stop()
+    }
+    // first "process": one batch, then the curator object is discarded
+    drive(mkCurator(), firstHalf, "ckpt1")
+    // simulated restart: a fresh instance must pick up hash/quota/offset
+    // state from disk alone
+    drive(mkCurator(), secondHalf, "ckpt2")
+    val cols = Seq("source", "doc_id", "seq_id", "tok_from", "tok_to")
+    val got = spark.read.parquet(s"$tmp/out")
+      .select(cols.map(col): _*).orderBy(cols.map(col): _*)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.operators.CurationPipeline.curatePacked(
+        all, bench, "doc_id", "text", "source",
+        minChars = 50, minTokens = 5, quotaPerSource = Some(15))
+      .select(cols.map(col): _*).orderBy(cols.map(col): _*)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want,
+      s"restart divergence: ${got.length} vs ${want.length} spans")
+  }
 }
