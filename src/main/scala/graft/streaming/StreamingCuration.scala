@@ -124,4 +124,34 @@ final class StreamingCuration(
   /** The accumulated packed output so far. */
   def packedSoFar(spark: SparkSession): DataFrame =
     spark.read.parquet(outDir)
+
+  /** Fold the append-only state down to one file set per dir. Every
+    * batch appends a file set to each state dir, so after N batches a
+    * state read plans N files — harmless for tens of batches, file-
+    * listing-bound for thousands (the same pressure `compactIndex`
+    * relieves for tombstones). Folding is semantics-free: hashes
+    * dedupe, quota/offset deltas sum (reads aggregate them anyway, so
+    * pre-summing changes file counts, not results). Same write-then-
+    * swap discipline as `Similarity.compactIndex`, and the same
+    * QUIESCE contract: run between batches, not during one. */
+  def compactState(spark: SparkSession): Unit = {
+    def fold(dir: String)(agg: DataFrame => DataFrame): Unit =
+      if (new java.io.File(dir).exists()) {
+        val tmp = s"$dir.compact"
+        agg(spark.read.parquet(dir)).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val (d, t) = (new java.io.File(dir), new java.io.File(tmp))
+        val old = new java.io.File(s"$dir.old")
+        if (!d.renameTo(old)) sys.error(s"compactState: cannot swap $dir")
+        if (!t.renameTo(d)) { old.renameTo(d)
+          sys.error(s"compactState: cannot promote $tmp") }
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
+        rm(old)
+      }
+    fold(hashesDir)(_.distinct())
+    fold(quotaDir)(_.groupBy(sourceCol).agg(sum("n").as("n")))
+    fold(offsetsDir)(_.groupBy(sourceCol)
+      .agg(sum("tok_delta").as("tok_delta")))
+  }
 }

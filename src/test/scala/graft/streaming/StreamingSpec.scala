@@ -591,6 +591,9 @@ class StreamingSpec extends SparkTestBase {
     }
     // first "process": one batch, then the curator object is discarded
     drive(mkCurator(), firstHalf, "ckpt1")
+    // state maintenance between processes: folding the per-batch state
+    // appends to one file set per dir must be semantics-free
+    mkCurator().compactState(spark)
     // simulated restart: a fresh instance must pick up hash/quota/offset
     // state from disk alone
     drive(mkCurator(), secondHalf, "ckpt2")
