@@ -322,6 +322,28 @@ class PlanSpec extends SparkTestBase {
       s"dense probe not centroid-equi-keyed:\n$plan")
   }
 
+  test("text_vocab_encode: vocab via distributed heap (TakeOrdered), " +
+      "encode via broadcast join — token stream never globally sorted") {
+    val plan = planOf("text_vocab_encode")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab not on the distributed heap:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"encode join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join in the encode:\n$plan")
+  }
+
+  test("text_quality_model: feature counts partial-aggregate; weight " +
+      "table joins broadcast; scan reads only doc_id+text") {
+    val plan = planOf("text_quality_model")
+    assert(plan.contains("partial_count"), s"no partial aggregation:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weights not broadcast:\n$plan")
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.exists(r => r.contains("doc_id") && !r.contains("lang")),
+      s"documents scan not pruned:\n${reads.mkString("\n")}")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
     // One key owns ~90% of the fact rows; with the skew thresholds scaled
     // to fixture size, AQE's runtime re-plan must split that partition
