@@ -56,7 +56,14 @@ object Bench {
     // the k passes per query run back-to-back so each query's min sees
     // the same ambient load window
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // dev-iteration filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the
+    // run (comma-separated names); unset/empty = the full surface
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
       val passes = (1 to k).map(_ => timeOnce(fn))
       passes.collectFirst { case Left(err) => err } match {
         case Some(err) =>
