@@ -65,6 +65,40 @@ object GraphQueries {
     })
   }
 
+  /** Unweighted supplier co-purchase graph: an undirected edge `u<v`
+    * per supplier pair that appears together in at least 3 distinct
+    * orders. The pair-generation join is keyed by `l_orderkey`, so its
+    * fan-out is bounded per order by the order's distinct-supplier
+    * count (≤7 lineitems per TPC-H order; a general corpus would cap
+    * or salt heavy groups the way [[Dedup]] caps LSH buckets) — never
+    * all-pairs over suppliers. The ≥3 support threshold thins the
+    * graph the way production co-occurrence graphs drop noise edges
+    * before any triangle/similarity pass. Persisted per (session, dir)
+    * and shared by the triangle and Jaccard queries. */
+  private val coCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    coCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    coCache.getOrElseUpdate((s, dir), {
+      val os = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sp")).distinct()
+      os.as("a").join(os.as("b"),
+          col("a.ok") === col("b.ok") && col("a.sp") < col("b.sp"))
+        .groupBy(col("a.sp").as("u"), col("b.sp").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 3)
+        .select("u", "v").persist()
+    })
+  }
+
+  /** Symmetric adjacency (node, nbr) of [[coPurchaseEdges]]. */
+  private def coAdj(s: SparkSession, dir: String): DataFrame = {
+    val und = coPurchaseEdges(s, dir)
+    und.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+  }
+
   /** One damped power-iteration step over the prepared edge list. */
   private def prStep(edges: DataFrame, ranks: DataFrame): DataFrame =
     edges.join(ranks, col("src") === col("node"))
@@ -94,6 +128,63 @@ object GraphQueries {
           sum("w").as("strength"))
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"),
           sum("strength").as("total_strength"))
+    },
+    // Per-node triangle counts over the co-purchase graph via DEGREE-
+    // ORDERED ORIENTATION — the standard wedge-bounding trick: orient
+    // every undirected edge from the (degree, id)-smaller endpoint to
+    // the larger, so the wedge self-join's fan-out per node is its
+    // ORIENTED out-degree (O(√m) on power-law graphs, vs the raw hub
+    // degree an unoriented wedge join would pay). Each triangle is
+    // generated exactly once (its unique (deg,id)-minimal apex), then
+    // exploded to its three corners for per-node counts. No windows,
+    // no relabeling pass: the orientation comparator carries the
+    // destination degree on each edge and compares (ddeg, dst)
+    // lexicographically, so everything is equi-joins + one aggregate.
+    "graph_triangle_count" -> { (s, dir) =>
+      val und = coPurchaseEdges(s, dir)
+      val deg = coAdj(s, dir).groupBy("node").agg(count(lit(1)).as("d"))
+      val withDeg = und
+        .join(deg.select(col("node").as("du_n"), col("d").as("du")), col("u") === col("du_n"))
+        .join(deg.select(col("node").as("dv_n"), col("d").as("dv")), col("v") === col("dv_n"))
+      // und already has u<v, so on a degree tie the id order breaks it:
+      // du<=dv orients u→v, otherwise v→u.
+      val oriented = withDeg.select(
+        when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("dst"),
+        when(col("du") <= col("dv"), col("dv")).otherwise(col("du")).as("ddeg"))
+      val e1 = oriented.as("e1"); val e2 = oriented.as("e2"); val e3 = oriented.as("e3")
+      val wedges = e1.join(e2, col("e1.src") === col("e2.src") &&
+        (col("e1.ddeg") < col("e2.ddeg") ||
+          (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+      val tri = wedges.join(e3,
+          col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+        .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    },
+    // Link prediction: top-20 supplier pairs by neighbor-set Jaccard.
+    // Common-neighbor counts come from one wedge join on the shared
+    // neighbor (fan-out deg(n)² per neighbor — production would
+    // degree-orient or cap hubs exactly like the triangle query; the
+    // support-thresholded graph keeps it bounded here), then one join
+    // to the degree table and integer cross-multiplied Jaccard
+    // (inter·10⁶ div union) so the oracle hash-matches bit-for-bit.
+    // Deterministic top-20: ORDER BY (jacc_micro DESC, a, b) is a
+    // total order → TakeOrderedAndProject, no global sort.
+    "graph_jaccard_topk" -> { (s, dir) =>
+      val adj = coAdj(s, dir)
+      val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
+      val common = adj.as("x").join(adj.as("y"),
+          col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+        .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+        .agg(count(lit(1)).as("inter"))
+      common
+        .join(deg.select(col("node").as("da_n"), col("d").as("deg_a")), col("a") === col("da_n"))
+        .join(deg.select(col("node").as("db_n"), col("d").as("deg_b")), col("b") === col("db_n"))
+        .select(col("a"), col("b"), col("inter"), col("deg_a"), col("deg_b"),
+          expr("inter * 1000000 div (deg_a + deg_b - inter)").as("jacc_micro"))
+        .orderBy(col("jacc_micro").desc, col("a"), col("b"))
+        .limit(20)
     })
 
   private val edgeCtes =
@@ -108,6 +199,17 @@ object GraphQueries {
       |ew AS (
       | SELECT src, dst, w, SUM(w) OVER (PARTITION BY src) AS outw
       | FROM edges)""".stripMargin
+
+  private val coCtes =
+    """ord_supp AS (
+      | SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sp FROM lineitem),
+      |und AS (
+      | SELECT a.sp AS u, b.sp AS v
+      | FROM ord_supp a JOIN ord_supp b ON a.ok = b.ok AND a.sp < b.sp
+      | GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |adj AS (SELECT u AS node, v AS nbr FROM und
+      |        UNION ALL SELECT v, u FROM und),
+      |deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" ->
@@ -137,5 +239,37 @@ object GraphQueries {
         |FROM (
         | SELECT src, COUNT(*) AS degree, SUM(w) AS strength
         | FROM ew GROUP BY src) t
-        |GROUP BY degree""".stripMargin)
+        |GROUP BY degree""".stripMargin,
+    "graph_triangle_count" ->
+      s"""WITH $coCtes,
+        |wdeg AS (
+        | SELECT u, v, du.d AS du, dv.d AS dv
+        | FROM und JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v),
+        |ori AS (
+        | SELECT CASE WHEN du <= dv THEN u ELSE v END AS src,
+        |        CASE WHEN du <= dv THEN v ELSE u END AS dst,
+        |        CASE WHEN du <= dv THEN dv ELSE du END AS ddeg
+        | FROM wdeg),
+        |tri AS (
+        | SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        | FROM ori e1
+        | JOIN ori e2 ON e1.src = e2.src
+        |  AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+        | JOIN ori e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |FROM (SELECT a AS node FROM tri
+        |      UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri) corners
+        |GROUP BY node""".stripMargin,
+    "graph_jaccard_topk" ->
+      s"""WITH $coCtes,
+        |common AS (
+        | SELECT x.node AS a, y.node AS b, COUNT(*) AS inter
+        | FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        | GROUP BY 1, 2)
+        |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+        | CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
+        | CAST(inter * 1000000 // (da.d + db.d - inter) AS BIGINT) AS jacc_micro
+        |FROM common JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+        |ORDER BY jacc_micro DESC, a, b LIMIT 20""".stripMargin)
 }

@@ -297,6 +297,23 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     topK(corpus.join(broadcast(queries), Seq("centroid")), k)
 
+  /** Radius (range) search: every corpus vector with cosine ≥ `tau` of
+    * a query, probing only the query's centroid bucket — the threshold
+    * twin of [[ivfTopK]] for "find ALL matches above a similarity bar"
+    * workloads (near-duplicate harvesting, retrieval recall audits)
+    * where a fixed k would truncate dense neighborhoods. Same shapes:
+    * query side `(query_id, va, centroid)` broadcasts, corpus side
+    * `(neighbor_id, vb, centroid)` scans once; the bucket equi-join
+    * bounds the candidate set per bucket, and the cosine filter is a
+    * codegen'd per-row predicate — no rank window at all, so unlike
+    * top-k the output needs no per-query state anywhere. Result-set
+    * size is data-dependent by design; callers bound it with `tau`,
+    * not k. */
+  def ivfRangeSearch(queries: DataFrame, corpus: DataFrame, tau: Double): DataFrame =
+    corpus.join(broadcast(queries), Seq("centroid"))
+      .filter(cosine_sim(col("va"), col("vb")) >= tau)
+      .select("query_id", "neighbor_id")
+
   /** The result of [[ivfTopKWithRecall]]: the full search at the chosen
     * probe count, the count itself, and the recall measured on the
     * held-out sample that selected it. */

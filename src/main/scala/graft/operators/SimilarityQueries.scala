@@ -169,6 +169,21 @@ object SimilarityQueries {
         .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("centroid"))
       Similarity.ivfTopK(q, c, k = 3)
     },
+    // Radius search: ALL in-bucket corpus vectors with cosine >= 0.3 of
+    // each query — the threshold twin of sim_ann_ivf (no k truncation,
+    // no rank window; one bucket equi-join + a codegen'd cosine
+    // predicate). The 0.3 bar clears both engines' float noise on this
+    // fixture (SimilaritySpec asserts the margin), so the pair set is
+    // oracle-exact.
+    "sim_range_search" -> { (s, dir) =>
+      val assign = sharedStages(s, dir)._2
+      val v = vecs(s, dir).join(assign, "vec_id")
+      val q = v.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("va"), col("centroid"))
+      val c = v.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("centroid"))
+      Similarity.ivfRangeSearch(q, c, tau = 0.3)
+    },
     // Multi-probe IVF: queries probe their 2 nearest buckets (corpus
     // stays single-assigned) — the standard recall-recovery knob for
     // vectors near bucket boundaries, at 2× bounded probe cost.
@@ -492,6 +507,32 @@ object SimilarityQueries {
         | JOIN v cv ON cv.vec_id = c.vec_id
         | WHERE q.vec_id < 10 AND c.vec_id >= 10
         |) t WHERE rnk <= 3""".stripMargin,
+    "sim_range_search" ->
+      """WITH m AS (
+        | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
+        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+        |   CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings) t GROUP BY 1, 2),
+        |cent AS (
+        | SELECT label AS c_label, list(m ORDER BY dim) AS c FROM m GROUP BY label),
+        |cent2 AS (
+        | SELECT c_label, c,
+        |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
+        | FROM cent),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assign AS (
+        | SELECT vec_id, c_label AS centroid FROM (
+        |  SELECT vec_id, c_label,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id
+        |     ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
+        |  FROM v, cent2) t WHERE rn = 1)
+        |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |FROM assign q
+        |JOIN assign c ON q.centroid = c.centroid
+        |JOIN v qv ON qv.vec_id = q.vec_id
+        |JOIN v cv ON cv.vec_id = c.vec_id
+        |WHERE q.vec_id < 10 AND c.vec_id >= 10
+        | AND list_cosine_similarity(qv.v, cv.v) >= 0.3""".stripMargin,
     // The sim_ann_ivf pipeline and the brute-force pipeline, joined into
     // a per-query hit count — recall@3 audit with all-integer outputs.
     "sim_recall_at_k" ->

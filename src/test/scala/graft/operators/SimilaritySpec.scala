@@ -72,6 +72,36 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("sim_range_search: exactly the in-bucket pairs with cosine >= 0.3, " +
+      "and the threshold clears float noise on the fixture") {
+    val e = Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val assign = SparkEntry.queries("ivf_assign")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0d; var na = 0d; var nb = 0d; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val expected = (for {
+      q <- e.keys if q < 10
+      c <- e.keys if c >= 10 && assign(q) == assign(c)
+      s = cos(e(q), e(c)) if s >= 0.3
+    } yield (q, c)).toSet
+    // every candidate pair's cosine sits well away from the 0.3 bar, so
+    // engine-order float drift cannot flip membership
+    val minMargin = (for {
+      q <- e.keys if q < 10
+      c <- e.keys if c >= 10 && assign(q) == assign(c)
+    } yield math.abs(cos(e(q), e(c)) - 0.3)).min
+    assert(minMargin > 1e-4, s"threshold margin too tight: $minMargin")
+    val got = SparkEntry.queries("sim_range_search")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("multi-probe IVF recall dominates single-probe (superset candidates)") {
     val brute = topk("sim_topk_bruteforce")
     def recall(m: Map[Long, Seq[Long]]): Int = m.map { case (q, ns) =>
