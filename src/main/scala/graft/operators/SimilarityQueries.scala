@@ -184,6 +184,36 @@ object SimilarityQueries {
         .select(col("vec_id").as("neighbor_id"), col("v").as("vb"), col("centroid"))
       Similarity.ivfRangeSearch(q, c, tau = 0.3)
     },
+    // 1-bit (sign) quantized ANN: pack each 64-dim vector's component
+    // signs into two 32-bit halves of BIGINTs and rank by Hamming
+    // distance (bit_count of xor) — the extreme compression point of
+    // the int8/PQ family (8 signature bytes vs 256 float bytes = 32×
+    // less scan IO; the standard first-pass filter before a float
+    // rerank). Halves stay below bit 31, so no engine differs on
+    // sign-bit shift semantics, and the whole ranking is integer
+    // arithmetic → exact oracle, no float-noise margins needed.
+    // Top-5 per query by (hamming asc, neighbor_id): same broadcast
+    // scan shape as sim_topk_bruteforce.
+    "sim_ann_hamming" -> { (s, dir) =>
+      val sig = vecs(s, dir).select(col("vec_id"),
+        expr("aggregate(sequence(0, 31), 0L, (a, i) -> a + " +
+          "IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i), 0L))").as("s1"),
+        expr("aggregate(sequence(32, 63), 0L, (a, i) -> a + " +
+          "IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i - 32), 0L))").as("s2"))
+      val q = sig.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("s1").as("q1"), col("s2").as("q2"))
+      val c = sig.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("s1").as("c1"), col("s2").as("c2"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("hamming"), col("neighbor_id"))
+      c.crossJoin(broadcast(q))
+        .withColumn("hamming",
+          (bit_count(col("q1").bitwiseXOR(col("c1"))) +
+            bit_count(col("q2").bitwiseXOR(col("c2")))).cast("long"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "hamming", "rnk")
+    },
     // Multi-probe IVF: queries probe their 2 nearest buckets (corpus
     // stays single-assigned) — the standard recall-recovery knob for
     // vectors near bucket boundaries, at 2× bounded probe cost.
@@ -507,6 +537,26 @@ object SimilarityQueries {
         | JOIN v cv ON cv.vec_id = c.vec_id
         | WHERE q.vec_id < 10 AND c.vec_id >= 10
         |) t WHERE rnk <= 3""".stripMargin,
+    "sim_ann_hamming" ->
+      """WITH sig AS (
+        | SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 32), i ->
+        |    CASE WHEN embedding[i + 1] >= 0 THEN (1::BIGINT << i)
+        |         ELSE 0::BIGINT END)) AS BIGINT) AS s1,
+        |  CAST(list_sum(list_transform(range(32, 64), i ->
+        |    CASE WHEN embedding[i + 1] >= 0 THEN (1::BIGINT << (i - 32))
+        |         ELSE 0::BIGINT END)) AS BIGINT) AS s2
+        | FROM embeddings)
+        |SELECT query_id, neighbor_id, hamming, rnk FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(bit_count(xor(q.s1, c.s1)) + bit_count(xor(q.s2, c.s2))
+        |       AS BIGINT) AS hamming,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |    ORDER BY bit_count(xor(q.s1, c.s1)) + bit_count(xor(q.s2, c.s2)),
+        |             c.vec_id) AS rnk
+        | FROM sig q, sig c
+        | WHERE q.vec_id < 10 AND c.vec_id >= 10
+        |) t WHERE rnk <= 5""".stripMargin,
     "sim_range_search" ->
       """WITH m AS (
         | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (

@@ -102,6 +102,24 @@ class SimilaritySpec extends SparkTestBase {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("sim_ann_hamming: 5 ranked rows per query, hamming non-decreasing " +
+      "in rank, and sign-bit recall beats chance against brute force") {
+    val rows = SparkEntry.queries("sim_ann_hamming")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q: ${rs.length} rows")
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.map(_._4).sameElements(1L to 5L))
+      assert(byRank.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+        s"query $q: hamming not monotone in rank")
+    }
+    val brute = topk("sim_topk_bruteforce")
+    val overlap = rows.count { case (q, n, _, _) => brute(q).contains(n) }
+    // random top-5 of ~490 would overlap ~0.5 of 50; sign bits carry
+    // real cosine signal, so demand clearly-above-chance agreement
+    assert(overlap >= 3, s"hamming/bruteforce overlap only $overlap of 50")
+  }
+
   test("multi-probe IVF recall dominates single-probe (superset candidates)") {
     val brute = topk("sim_topk_bruteforce")
     def recall(m: Map[Long, Seq[Long]]): Int = m.map { case (q, ns) =>
