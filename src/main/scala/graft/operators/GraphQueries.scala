@@ -65,38 +65,101 @@ object GraphQueries {
     })
   }
 
-  /** Unweighted supplier co-purchase graph: an undirected edge `u<v`
-    * per supplier pair that appears together in at least 3 distinct
-    * orders. The pair-generation join is keyed by `l_orderkey`, so its
-    * fan-out is bounded per order by the order's distinct-supplier
-    * count (≤7 lineitems per TPC-H order; a general corpus would cap
-    * or salt heavy groups the way [[Dedup]] caps LSH buckets) — never
-    * all-pairs over suppliers. The ≥3 support threshold thins the
-    * graph the way production co-occurrence graphs drop noise edges
-    * before any triangle/similarity pass. Persisted per (session, dir)
-    * and shared by the triangle and Jaccard queries. */
+  /** Unweighted supplier co-purchase graph, kNN-SPARSIFIED: supplier
+    * pairs co-appearing in ≥3 distinct orders, then each node keeps
+    * only its 20 strongest neighbors (by co-occurrence weight, id
+    * tie-break) and the union of the per-node top lists is undirected.
+    * Two bounds make this hold at 100 TB, both standard for production
+    * co-occurrence/similarity graphs:
+    *  - pair generation is keyed by `l_orderkey`, so fan-out is
+    *    bounded per order by its distinct-supplier count (≤7 in TPC-H;
+    *    a general corpus caps or salts heavy groups the way [[Dedup]]
+    *    caps LSH buckets) — never all-pairs over suppliers;
+    *  - the top-20 kNN cap bounds every node's degree (≤40 after the
+    *    symmetric union), so downstream wedge joins (triangles,
+    *    Jaccard) are O(n·k²) regardless of how dense co-occurrence
+    *    gets as data grows — without the cap, mean degree grows with
+    *    orders-per-supplier-pair and the wedge stage super-linears.
+    * The per-node top-k window partitions by node (never a global
+    * window). Persisted per (session, dir) and shared by the triangle
+    * and Jaccard queries. */
   private val coCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
   private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     coCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     coCache.getOrElseUpdate((s, dir), {
-      val os = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sp")).distinct()
-      os.as("a").join(os.as("b"),
-          col("a.ok") === col("b.ok") && col("a.sp") < col("b.sp"))
-        .groupBy(col("a.sp").as("u"), col("b.sp").as("v"))
+      // pair generation: collect each order's distinct supplier set
+      // (bounded per order) and explode the in-row combinations — one
+      // shuffle on l_orderkey instead of a distinct + self-join chain;
+      // the per-group set is where a general corpus would cap/salt.
+      val pairs = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("sps"))
+        .select(explode(expr(
+          """flatten(transform(sps, (x, i) ->
+            |  transform(slice(sps, i + 2, size(sps)), y ->
+            |    struct(x AS u, y AS v))))""".stripMargin)).as("p"))
+        .select(col("p.u"), col("p.v"))
+        .groupBy("u", "v")
         .agg(count(lit(1)).as("w"))
         .filter(col("w") >= 3)
-        .select("u", "v").persist()
+      val sym = pairs.select(col("u").as("node"), col("v").as("nbr"), col("w"))
+        .unionAll(pairs.select(col("v").as("node"), col("u").as("nbr"), col("w")))
+      val topk = sym.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("node")
+            .orderBy(col("w").desc, col("nbr"))))
+        .filter(col("rn") <= 20)
+      topk.select(least(col("node"), col("nbr")).as("u"),
+          greatest(col("node"), col("nbr")).as("v"))
+        .distinct().persist()
     })
   }
 
-  /** Symmetric adjacency (node, nbr) of [[coPurchaseEdges]]. */
-  private def coAdj(s: SparkSession, dir: String): DataFrame = {
-    val und = coPurchaseEdges(s, dir)
-    und.select(col("u").as("node"), col("v").as("nbr"))
-      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+  /** Symmetric adjacency (node, nbr) of [[coPurchaseEdges]], persisted:
+    * the Jaccard wedge join scans it twice and the degree table derives
+    * from it, so materializing once keeps each graph query's plan at
+    * two joins over cached scans instead of re-deriving the whole
+    * build chain per self-join branch. */
+  private val adjCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def coAdj(s: SparkSession, dir: String): DataFrame = {
+    adjCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    adjCache.getOrElseUpdate((s, dir), {
+      val und = coPurchaseEdges(s, dir)
+      und.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+        .persist()
+    })
+  }
+
+  /** Degree-ordered oriented edges `(src, dst, ddeg)` of the
+    * co-purchase graph, persisted: the triangle query references this
+    * table THREE times (both wedge legs + the closing edge), and
+    * without materialization each self-join branch would re-run the
+    * whole orientation chain — the difference between a 2-join plan
+    * over a cached scan and a 175-operator plan that recomputes the
+    * build 3×. Orientation: from the (degree, id)-smaller endpoint to
+    * the larger; `ddeg` rides along so wedge generation can compare
+    * (ddeg, dst) lexicographically with no node relabeling pass. */
+  private val oriCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def orientedEdges(s: SparkSession, dir: String): DataFrame = {
+    oriCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    oriCache.getOrElseUpdate((s, dir), {
+      val und = coPurchaseEdges(s, dir)
+      val deg = coAdj(s, dir).groupBy("node").agg(count(lit(1)).as("d"))
+      und
+        .join(deg.select(col("node").as("du_n"), col("d").as("du")), col("u") === col("du_n"))
+        .join(deg.select(col("node").as("dv_n"), col("d").as("dv")), col("v") === col("dv_n"))
+        .select(
+          when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("src"),
+          when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("dst"),
+          when(col("du") <= col("dv"), col("dv")).otherwise(col("du")).as("ddeg"))
+        .persist()
+    })
   }
 
   /** One damped power-iteration step over the prepared edge list. */
@@ -141,17 +204,10 @@ object GraphQueries {
     // destination degree on each edge and compares (ddeg, dst)
     // lexicographically, so everything is equi-joins + one aggregate.
     "graph_triangle_count" -> { (s, dir) =>
-      val und = coPurchaseEdges(s, dir)
-      val deg = coAdj(s, dir).groupBy("node").agg(count(lit(1)).as("d"))
-      val withDeg = und
-        .join(deg.select(col("node").as("du_n"), col("d").as("du")), col("u") === col("du_n"))
-        .join(deg.select(col("node").as("dv_n"), col("d").as("dv")), col("v") === col("dv_n"))
-      // und already has u<v, so on a degree tie the id order breaks it:
-      // du<=dv orients u→v, otherwise v→u.
-      val oriented = withDeg.select(
-        when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("src"),
-        when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("dst"),
-        when(col("du") <= col("dv"), col("dv")).otherwise(col("du")).as("ddeg"))
+      // und has u<v, so on a degree tie the id order breaks the
+      // orientation (see orientedEdges); the query itself is exactly
+      // two equi-joins over the persisted oriented table.
+      val oriented = orientedEdges(s, dir)
       val e1 = oriented.as("e1"); val e2 = oriented.as("e2"); val e3 = oriented.as("e3")
       val wedges = e1.join(e2, col("e1.src") === col("e2.src") &&
         (col("e1.ddeg") < col("e2.ddeg") ||
@@ -203,10 +259,18 @@ object GraphQueries {
   private val coCtes =
     """ord_supp AS (
       | SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sp FROM lineitem),
-      |und AS (
-      | SELECT a.sp AS u, b.sp AS v
+      |pairs AS (
+      | SELECT a.sp AS u, b.sp AS v, COUNT(*) AS w
       | FROM ord_supp a JOIN ord_supp b ON a.ok = b.ok AND a.sp < b.sp
       | GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |sadj AS (SELECT u AS node, v AS nbr, w FROM pairs
+      |         UNION ALL SELECT v, u, w FROM pairs),
+      |und AS (
+      | SELECT DISTINCT LEAST(node, nbr) AS u, GREATEST(node, nbr) AS v
+      | FROM (SELECT node, nbr,
+      |        ROW_NUMBER() OVER (PARTITION BY node
+      |          ORDER BY w DESC, nbr) AS rn
+      |       FROM sadj) t WHERE rn <= 20),
       |adj AS (SELECT u AS node, v AS nbr FROM und
       |        UNION ALL SELECT v, u FROM und),
       |deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1)""".stripMargin
