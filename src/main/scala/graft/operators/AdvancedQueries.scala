@@ -348,6 +348,39 @@ object AdvancedQueries {
                  |     - cast(sx as double) * cast(sx as double))
                  |  * 1e6 + 0.5d) / 1e6""".stripMargin).as("slope_cents_per_qty"))
     },
+    // Distribution-drift monitor: chi-squared statistic of each week's
+    // event-type mix against the whole corpus — the standard data-
+    // quality tripwire a training pipeline runs per ingest slice.
+    // Shape: two partial-agg shuffles (week×type counts, week totals)
+    // + two broadcast-sized dims (global type mix, grand total), then
+    // a dense week×type grid so ABSENT types still contribute their
+    // expected-count term (nw·gc/T — dropping them understates drift).
+    // Determinism: every chi² term is floor-rounded to integer micros
+    // PER CELL from exact BIGINT inputs, then integer-summed — the
+    // per-cell double math is the same IEEE expression on both
+    // engines, and integer summation makes the total order-free.
+    // Envelope: |o·T − nw·gc| must stay under 2^53 for the double cast
+    // to be exact (holds to ~9e15 cell products; beyond that, widen to
+    // DECIMAL(38,0) the way stat_corr_exact's sums do).
+    "stat_chi2_drift" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(expr("ts div 604800000000000").as("week"), col("event_type"))
+      val wc = e.groupBy("week", "event_type").agg(count(lit(1)).as("o"))
+      val wt = e.groupBy("week").agg(count(lit(1)).as("nw"))
+      val g = e.groupBy("event_type").agg(count(lit(1)).as("gc"))
+      val tot = g.agg(sum("gc").as("tt"))
+      wt.crossJoin(broadcast(g))
+        .join(wc, Seq("week", "event_type"), "left")
+        .na.fill(0L, Seq("o"))
+        .crossJoin(broadcast(tot))
+        .withColumn("term_micro", expr(
+          """cast(floor(cast(o * tt - nw * gc as double)
+            |  * cast(o * tt - nw * gc as double)
+            |  / cast(nw * gc as double) / cast(tt as double)
+            |  * 1e6 + 0.5d) as bigint)""".stripMargin))
+        .groupBy(col("week"), col("nw").as("n_events"))
+        .agg(sum("term_micro").as("chi2_micro"))
+    },
     // Per-group sketching: one Misra–Gries buffer PER USER inside a
     // hash aggregate — O(k) state per group on any per-group item
     // cardinality. The fixture's ≤ 6 distinct event types per user sit
@@ -919,6 +952,28 @@ object AdvancedQueries {
         | true AS p50_ok, true AS p90_ok, true AS p99_ok
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type""".stripMargin,
+    "stat_chi2_drift" ->
+      """WITH e AS (
+        | SELECT epoch_ns(ts) // 604800000000000 AS week, event_type
+        | FROM events),
+        |wc AS (SELECT week, event_type, COUNT(*) AS o FROM e GROUP BY 1, 2),
+        |wt AS (SELECT week, COUNT(*) AS nw FROM e GROUP BY 1),
+        |g AS (SELECT event_type, COUNT(*) AS gc FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS tt FROM g),
+        |grid AS (
+        | SELECT wt.week, wt.nw, g.event_type, g.gc, COALESCE(wc.o, 0) AS o
+        | FROM wt CROSS JOIN g
+        | LEFT JOIN wc ON wc.week = wt.week AND wc.event_type = g.event_type),
+        |terms AS (
+        | SELECT week, nw,
+        |  CAST(FLOOR(CAST(o * tt - nw * gc AS DOUBLE)
+        |    * CAST(o * tt - nw * gc AS DOUBLE)
+        |    / CAST(nw * gc AS DOUBLE) / CAST(tt AS DOUBLE)
+        |    * 1e6 + 0.5) AS BIGINT) AS term_micro
+        | FROM grid, tot)
+        |SELECT week, CAST(nw AS BIGINT) AS n_events,
+        | CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
+        |FROM terms GROUP BY 1, 2""".stripMargin,
     "stat_corr_exact" ->
       """WITH m AS (
         | SELECT CAST(COUNT(*) AS BIGINT) AS n,
