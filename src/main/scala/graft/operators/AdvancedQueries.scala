@@ -381,6 +381,39 @@ object AdvancedQueries {
         .groupBy(col("week"), col("nw").as("n_events"))
         .agg(sum("term_micro").as("chi2_micro"))
     },
+    // Two-sample Kolmogorov–Smirnov drift test: D = max |F_a − F_b|
+    // between the `value` ECDFs of even- vs odd-week events — the
+    // continuous-distribution counterpart of stat_chi2_drift's
+    // categorical test. EXACT and distributed: group to distinct
+    // values (the ECDF's step points), then BOTH cohort running
+    // counts ride ONE range shuffle via Ids.cumulativeSums (the
+    // multi-weight form — two ECDFs, one sort). All arithmetic is
+    // integer: the per-value gap is |cum_a·n_b − cum_b·n_a| (≤ n_a·n_b
+    // ≤ 2^46 at 10^7 rows/cohort), and the final normalization is one
+    // DECIMAL(38,0) integral division, so the statistic is bit-stable
+    // across engines. At 100×: the grouped table is distinct-value-
+    // sized, every stage is a hash agg or the range-partitioned
+    // prefix-sum scaffold — no global window, no driver collect.
+    "stat_ks_drift" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select((expr("ts div 604800000000000") % 2 === 0).as("even"),
+          col("value"))
+      val byV = e.groupBy("value").agg(
+        sum(when(col("even"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("even"), 1L).otherwise(0L)).as("cb"))
+      Ids.cumulativeSums(byV, Seq(col("value")),
+          Seq(col("ca") -> "cum_a", col("cb") -> "cum_b"),
+          totals = Map("cum_a" -> "na", "cum_b" -> "nb"))
+        .agg(max("na").as("n_even"), max("nb").as("n_odd"),
+          max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+            .as("dmax"))
+        .select(col("n_even"), col("n_odd"), expr(
+          """cast((cast(dmax as decimal(38,0)) * 1000000)
+            |  div (cast(n_even as decimal(38,0))
+            |       * cast(n_odd as decimal(38,0))) as bigint)"""
+            .stripMargin).as("ks_micro"))
+    },
     // Per-group sketching: one Misra–Gries buffer PER USER inside a
     // hash aggregate — O(k) state per group on any per-group item
     // cardinality. The fixture's ≤ 6 distinct event types per user sit
@@ -974,6 +1007,26 @@ object AdvancedQueries {
         |SELECT week, CAST(nw AS BIGINT) AS n_events,
         | CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
         |FROM terms GROUP BY 1, 2""".stripMargin,
+    "stat_ks_drift" ->
+      """WITH e AS (
+        | SELECT (epoch_ns(ts) // 604800000000000) % 2 = 0 AS even, value
+        | FROM events WHERE value IS NOT NULL),
+        |v AS (
+        | SELECT value,
+        |  SUM(CASE WHEN even THEN 1 ELSE 0 END) AS ca,
+        |  SUM(CASE WHEN NOT even THEN 1 ELSE 0 END) AS cb
+        | FROM e GROUP BY 1),
+        |c AS (
+        | SELECT value,
+        |  SUM(ca) OVER (ORDER BY value) AS cum_a,
+        |  SUM(cb) OVER (ORDER BY value) AS cum_b
+        | FROM v),
+        |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM v)
+        |SELECT CAST(na AS BIGINT) AS n_even, CAST(nb AS BIGINT) AS n_odd,
+        | CAST((CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS HUGEINT) * 1000000)
+        |   // (CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS BIGINT)
+        |   AS ks_micro
+        |FROM c, t GROUP BY na, nb""".stripMargin,
     "stat_corr_exact" ->
       """WITH m AS (
         | SELECT CAST(COUNT(*) AS BIGINT) AS n,

@@ -52,16 +52,43 @@ object Ids {
     * differently in the per-partition vs offset stages. */
   def cumulativeSum(df: DataFrame, orderBy: Seq[Column], weight: Column,
       sumName: String = "cum", numPartitions: Int = 0,
-      totalName: Option[String] = None): DataFrame = {
+      totalName: Option[String] = None): DataFrame =
+    cumulativeSums(df, orderBy, Seq(weight -> sumName), numPartitions,
+      totalName.map(t => Map(sumName -> t)).getOrElse(Map.empty))
+
+  /** N running sums in ONE pass — same scaffold as [[cumulativeSum]]
+    * (which is the single-weight case), but every weight rides the
+    * same range shuffle, the same per-partition window, and the same
+    * metadata-sized offsets table. Callers that need two ECDFs over
+    * one sort order (two-sample tests like `stat_ks_drift`) pay one
+    * data shuffle instead of one per weight. `totals` maps a sum name
+    * to an extra output column carrying that weight's grand total
+    * (constant across rows, broadcast from the offsets table — no
+    * second scan of `df`). */
+  def cumulativeSums(df: DataFrame, orderBy: Seq[Column],
+      weights: Seq[(Column, String)], numPartitions: Int = 0,
+      totals: Map[String, String] = Map.empty): DataFrame = {
+    require(weights.nonEmpty, "cumulativeSums: at least one weight")
+    val names = weights.map(_._2)
+    require(names.distinct.size == names.size,
+      s"cumulativeSums: duplicate sum names in $names")
+    val unknownTotals = totals.keySet -- names.toSet
+    require(unknownTotals.isEmpty,
+      s"cumulativeSums: totals reference unknown sums $unknownTotals")
     val np =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.repartitionByRange(np, orderBy: _*)
-      .withColumn("_pid", spark_partition_id())
-      .withColumn("_w", coalesce(weight.cast("long"), lit(0L)))
-    val local = ranged.withColumn("_local",
-      sum("_w").over(Window.partitionBy("_pid").orderBy(orderBy: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val idx = weights.indices
+    val ranged = idx.foldLeft(
+        df.repartitionByRange(np, orderBy: _*)
+          .withColumn("_pid", spark_partition_id())) { (d, i) =>
+      d.withColumn(s"_w$i", coalesce(weights(i)._1.cast("long"), lit(0L)))
+    }
+    val wLocal = Window.partitionBy("_pid").orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = idx.foldLeft(ranged) { (d, i) =>
+      d.withColumn(s"_local$i", sum(s"_w$i").over(wLocal))
+    }
     // the offsets table is ONE ROW PER SHUFFLE PARTITION — metadata-
     // sized, so its prefix-sum legitimately runs on one task. The
     // constant partition key (pmod(_pid, 1) ≡ 0; a bare literal would
@@ -71,24 +98,31 @@ object Ids {
     // anywhere else. Constant-keyed windows are reserved for provably
     // bounded inputs like this one — the PlanSpec sweep flags every
     // foldable-partitioned window and whitelists only the
-    // `_pid`-ordered shape. `totalName` rides the same tiny table
-    // (grand total of _w), so callers that need n (ntile, keyset
-    // steps) avoid a second scan of `df`.
+    // `_pid`-ordered shape. `totals` entries ride the same tiny table
+    // (grand total per weight), so callers that need n (ntile, keyset
+    // steps, ECDF denominators) avoid a second scan of `df`.
     val woPid = Window.partitionBy(pmod(col("_pid"), lit(1))).orderBy("_pid")
-    val offsets0 = ranged.groupBy("_pid").agg(sum("_w").as("_n"))
-      .withColumn("_offset",
-        coalesce(sum("_n").over(woPid
+    val aggs = idx.map(i => sum(s"_w$i").as(s"_n$i"))
+    val perPart = ranged.groupBy("_pid").agg(aggs.head, aggs.tail: _*)
+    val withOffsets = idx.foldLeft(perPart) { (d, i) =>
+      d.withColumn(s"_off$i",
+        coalesce(sum(s"_n$i").over(woPid
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val offsets = totalName match {
-      case Some(t) => offsets0
-        .withColumn(t, sum("_n").over(woPid.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)))
-        .select(col("_pid"), col("_offset"), col(t))
-      case None => offsets0.select("_pid", "_offset")
     }
-    local.join(broadcast(offsets), "_pid")
-      .withColumn(sumName, col("_offset") + col("_local"))
-      .drop("_pid", "_w", "_local", "_offset")
+    val withTotals = totals.foldLeft(withOffsets) { case (d, (sumName, t)) =>
+      val i = names.indexOf(sumName)
+      d.withColumn(t, sum(s"_n$i").over(woPid.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+    }
+    val offsets = withTotals.select(
+      (col("_pid") +: idx.map(i => col(s"_off$i"))) ++
+        totals.values.toSeq.map(col): _*)
+    val joined = local.join(broadcast(offsets), "_pid")
+    val summed = idx.foldLeft(joined) { (d, i) =>
+      d.withColumn(names(i), col(s"_off$i") + col(s"_local$i"))
+    }
+    summed.drop("_pid" +:
+      idx.flatMap(i => Seq(s"_w$i", s"_local$i", s"_off$i")): _*)
   }
 
   /** Exact `NTILE(tiles)` in `orderBy` order, distributed: the tile of

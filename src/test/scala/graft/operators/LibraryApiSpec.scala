@@ -729,4 +729,27 @@ class LibraryApiSpec extends SparkTestBase {
     assert(coarse.columns.toSeq == out.columns.toSeq)
     assert(coarse.count() == 50)
   }
+
+  test("Ids.cumulativeSums: N weights in one pass == N single-weight calls") {
+    import spark.implicits._
+    val df = (0 until 300).map(i =>
+      (i.toLong, (i * 7 % 13).toLong, (i * 3 % 5).toLong))
+      .toDF("k", "wa", "wb").repartition(7)
+    val both = Ids.cumulativeSums(df, Seq(col("k")),
+        Seq(col("wa") -> "ca", col("wb") -> "cb"),
+        totals = Map("ca" -> "ta", "cb" -> "tb"))
+      .select("k", "ca", "cb", "ta", "tb")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val one = Ids.cumulativeSum(df, Seq(col("k")), col("wa"), "ca",
+        totalName = Some("ta"))
+      .select("k", "ca", "ta").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(both.map(r => (r._1, r._2, r._4)).toSeq == one.toSeq)
+    // the second weight's running sum and total are independent and exact
+    var run = 0L
+    for ((row, i) <- both.zipWithIndex) {
+      run += (i * 3 % 5).toLong
+      assert(row._3 == run, s"cb at k=$i")
+      assert(row._5 == (0 until 300).map(j => (j * 3 % 5).toLong).sum)
+    }
+  }
 }
