@@ -218,6 +218,33 @@ object GraphQueries {
       tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("n_tri"))
     },
+    // Community detection: synchronous label propagation (LPA), 3
+    // unrolled rounds over the co-purchase adjacency. Every node
+    // starts labeled with its own id; each round it adopts the most
+    // frequent label among its neighbors, smallest label breaking
+    // ties — that tie-break makes SYNCHRONOUS LPA fully deterministic
+    // (the classic async formulation resolves ties randomly and is
+    // irreproducible by design; sync + total-order tie-break is the
+    // standard batch variant, and what makes a DuckDB oracle
+    // possible). Per round: one equi-join of adjacency with the label
+    // table + two hash aggregates — the argmax is max(struct(count,
+    // -label)), ONE aggregate, not a per-node window. 100 TB shape:
+    // label table is node-sized (≪ edges), every shuffle keys on
+    // node/neighbor ids, rounds are fixed; the kNN-sparsified graph
+    // bounds neighbor fan-in at 40, so the count table is ≤ 40·|V|.
+    "graph_label_propagation" -> { (s, dir) =>
+      val adj = coAdj(s, dir)
+      def step(labels: DataFrame): DataFrame =
+        adj.join(labels.select(col("node").as("lnode"), col("community")),
+            col("nbr") === col("lnode"))
+          .groupBy("node", "community").agg(count(lit(1)).as("c"))
+          .groupBy("node")
+          .agg(max(struct(col("c"), (-col("community")).as("nc"))).as("m"))
+          .select(col("node"), (-col("m.nc")).as("community"))
+      val l0 = adj.select("node").distinct()
+        .withColumn("community", col("node"))
+      step(step(step(l0)))
+    },
     // Link prediction: top-20 supplier pairs by neighbor-set Jaccard.
     // Common-neighbor counts come from one wedge join on the shared
     // neighbor (fan-out deg(n)² per neighbor — production would
@@ -325,6 +352,32 @@ object GraphQueries {
         |      UNION ALL SELECT b FROM tri
         |      UNION ALL SELECT c FROM tri) corners
         |GROUP BY node""".stripMargin,
+    "graph_label_propagation" ->
+      s"""WITH $coCtes,
+        |l0 AS (SELECT DISTINCT node, node AS community FROM adj),
+        |l1 AS (
+        | SELECT node, community FROM (
+        |  SELECT a.node, l.community,
+        |   ROW_NUMBER() OVER (PARTITION BY a.node
+        |     ORDER BY COUNT(*) DESC, l.community) AS rn
+        |  FROM adj a JOIN l0 l ON l.node = a.nbr
+        |  GROUP BY a.node, l.community) t WHERE rn = 1),
+        |l2 AS (
+        | SELECT node, community FROM (
+        |  SELECT a.node, l.community,
+        |   ROW_NUMBER() OVER (PARTITION BY a.node
+        |     ORDER BY COUNT(*) DESC, l.community) AS rn
+        |  FROM adj a JOIN l1 l ON l.node = a.nbr
+        |  GROUP BY a.node, l.community) t WHERE rn = 1),
+        |l3 AS (
+        | SELECT node, community FROM (
+        |  SELECT a.node, l.community,
+        |   ROW_NUMBER() OVER (PARTITION BY a.node
+        |     ORDER BY COUNT(*) DESC, l.community) AS rn
+        |  FROM adj a JOIN l2 l ON l.node = a.nbr
+        |  GROUP BY a.node, l.community) t WHERE rn = 1)
+        |SELECT node, CAST(community AS BIGINT) AS community FROM l3"""
+        .stripMargin,
     "graph_jaccard_topk" ->
       s"""WITH $coCtes,
         |common AS (

@@ -45,4 +45,25 @@ class GraphSpec extends SparkTestBase {
     val key = rows.map { case (a, b, _, _, _, jm) => (-jm, a, b) }
     assert(key.sameElements(key.sorted), "not in (jacc desc, a, b) order")
   }
+
+  test("graph_label_propagation equals naive synchronous LPA") {
+    val und = edges()
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2).toSet }
+    var labels: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      labels = adj.map { case (n, nbrs) =>
+        val freq = nbrs.toSeq.map(labels).groupBy(identity)
+          .map { case (l, o) => (l, o.size) }
+        // most frequent neighbor label, smallest label on ties
+        n -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got = SparkEntry.queries("graph_label_propagation")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    assert(got == labels, "sync-LPA mismatch vs naive")
+    // communities are non-trivial: fewer labels than nodes
+    assert(got.values.toSet.size < got.size)
+  }
 }
