@@ -11,10 +11,17 @@ import org.apache.spark.sql.functions._
   * Copies are id-disjoint (ids shift by i·(max+1)) and content-decorrelated
   * so the blow-up doesn't manufacture adversarial duplicate structure
   * that no real corpus has at scale:
-  *  - `documents.text` gets a per-copy vowel rotation (`translate`) —
-  *    token/char counts and lengths are preserved, but shingles, hashes
-  *    and minhash signatures decorrelate, so dedup candidate counts
-  *    scale like a real corpus instead of like 10 identical crawls.
+  *  - `documents.text` gets a per-copy letter substitution
+  *    (`translate`: vowel rotation × consonant rotation = 25 distinct
+  *    transforms, pairwise-distinct for factor ≤ 25) — token/char
+  *    counts and lengths are preserved, but shingles, hashes and
+  *    minhash signatures decorrelate, so dedup candidate counts scale
+  *    like a real corpus instead of like N identical crawls. Beyond
+  *    factor 25 copies i and i+25 repeat content verbatim — widen the
+  *    rotation alphabets before using larger factors. (The recorded
+  *    SCALING_r08 artifacts predate the consonant axis: their
+  *    factor-10 corpus had each text exactly twice, as PERF.md's
+  *    caveats note.)
   *  - `embeddings.embedding` gets a small deterministic per-(copy, dim)
   *    perturbation — breaks exact-duplicate geometry, keeps the
   *    cluster structure the IVF/k-means paths bucket on.
@@ -31,6 +38,7 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   private val vowels = "aeiou"
+  private val consonants = "bcdfg"
 
   def main(args: Array[String]): Unit = {
     val Array(src, dest, factorS) = args.take(3)
@@ -62,13 +70,16 @@ object ScaleUp {
       copies.reduce(_ unionAll _)
     }
 
-    // vowel rotation i: a→ the i-th rotation of "aeiou" (i=0 identity)
-    def rot(i: Int): String =
-      (vowels + vowels).substring(i % 5, i % 5 + 5)
+    // per-copy substitution: vowel rotation (i mod 5) × consonant
+    // rotation (i div 5 mod 5) — identity at i=0, pairwise-distinct
+    // through i=24
+    def rot(alpha: String, i: Int): String =
+      (alpha + alpha).substring(i % 5, i % 5 + 5)
 
     write(shift(read("documents"), Seq("doc_id")) { (d, i) =>
       if (i == 0) d
-      else d.withColumn("text", translate(col("text"), vowels, rot(i)))
+      else d.withColumn("text", translate(col("text"),
+        vowels + consonants, rot(vowels, i % 5) + rot(consonants, i / 5)))
     }, "documents")
 
     write(shift(read("embeddings"), Seq("vec_id")) { (d, i) =>

@@ -76,31 +76,6 @@ object DeletePlanner {
       .distinct.sorted.map(q => Seq[Any](q.toLong)).toSeq
   }
 
-  /** Driver-side lexicographic ordering over PK tuples — the same
-    * column-by-column comparison [[rangePredicates]] renders as SQL.
-    * NULLs sort first (Spark's ASC NULLS FIRST default), mixed
-    * comparable types (numbers, strings, dates, timestamps) compare
-    * via their natural Comparable. */
-  private val tupleOrd: Ordering[Seq[Any]] = new Ordering[Seq[Any]] {
-    def compare(a: Seq[Any], b: Seq[Any]): Int = {
-      var i = 0
-      while (i < a.length && i < b.length) {
-        val c = (a(i), b(i)) match {
-          case (null, null) => 0
-          case (null, _) => -1
-          case (_, null) => 1
-          case (x: java.lang.Number, y: java.lang.Number)
-              if !x.isInstanceOf[Comparable[_]] || x.getClass != y.getClass =>
-            java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-          case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
-        }
-        if (c != 0) return c
-        i += 1
-      }
-      java.lang.Integer.compare(a.length, b.length)
-    }
-  }
-
   /** O3 at scale for COMPOSITE PKs: approximate split tuples from a
     * bounded random sample — the `RangePartitioner` recipe that backs
     * every distributed ORDER BY. `approxQuantile` only handles one
@@ -120,12 +95,22 @@ object DeletePlanner {
       seed: Long = 42L): Seq[Seq[Any]] = {
     require(sampleSize >= workers, s"sampleSize $sampleSize < workers $workers")
     if (workers <= 1) return Seq.empty
+    // Boundary ORDER comes from the ENGINE, not the driver: the sample
+    // (already bounded by the limit) is re-sorted by Spark on the PK
+    // columns before collecting, so string boundaries follow Spark's
+    // binary (code-point) ordering — Java String.compareTo orders
+    // UTF-16 code units, which disagrees beyond the BMP, and a
+    // misordered boundary list breaks rangePredicates' exact-cover
+    // property (a row could match two ranges). The target database
+    // must compare the same way (binary collation) for the rendered
+    // range SQL to preserve the cover — same contract as the exact
+    // probe, now stated.
     val sampled = df.select(pkCols.map(col): _*)
       .orderBy(rand(seed))
       .limit(sampleSize)
+      .orderBy(pkCols.map(col): _*)
       .collect()
       .map(r => pkCols.indices.map(r.get): Seq[Any])
-      .sorted(tupleOrd)
     if (sampled.isEmpty) Seq.empty
     else {
       val s = sampled.length

@@ -413,6 +413,11 @@ object AdvancedQueries {
             |  div (cast(n_even as decimal(38,0))
             |       * cast(n_odd as decimal(38,0))) as bigint)"""
             .stripMargin).as("ks_micro"))
+        // degenerate slices (no rows, or a one-cohort week split) have
+        // no defined KS statistic: emit ZERO rows, matching the
+        // oracle's HAVING — without this, Spark's global agg yields one
+        // all-NULL row where SQL's GROUP BY yields none
+        .where(col("n_even") > 0 && col("n_odd") > 0)
     },
     // Per-group sketching: one Misra–Gries buffer PER USER inside a
     // hash aggregate — O(k) state per group on any per-group item
@@ -1026,7 +1031,7 @@ object AdvancedQueries {
         | CAST((CAST(MAX(ABS(cum_a * nb - cum_b * na)) AS HUGEINT) * 1000000)
         |   // (CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS BIGINT)
         |   AS ks_micro
-        |FROM c, t GROUP BY na, nb""".stripMargin,
+        |FROM c, t GROUP BY na, nb HAVING na > 0 AND nb > 0""".stripMargin,
     "stat_corr_exact" ->
       """WITH m AS (
         | SELECT CAST(COUNT(*) AS BIGINT) AS n,

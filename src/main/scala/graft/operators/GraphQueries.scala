@@ -41,6 +41,32 @@ import graft.Tables
   */
 object GraphQueries {
 
+  /** One memoization pattern for every shared graph stage — the same
+    * stopped-session eviction + persist discipline as
+    * [[SimilarityQueries.sharedStages]], written ONCE so a fix to the
+    * lifecycle (eviction, release) applies to all graph caches. */
+  private def memo(cache: scala.collection.concurrent.TrieMap[
+      (SparkSession, String), DataFrame], s: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame = {
+    cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    cache.getOrElseUpdate((s, dir), build.persist())
+  }
+
+  private val caches = Seq(
+    () => edgeCache, () => coCache, () => adjCache, () => oriCache)
+
+  /** Drop this session's persisted graph stages (edges, co-purchase,
+    * adjacency, orientation) — the [[Similarity.releaseStages]]
+    * counterpart for long-lived sessions that touch many fixture
+    * dirs. */
+  def releaseStages(s: SparkSession): Unit =
+    caches.foreach { c =>
+      val cache = c()
+      cache.keys.toList.filter(_._1 eq s).foreach { key =>
+        cache.remove(key).foreach(_.unpersist(blocking = true))
+      }
+    }
+
   /** Weighted symmetric edge list `(src, dst, w, outw)`, persisted once
     * per (session, dir). `outw` (the source node's total outgoing
     * weight) is folded in at build time so the per-iteration plan is
@@ -48,9 +74,8 @@ object GraphQueries {
   private val edgeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
-    edgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    edgeCache.getOrElseUpdate((s, dir), {
+  private[graft] def tradeEdges(s: SparkSession, dir: String): DataFrame =
+    memo(edgeCache, s, dir) {
       val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       val ord = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
       val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -61,9 +86,8 @@ object GraphQueries {
         .unionAll(pairs.select((col("supp") * 2 + 1).as("src"),
           (col("cust") * 2).as("dst"), col("w")))
       val outW = edges.groupBy(col("src").as("ow_src")).agg(sum("w").as("outw"))
-      edges.join(outW, col("src") === col("ow_src")).drop("ow_src").persist()
-    })
-  }
+      edges.join(outW, col("src") === col("ow_src")).drop("ow_src")
+    }
 
   /** Unweighted supplier co-purchase graph, kNN-SPARSIFIED: supplier
     * pairs co-appearing in ≥3 distinct orders, then each node keeps
@@ -86,9 +110,8 @@ object GraphQueries {
   private val coCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    coCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    coCache.getOrElseUpdate((s, dir), {
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    memo(coCache, s, dir) {
       // pair generation: collect each order's distinct supplier set
       // (bounded per order) and explode the in-row combinations — one
       // shuffle on l_orderkey instead of a distinct + self-join chain;
@@ -112,9 +135,8 @@ object GraphQueries {
         .filter(col("rn") <= 20)
       topk.select(least(col("node"), col("nbr")).as("u"),
           greatest(col("node"), col("nbr")).as("v"))
-        .distinct().persist()
-    })
-  }
+        .distinct()
+    }
 
   /** Symmetric adjacency (node, nbr) of [[coPurchaseEdges]], persisted:
     * the Jaccard wedge join scans it twice and the degree table derives
@@ -124,15 +146,12 @@ object GraphQueries {
   private val adjCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private[graft] def coAdj(s: SparkSession, dir: String): DataFrame = {
-    adjCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    adjCache.getOrElseUpdate((s, dir), {
+  private[graft] def coAdj(s: SparkSession, dir: String): DataFrame =
+    memo(adjCache, s, dir) {
       val und = coPurchaseEdges(s, dir)
       und.select(col("u").as("node"), col("v").as("nbr"))
         .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
-        .persist()
-    })
-  }
+    }
 
   /** Degree-ordered oriented edges `(src, dst, ddeg)` of the
     * co-purchase graph, persisted: the triangle query references this
@@ -146,9 +165,8 @@ object GraphQueries {
   private val oriCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  private[graft] def orientedEdges(s: SparkSession, dir: String): DataFrame = {
-    oriCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    oriCache.getOrElseUpdate((s, dir), {
+  private[graft] def orientedEdges(s: SparkSession, dir: String): DataFrame =
+    memo(oriCache, s, dir) {
       val und = coPurchaseEdges(s, dir)
       val deg = coAdj(s, dir).groupBy("node").agg(count(lit(1)).as("d"))
       und
@@ -158,9 +176,7 @@ object GraphQueries {
           when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("src"),
           when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("dst"),
           when(col("du") <= col("dv"), col("dv")).otherwise(col("du")).as("ddeg"))
-        .persist()
-    })
-  }
+    }
 
   /** One damped power-iteration step over the prepared edge list. */
   private def prStep(edges: DataFrame, ranks: DataFrame): DataFrame =

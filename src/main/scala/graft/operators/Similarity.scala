@@ -680,12 +680,12 @@ object Similarity {
     (raw, raw.schema.fieldNames.contains(BucketCol))
   }
 
-  private def fsPath(spark: org.apache.spark.sql.SparkSession, p: String) = {
+  private[graft] def fsPath(spark: org.apache.spark.sql.SparkSession, p: String) = {
     val hp = new org.apache.hadoop.fs.Path(p)
     (hp, hp.getFileSystem(spark.sessionState.newHadoopConf()))
   }
 
-  private def pathExists(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def pathExists(spark: org.apache.spark.sql.SparkSession,
       p: String): Boolean = {
     val (hp, fs) = fsPath(spark, p)
     fs.exists(hp)
@@ -731,9 +731,16 @@ object Similarity {
     val spark = queries.sparkSession
     val cent = spark.read.parquet(s"$path/centroids.parquet")
     val qv = queries.select(col("query_id").as("vec_id"), col("va").as("v"))
+    // localCheckpoint so the query-side centroid assignment is computed
+    // ONCE: both the probed-bucket collect below and the final probe
+    // join consume `buckets`, and without materialization each would
+    // re-run the assignment — a whole extra job per call on the
+    // per-micro-batch serve path (searchIndexStream). Batch-sized
+    // (|queries| × nprobe rows), never corpus-sized.
     val buckets =
-      if (nprobe == 1) ivfAssignNarrow(qv, cent).select("vec_id", "centroid")
-      else ivfAssignN(qv, cent, nprobe).select("vec_id", "centroid")
+      (if (nprobe == 1) ivfAssignNarrow(qv, cent).select("vec_id", "centroid")
+       else ivfAssignN(qv, cent, nprobe).select("vec_id", "centroid"))
+        .localCheckpoint()
     // The probed bucket set is collected up front — bounded by
     // min(|batch| × nprobe, nCentroids) distinct labels, i.e. driver-
     // safe by construction — and pushed into the assignment scan as a

@@ -46,8 +46,13 @@ final class StreamingCuration(
   private val quotaDir = s"$stateDir/quota"
   private val offsetsDir = s"$stateDir/offsets"
 
+  // Hadoop-FS existence, NOT java.io.File: state dirs live wherever the
+  // pipeline writes (s3a://, hdfs://) — a local-file probe would read
+  // "absent" there every batch and silently reset dedup/quota/offsets.
   private def readState(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (new java.io.File(dir).exists()) Some(spark.read.parquet(dir)) else None
+    if (graft.operators.Similarity.pathExists(spark, dir))
+      Some(spark.read.parquet(dir))
+    else None
 
   /** The `foreachBatch` body: curate one micro-batch against the carried
     * state, append its packed train sequences to `outDir`, advance the
@@ -135,19 +140,30 @@ final class StreamingCuration(
     * swap discipline as `Similarity.compactIndex`, and the same
     * QUIESCE contract: run between batches, not during one. */
   def compactState(spark: SparkSession): Unit = {
+    // Hadoop-FS rename/delete (same discipline + failure handling as
+    // Similarity.compactIndex): works on any supported filesystem, and
+    // FS rename/delete signal failure by returning false, not throwing.
     def fold(dir: String)(agg: DataFrame => DataFrame): Unit =
-      if (new java.io.File(dir).exists()) {
+      if (graft.operators.Similarity.pathExists(spark, dir)) {
         val tmp = s"$dir.compact"
         agg(spark.read.parquet(dir)).coalesce(1)
           .write.mode("overwrite").parquet(tmp)
-        val (d, t) = (new java.io.File(dir), new java.io.File(tmp))
-        val old = new java.io.File(s"$dir.old")
-        if (!d.renameTo(old)) sys.error(s"compactState: cannot swap $dir")
-        if (!t.renameTo(d)) { old.renameTo(d)
-          sys.error(s"compactState: cannot promote $tmp") }
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
-        rm(old)
+        val (dirP, fs) = graft.operators.Similarity.fsPath(spark, dir)
+        val tmpP = new org.apache.hadoop.fs.Path(tmp)
+        val oldP = new org.apache.hadoop.fs.Path(s"$dir.old")
+        if (fs.exists(oldP) && !fs.delete(oldP, true))
+          throw new java.io.IOException(
+            s"compactState: cannot clear stale $oldP — aborting before any swap")
+        if (!fs.rename(dirP, oldP))
+          throw new java.io.IOException(
+            s"compactState: rename $dirP -> $oldP failed; state unchanged")
+        if (!fs.rename(tmpP, dirP)) {
+          fs.rename(oldP, dirP) // roll the original back
+          throw new java.io.IOException(
+            s"compactState: rename $tmpP -> $dirP failed; original restored")
+        }
+        fs.delete(oldP, true) // best-effort cleanup; stale .old is harmless
+        ()
       }
     fold(hashesDir)(_.distinct())
     fold(quotaDir)(_.groupBy(sourceCol).agg(sum("n").as("n")))

@@ -432,24 +432,37 @@ class PlanSpec extends SparkTestBase {
     // A window partitioned only by LITERALS is the same plan wearing a
     // disguise (every row hashes to one key), so it's flagged too —
     // `partitionSpec.forall(_.foldable)` covers both (vacuously true
-    // when empty). Whitelisted shapes, both provably metadata-sized:
+    // when empty) — AND so is the repo's own `pmod(x, 1)` constant-key
+    // idiom (≡ 0 for every row; non-foldable only because it references
+    // a column, which is exactly how it survives
+    // EliminateWindowPartitions). Without the pmod arm the sweep would
+    // certify a plan that spells its single-task window the way
+    // Ids.cumulativeSums does. Whitelisted shapes, both provably
+    // metadata-sized:
     //  - a window ordered solely by `_pid` — Ids.cumulativeSum's offsets
     //    table, one row per shuffle partition (≤ numShufflePartitions);
     //  - a window whose input subtree is capped by a LIMIT ≤ 1000
     //    (e.g. dedup_embedding_topk ranks its top-20 result).
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
-    import org.apache.spark.sql.catalyst.expressions.IntegerLiteral
+    import org.apache.spark.sql.catalyst.expressions.{Expression, IntegerLiteral, Literal, Pmod}
+    def constKey(e: Expression): Boolean = e.foldable || (e match {
+      case Pmod(_, Literal(1, _), _) => true
+      case Pmod(_, Literal(1L, _), _) => true
+      case _ => false
+    })
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    var whitelisted = 0
     for ((name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val plan = q(spark, sfDir).queryExecution.optimizedPlan
       val bad = plan.collectWithSubqueries {
-        case w: LWindow if w.partitionSpec.forall(_.foldable) => w
+        case w: LWindow if w.partitionSpec.forall(constKey) => w
       }.filterNot { w =>
         val pidOnly = w.orderSpec.nonEmpty &&
           w.orderSpec.forall(_.child.references.forall(_.name == "_pid"))
         val limited = w.child.collectFirst {
           case GlobalLimit(IntegerLiteral(n), _) if n <= 1000 => ()
         }.nonEmpty
+        if (pidOnly || limited) whitelisted += 1
         pidOnly || limited
       }
       bad.foreach(w => offenders +=
@@ -457,6 +470,12 @@ class PlanSpec extends SparkTestBase {
     }
     assert(offenders.isEmpty,
       s"single-task window plans found:\n${offenders.mkString("\n")}")
+    // the whitelist arms must be LIVE (cumulativeSums offsets windows +
+    // the LIMIT-ranked shapes exist in the surface) — if this drops to
+    // 0 the detector above stopped seeing the pmod idiom and the sweep
+    // is vacuous
+    assert(whitelisted > 0, "whitelist arms matched nothing — detector " +
+      "no longer sees the constant-key window idiom it was built for")
   }
 
   test("ev_gap_fill: the user filter reaches the events scan") {
