@@ -85,12 +85,16 @@ object Tables {
 /** One place for session settings every entry point (Verify, Bench, tests)
   * must share so results are reproducible and oracle-comparable. */
 object GraftSession {
-  /** Library teardown: drop the session-scoped cached state (the ANN
-    * shared stages) without stopping the session — call when a
-    * long-lived session is done with this library, or before switching
-    * corpora. Blocking, so cached blocks are gone on return. */
-  def release(spark: SparkSession): Unit =
+  /** Library teardown: drop ALL session-scoped cached state (the ANN
+    * shared stages, the dedup CC labels, the graph shared stages)
+    * without stopping the session — call when a long-lived session is
+    * done with this library, or before switching corpora. Blocking, so
+    * cached blocks are gone on return. */
+  def release(spark: SparkSession): Unit = {
     graft.operators.Similarity.releaseStages(spark)
+    graft.operators.DedupQueries.releaseStages(spark)
+    graft.operators.GraphQueries.releaseStages(spark)
+  }
 
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")

@@ -42,6 +42,14 @@ object DedupQueries {
   private val ccCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Drop this session's persisted CC labels — the
+    * [[Similarity.releaseStages]] counterpart, wired into
+    * [[graft.GraftSession.release]]. */
+  private[graft] def releaseStages(s: SparkSession): Unit =
+    ccCache.keys.toList.filter(_._1 eq s).foreach { key =>
+      ccCache.remove(key).foreach(_.unpersist(blocking = true))
+    }
+
   private[graft] def ccLabels(s: SparkSession, dir: String): DataFrame = {
     // drop entries whose session has stopped (same eviction as the ANN
     // stage cache — a dead session's persisted labels are pure leak)

@@ -249,6 +249,24 @@ object EtlQueries {
     // deterministic. Scale shape: the window partitions by user (no
     // global sort), the count is a partial-agg shuffle over ≤ |types|³
     // keys, and the final top-k is TakeOrderedAndProject.
+    // First-order Markov transition matrix of the per-user event
+    // stream: P(next type | type) in integer ppm — the behavioral-
+    // model summary (and anomaly baseline: a deploy that shifts a
+    // transition row is caught by diffing two of these). Per-user lead
+    // (never a global window), 6×6-bounded count table, row totals via
+    // a window over `src` (≤ #types partitions — a tiny table by then);
+    // n·1e6 stays < 2^63 to 9e12 transitions per pair.
+    "ev_markov_transition" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("src"), col("next_type").as("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_ppm", expr("n * 1000000 div sum(n) over (partition by src)"))
+    },
     "ev_event_trigrams" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts", "event_id")
@@ -536,6 +554,19 @@ object EtlQueries {
     "ev_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events""".stripMargin,
+    "ev_markov_transition" ->
+      """WITH o AS (
+        | SELECT event_type AS src,
+        |  LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS dst
+        | FROM events),
+        |c AS (
+        | SELECT src, dst, COUNT(*) AS n
+        | FROM o WHERE dst IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, CAST(n AS BIGINT) AS n,
+        | CAST(n * 1000000 // SUM(n) OVER (PARTITION BY src) AS BIGINT)
+        |   AS p_ppm
+        |FROM c""".stripMargin,
     "ev_event_trigrams" ->
       """WITH seq AS (
         | SELECT event_type AS e1,

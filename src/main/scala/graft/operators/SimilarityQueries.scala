@@ -214,6 +214,47 @@ object SimilarityQueries {
         .filter(col("rnk") <= 5)
         .select("query_id", "neighbor_id", "hamming", "rnk")
     },
+    // Two-stage serving: integer Hamming FIRST-PASS (the 32×-smaller
+    // sign signatures rank 20 candidates per query) then an EXACT
+    // cosine rerank of only those candidates — the standard
+    // coarse-filter → precise-rerank pattern every production vector
+    // service runs, composed from sim_ann_hamming's signature stage
+    // and the brute-force scorer. The rerank join touches ≤ 20 rows
+    // per query (candidate set, not corpus), so the expensive float
+    // kernel runs on a metadata-sized table; both windows partition
+    // by query_id. Output keeps the stage-1 hamming so the rerank's
+    // reordering is auditable.
+    "sim_ann_rerank" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      val sig = e.select(col("vec_id"),
+        expr("aggregate(sequence(0, 31), 0L, (a, i) -> a + " +
+          "IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i), 0L))").as("s1"),
+        expr("aggregate(sequence(32, 63), 0L, (a, i) -> a + " +
+          "IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i - 32), 0L))").as("s2"))
+      val q = sig.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("s1").as("q1"), col("s2").as("q2"))
+      val c = sig.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("neighbor_id"), col("s1").as("c1"), col("s2").as("c2"))
+      val wH = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("hamming"), col("neighbor_id"))
+      val cand = c.crossJoin(broadcast(q))
+        .withColumn("hamming",
+          (bit_count(col("q1").bitwiseXOR(col("c1"))) +
+            bit_count(col("q2").bitwiseXOR(col("c2")))).cast("long"))
+        .withColumn("hrnk", row_number().over(wH))
+        .filter(col("hrnk") <= 20)
+        .select("query_id", "neighbor_id", "hamming")
+      val qv = querySide(e)
+      val cv = corpusSide(e)
+      val wC = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      cand.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+        .withColumn("cos", graft.functions.SketchExpressions.cosine_sim(
+          col("va"), col("vb")))
+        .withColumn("rnk", row_number().over(wC).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "hamming", "rnk")
+    },
     // Multi-probe IVF: queries probe their 2 nearest buckets (corpus
     // stays single-assigned) — the standard recall-recovery knob for
     // vectors near bucket boundaries, at 2× bounded probe cost.
@@ -556,6 +597,38 @@ object SimilarityQueries {
         |             c.vec_id) AS rnk
         | FROM sig q, sig c
         | WHERE q.vec_id < 10 AND c.vec_id >= 10
+        |) t WHERE rnk <= 5""".stripMargin,
+    "sim_ann_rerank" ->
+      """WITH sig AS (
+        | SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 32), i ->
+        |    CASE WHEN embedding[i + 1] >= 0 THEN (1::BIGINT << i)
+        |         ELSE 0::BIGINT END)) AS BIGINT) AS s1,
+        |  CAST(list_sum(list_transform(range(32, 64), i ->
+        |    CASE WHEN embedding[i + 1] >= 0 THEN (1::BIGINT << (i - 32))
+        |         ELSE 0::BIGINT END)) AS BIGINT) AS s2
+        | FROM embeddings),
+        |cand AS (
+        | SELECT query_id, neighbor_id, hamming FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   CAST(bit_count(xor(q.s1, c.s1)) + bit_count(xor(q.s2, c.s2))
+        |        AS BIGINT) AS hamming,
+        |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |     ORDER BY bit_count(xor(q.s1, c.s1)) + bit_count(xor(q.s2, c.s2)),
+        |              c.vec_id) AS hrnk
+        |  FROM sig q, sig c
+        |  WHERE q.vec_id < 10 AND c.vec_id >= 10
+        | ) t WHERE hrnk <= 20),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings)
+        |SELECT query_id, neighbor_id, hamming, rnk FROM (
+        | SELECT cand.query_id, cand.neighbor_id, cand.hamming,
+        |  ROW_NUMBER() OVER (PARTITION BY cand.query_id
+        |    ORDER BY list_cosine_similarity(qv.v, cv.v) DESC,
+        |             cand.neighbor_id) AS rnk
+        | FROM cand
+        | JOIN v qv ON qv.vec_id = cand.query_id
+        | JOIN v cv ON cv.vec_id = cand.neighbor_id
         |) t WHERE rnk <= 5""".stripMargin,
     "sim_range_search" ->
       """WITH m AS (

@@ -679,6 +679,20 @@ class LibraryApiSpec extends SparkTestBase {
     assert(cent2.storageLevel.useMemory && assign2.storageLevel.useMemory)
   }
 
+  test("GraftSession.release also drops the graph and dedup-CC caches") {
+    val adj = GraphQueries.coAdj(spark, sfDir)
+    val labels = DedupQueries.ccLabels(spark, sfDir)
+    adj.count(); labels.count()
+    assert(adj.storageLevel.useMemory && labels.storageLevel.useMemory)
+    graft.GraftSession.release(spark)
+    assert(adj.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "graph adjacency still cached after release")
+    assert(labels.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "CC labels still cached after release")
+    val adj2 = GraphQueries.coAdj(spark, sfDir)
+    assert(!(adj2 eq adj) && adj2.storageLevel.useMemory)
+  }
+
   test("Curation.epochMix: whole epochs replicate exactly, fractional part " +
       "is deterministic, downsampled groups shrink") {
     import spark.implicits._

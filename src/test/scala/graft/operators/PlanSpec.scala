@@ -120,6 +120,14 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"unbroadcast cartesian:\n$plan")
   }
 
+  test("sim_ann_rerank: both stages broadcast the small side — signature " +
+      "pass broadcasts the query sigs, rerank joins only the candidate set") {
+    val plan = planOf("sim_ann_rerank")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unbroadcast cartesian:\n$plan")
+  }
+
   test("sim_topk_bruteforce: corpus is not shuffled — query side broadcasts") {
     val plan = planOf("sim_topk_bruteforce")
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
