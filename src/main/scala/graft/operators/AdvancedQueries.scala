@@ -348,6 +348,60 @@ object AdvancedQueries {
                  |     - cast(sx as double) * cast(sx as double))
                  |  * 1e6 + 0.5d) / 1e6""".stripMargin).as("slope_cents_per_qty"))
     },
+    // Benford first-digit audit — the classic fabricated-/corrupted-
+    // numbers tripwire for ingested numeric columns. The first
+    // SIGNIFICANT digit comes from the value's string rendering
+    // (first [1-9] match — exact on any standard decimal/scientific
+    // rendering, no cross-engine log10), observed shares are integer
+    // ppm, and the Benford expectation log10(1+1/d) ships as
+    // PRECOMPUTED ppm constants so no libm call can differ between
+    // engines. One scan + a 9-row aggregate.
+    "stat_benford" -> { (s, dir) =>
+      import s.implicits._
+      val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+        4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+        8 -> 51153L, 9 -> 45757L).toDF("digit", "benford_ppm")
+      val d = Tables(s, dir, "orders")
+        .select(regexp_extract(col("o_totalprice").cast("string"),
+          "[1-9]", 0).cast("int").as("digit"))
+        .where(col("digit") >= 1)
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      d.crossJoin(broadcast(d.agg(sum("n").as("t"))))
+        .join(broadcast(benford), "digit")
+        .select(col("digit"), col("n"),
+          expr("n * 1000000 div t").as("obs_ppm"), col("benford_ppm"))
+    },
+    // Lag-1 autocorrelation of the daily event count series — the
+    // seasonality/trend probe run before forecasting or anomaly
+    // thresholds. The lag pairing is an EQUI-JOIN on day+1 (never a
+    // global-window lag over the whole series), moments are exact
+    // BIGINT/DECIMAL(38,0) sums, and only the final Pearson formula
+    // touches doubles — identical IEEE expression on both engines,
+    // micro-rounded like stat_corr_exact. Degenerate series (≤1 pair
+    // or zero variance) emit zero rows on both engines.
+    "stat_autocorr" -> { (s, dir) =>
+      val daily = Tables(s, dir, "events")
+        .groupBy(expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily.alias("a").join(daily.alias("b"),
+          col("a.day") + 1 === col("b.day"))
+        .select(col("a.x").as("x"), col("b.x").as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum(expr("x * x").cast(DecimalType(38, 0))).as("sxx"),
+          sum("y").as("sy"), sum(expr("y * y").cast(DecimalType(38, 0))).as("syy"),
+          sum(expr("x * y").cast(DecimalType(38, 0))).as("sxy"))
+        .where(col("n") > 1 &&
+          col("n") * col("sxx") > col("sx") * col("sx") &&
+          col("n") * col("syy") > col("sy") * col("sy"))
+        .select(col("n"), col("sx"), col("sy"),
+          expr("""floor((cast(n as double) * cast(sxy as double)
+                 |       - cast(sx as double) * cast(sy as double))
+                 |  / (sqrt(cast(n as double) * cast(sxx as double)
+                 |          - cast(sx as double) * cast(sx as double))
+                 |     * sqrt(cast(n as double) * cast(syy as double)
+                 |            - cast(sy as double) * cast(sy as double)))
+                 |  * 1e6 + 0.5d) / 1e6""".stripMargin).as("autocorr_lag1"))
+    },
     // Distribution-drift monitor: chi-squared statistic of each week's
     // event-type mix against the whole corpus — the standard data-
     // quality tripwire a training pipeline runs per ingest slice.
@@ -990,6 +1044,42 @@ object AdvancedQueries {
         | true AS p50_ok, true AS p90_ok, true AS p99_ok
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type""".stripMargin,
+    "stat_benford" ->
+      """WITH exp(digit, benford_ppm) AS (VALUES
+        |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+        |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
+        |d AS (
+        | SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR),
+        |                            '[1-9]', 0) AS INT) AS digit
+        | FROM orders),
+        |c AS (SELECT digit, COUNT(*) AS n FROM d
+        |      WHERE digit >= 1 GROUP BY 1),
+        |t AS (SELECT SUM(n) AS t FROM c)
+        |SELECT c.digit, CAST(n AS BIGINT) AS n,
+        | CAST(n * 1000000 // t AS BIGINT) AS obs_ppm,
+        | CAST(benford_ppm AS BIGINT) AS benford_ppm
+        |FROM c, t JOIN exp ON exp.digit = c.digit""".stripMargin,
+    "stat_autocorr" ->
+      """WITH d AS (
+        | SELECT epoch_ns(ts) // 86400000000000 AS day, COUNT(*) AS x
+        | FROM events GROUP BY 1),
+        |p AS (SELECT a.x AS x, b.x AS y
+        |      FROM d a JOIN d b ON b.day = a.day + 1),
+        |m AS (
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+        |  SUM(x * x) AS sxx, SUM(y) AS sy, SUM(y * y) AS syy,
+        |  SUM(x * y) AS sxy
+        | FROM p)
+        |SELECT n, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+        | FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |   / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |   * 1e6 + 0.5) / 1e6 AS autocorr_lag1
+        |FROM m WHERE n > 1 AND n * sxx > sx * sx AND n * syy > sy * sy"""
+        .stripMargin,
     "stat_chi2_drift" ->
       """WITH e AS (
         | SELECT epoch_ns(ts) // 604800000000000 AS week, event_type
