@@ -79,6 +79,67 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("n"))
 
+  /** Per-window χ² drift of the event-type mix against a STATIC
+    * baseline distribution — the streaming form of the
+    * `stat_chi2_drift` batch query (there the reference mix is the
+    * corpus's own global mix; here it is any precomputed
+    * `(event_type, count)` baseline, e.g. last month's mix), emitting
+    * one `(win_start, n_events, chi2_micro, n_novel)` row per closed
+    * window: the live ingest-quality tripwire.
+    *
+    * Plan shape: TWO CHAINED STATEFUL AGGREGATIONS in append mode —
+    * watermarked per-(window, type) counts, then a second windowed
+    * aggregate over `window_time` folding the per-type counts into one
+    * map per window (the Spark ≥3.5 multi-stateful-operator form; no
+    * foreachBatch needed). The baseline rides as a LITERAL MAP (tiny,
+    * driver-known — the broadcast-dim of streaming), and the χ² fold
+    * iterates the BASELINE's key set so absent types still contribute
+    * their expected-count term, exactly like the batch query's dense
+    * grid. Per-term arithmetic is the same per-cell fixed-point micros
+    * (floor of an identical IEEE expression, integer-summed →
+    * order-free). Types observed but missing from the baseline have no
+    * defined expected count (a zero denominator, the χ² breakdown
+    * case); they are EXCLUDED from the statistic and surfaced in
+    * `n_novel` — a nonzero value is itself the drift alarm.
+    *
+    * State: O(types) per open window for stage 1, one row per window
+    * for stage 2 — both watermark-bounded. Works unchanged on a batch
+    * DataFrame (window/window_time are batch-legal), which is what the
+    * stream ≡ batch spec compares against. */
+  def driftMonitor(events: DataFrame, baseline: Seq[(String, Long)],
+      windowLen: String = "1 hour"): DataFrame = {
+    require(baseline.nonEmpty && baseline.forall(_._2 > 0),
+      "baseline must be non-empty with positive counts")
+    val tt = baseline.map(_._2).sum
+    val bm = map(baseline.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    withEventTime(events)
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("o"))
+      .groupBy(window(window_time(col("window")), windowLen))
+      .agg(sum("o").as("n_all"),
+        map_from_entries(collect_list(struct(col("event_type"), col("o"))))
+          .as("om"))
+      .select(col("window.start").as("win_start"),
+        col("n_all"), col("om"),
+        // n_events = rows in BASELINE types only (the χ² population);
+        // novel types are counted separately, not silently mixed in
+        aggregate(map_keys(bm), lit(0L), (acc, t) =>
+          acc + coalesce(element_at(col("om"), t), lit(0L))).as("n_events"),
+        size(array_except(map_keys(col("om")), map_keys(bm))).as("n_novel"))
+      .where(col("n_events") > 0)
+      .select(col("win_start"), col("n_events"),
+        aggregate(map_keys(bm), lit(0L), (acc, t) => {
+          val o = coalesce(element_at(col("om"), t), lit(0L))
+          val gc = element_at(bm, t)
+          val diff = (o * lit(tt) - col("n_events") * gc).cast("double")
+          acc + floor(diff * diff
+            / (col("n_events") * gc).cast("double") / lit(tt.toDouble)
+            * lit(1e6) + lit(0.5d)).cast("long")
+        }).as("chi2_micro"),
+        col("n_novel"))
+  }
+
   /** Built-in session windows (30-minute gap) — one row per closed
     * session per user. */
   def sessionWindows(events: DataFrame): DataFrame =

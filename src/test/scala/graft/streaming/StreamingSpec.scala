@@ -55,6 +55,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("driftMonitor: two chained stateful aggregations, stream equals " +
+      "batch, novel types surfaced not mixed into the statistic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sel = events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+    // baseline = the corpus's own global mix, minus one type so the
+    // novel-type path is exercised (that type's windows get n_novel=1)
+    val mix = sel.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val dropped = mix.head._1
+    val baseline = mix.tail.toSeq
+    val all = sel.as[Event].collect().sortBy(_.ts)
+    // sentinel far past the data: advances the watermark so every real
+    // window closes and APPEND mode emits it (its own window stays open)
+    val sentinel = Event(-1L, all.last.ts + 86400L * 1000000000L, 0L, dropped, 0d)
+    val stream = MemoryStream[Event]
+    val q = driftMonitor(stream.toDF(), baseline)
+      .writeStream.format("memory").queryName("drift")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = all.splitAt(all.length / 2)
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq :+ sentinel); q.processAllAvailable()
+      val got = spark.table("drift")
+        .collect().map(r => r.getTimestamp(0) ->
+          (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+      // batch twin: the same code path over the batch frame (window /
+      // window_time are batch-legal); sentinel window excluded
+      val expect = driftMonitor(sel, baseline)
+        .collect().map(r => r.getTimestamp(0) ->
+          (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+      assert(got == expect, "stream != batch")
+      assert(got.nonEmpty)
+      // the dropped type appears somewhere → at least one window flags it
+      assert(got.values.exists(_._3 > 0), "novel type never surfaced")
+      // chi2 over the baseline's own mix should be finite and nonneg
+      assert(got.values.forall(_._2 >= 0))
+    } finally q.stop()
+  }
+
   test("tumbling window streaming counts match the batch oracle query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
