@@ -1049,9 +1049,11 @@ object AdvancedQueries {
         |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
         |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)),
         |d AS (
-        | SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR),
-        |                            '[1-9]', 0) AS INT) AS digit
-        | FROM orders),
+        | SELECT CAST(dg AS INT) AS digit FROM (
+        |  SELECT regexp_extract(CAST(o_totalprice AS VARCHAR),
+        |                        '[1-9]', 0) AS dg
+        |  FROM orders) t
+        | WHERE dg <> ''),
         |c AS (SELECT digit, COUNT(*) AS n FROM d
         |      WHERE digit >= 1 GROUP BY 1),
         |t AS (SELECT SUM(n) AS t FROM c)

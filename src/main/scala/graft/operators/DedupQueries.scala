@@ -44,25 +44,20 @@ object DedupQueries {
 
   /** Drop this session's persisted CC labels — the
     * [[Similarity.releaseStages]] counterpart, wired into
-    * [[graft.GraftSession.release]]. */
+    * [[graft.GraftSession.release]]. Lifecycle rules live in
+    * [[StageCaches]]. */
   private[graft] def releaseStages(s: SparkSession): Unit =
-    ccCache.keys.toList.filter(_._1 eq s).foreach { key =>
-      ccCache.remove(key).foreach(_.unpersist(blocking = true))
-    }
+    StageCaches.release(ccCache, s)(_.unpersist(blocking = true))
 
-  private[graft] def ccLabels(s: SparkSession, dir: String): DataFrame = {
-    // drop entries whose session has stopped (same eviction as the ANN
-    // stage cache — a dead session's persisted labels are pure leak)
-    ccCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    ccCache.getOrElseUpdate((s, dir), {
+  private[graft] def ccLabels(s: SparkSession, dir: String): DataFrame =
+    StageCaches.memo(ccCache, s, dir) {
       val d = docs(s, dir, 100)
       Dedup.connectedComponents(
         d.select(col("doc_id").as("id")),
         Dedup.jaccardPairs(d, "doc_id", "text", dfCap = ShingleDfCap))
         .select(col("id").as("doc_id"), col("cluster_id"))
         .persist()
-    })
-  }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content, keep lowest PK per group —

@@ -239,16 +239,6 @@ object EtlQueries {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
     },
-    // Event-sequence mining: the 20 most frequent 3-step event paths
-    // across all users — "what do users actually do, in order" (the
-    // product-analytics path report, and the n-gram statistic a
-    // behavioral-cloning dataset is curated by). Per-user windows
-    // (ordered by ts, event_id — total order, no ties) emit each
-    // consecutive trigram via lead(); one groupBy counts them, and the
-    // top-20 cut is tie-broken by the full path so the LIMIT edge is
-    // deterministic. Scale shape: the window partitions by user (no
-    // global sort), the count is a partial-agg shuffle over ≤ |types|³
-    // keys, and the final top-k is TakeOrderedAndProject.
     // First-order Markov transition matrix of the per-user event
     // stream: P(next type | type) in integer ppm — the behavioral-
     // model summary (and anomaly baseline: a deploy that shifts a
@@ -267,6 +257,16 @@ object EtlQueries {
         .agg(count(lit(1)).as("n"))
         .withColumn("p_ppm", expr("n * 1000000 div sum(n) over (partition by src)"))
     },
+    // Event-sequence mining: the 20 most frequent 3-step event paths
+    // across all users — "what do users actually do, in order" (the
+    // product-analytics path report, and the n-gram statistic a
+    // behavioral-cloning dataset is curated by). Per-user windows
+    // (ordered by ts, event_id — total order, no ties) emit each
+    // consecutive trigram via lead(); one groupBy counts them, and the
+    // top-20 cut is tie-broken by the full path so the LIMIT edge is
+    // deterministic. Scale shape: the window partitions by user (no
+    // global sort), the count is a partial-agg shuffle over ≤ |types|³
+    // keys, and the final top-k is TakeOrderedAndProject.
     "ev_event_trigrams" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts", "event_id")

@@ -41,16 +41,11 @@ import graft.Tables
   */
 object GraphQueries {
 
-  /** One memoization pattern for every shared graph stage — the same
-    * stopped-session eviction + persist discipline as
-    * [[SimilarityQueries.sharedStages]], written ONCE so a fix to the
-    * lifecycle (eviction, release) applies to all graph caches. */
-  private def memo(cache: scala.collection.concurrent.TrieMap[
-      (SparkSession, String), DataFrame], s: SparkSession, dir: String)(
-      build: => DataFrame): DataFrame = {
-    cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    cache.getOrElseUpdate((s, dir), build.persist())
-  }
+  /** Memoize-and-persist one shared graph stage — lifecycle rules
+    * (dead-session eviction, release) live in [[StageCaches]]. */
+  private def memo(cache: StageCaches.Cache[DataFrame], s: SparkSession,
+      dir: String)(build: => DataFrame): DataFrame =
+    StageCaches.memo(cache, s, dir)(build.persist())
 
   private val caches = Seq(
     () => edgeCache, () => coCache, () => adjCache, () => oriCache)
@@ -60,12 +55,8 @@ object GraphQueries {
     * counterpart for long-lived sessions that touch many fixture
     * dirs. */
   def releaseStages(s: SparkSession): Unit =
-    caches.foreach { c =>
-      val cache = c()
-      cache.keys.toList.filter(_._1 eq s).foreach { key =>
-        cache.remove(key).foreach(_.unpersist(blocking = true))
-      }
-    }
+    caches.foreach(c =>
+      StageCaches.release(c(), s)(_.unpersist(blocking = true)))
 
   /** Weighted symmetric edge list `(src, dst, w, outw)`, persisted once
     * per (session, dir). `outw` (the source node's total outgoing

@@ -45,11 +45,9 @@ object SimilarityQueries {
   private val stageCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
-  private[graft] def sharedStages(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    // entries for stopped sessions are unreachable but would otherwise be
-    // retained forever (persisted DataFrames pin their dead session)
-    stageCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    stageCache.getOrElseUpdate((s, dir), {
+  private[graft] def sharedStages(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    // stopped-session eviction + memoization rules live in StageCaches
+    StageCaches.memo(stageCache, s, dir) {
       // a saved index (Similarity.saveIndex) short-circuits training:
       // both stages come off parquet — zero centroid aggregates in any
       // downstream plan, bit-identical search results (doubles round-
@@ -76,18 +74,15 @@ object SimilarityQueries {
             .persist()
           (cent, Similarity.ivfAssign(vecs(s, dir), cent).persist())
       }
-    })
-  }
+    }
 
   /** Unpersist and forget this session's shared stages — the teardown
     * twin of [[sharedStages]] (blocking, so callers can assert the
     * cache blocks are gone). Entry point: [[Similarity.releaseStages]]. */
   private[graft] def releaseStages(s: SparkSession): Unit =
-    stageCache.keys.toList.filter(_._1 eq s).foreach { key =>
-      stageCache.remove(key).foreach { case (cent, assign) =>
-        cent.unpersist(blocking = true)
-        assign.unpersist(blocking = true)
-      }
+    StageCaches.release(stageCache, s) { case (cent, assign) =>
+      cent.unpersist(blocking = true)
+      assign.unpersist(blocking = true)
     }
 
   private def querySide(e: DataFrame): DataFrame =
@@ -96,6 +91,33 @@ object SimilarityQueries {
   private def corpusSide(e: DataFrame): DataFrame =
     e.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("neighbor_id"), col("v").as("vb"))
+
+  /** Sign-quantized 64-bit signatures (two sub-31-bit BIGINT halves so
+    * no engine differs on sign-bit shifts) + per-query Hamming-ranked
+    * top-k: `(query_id, neighbor_id, hamming, rnk)`. ONE home for the
+    * quantization boundary and tie-break — `sim_ann_hamming` is the
+    * k=5 ANN result, `sim_ann_rerank` consumes the k=20 candidate
+    * set. */
+  private def hammingCandidates(e: DataFrame, k: Int): DataFrame = {
+    val sig = e.select(col("vec_id"),
+      expr("aggregate(sequence(0, 31), 0L, (a, i) -> a + " +
+        "IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i), 0L))").as("s1"),
+      expr("aggregate(sequence(32, 63), 0L, (a, i) -> a + " +
+        "IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i - 32), 0L))").as("s2"))
+    val q = sig.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("s1").as("q1"), col("s2").as("q2"))
+    val c = sig.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("s1").as("c1"), col("s2").as("c2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("hamming",
+        (bit_count(col("q1").bitwiseXOR(col("c1"))) +
+          bit_count(col("q2").bitwiseXOR(col("c2")))).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "hamming", "rnk")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact top-5 neighbors for query vectors vec_id < 10 over the rest.
@@ -195,24 +217,7 @@ object SimilarityQueries {
     // Top-5 per query by (hamming asc, neighbor_id): same broadcast
     // scan shape as sim_topk_bruteforce.
     "sim_ann_hamming" -> { (s, dir) =>
-      val sig = vecs(s, dir).select(col("vec_id"),
-        expr("aggregate(sequence(0, 31), 0L, (a, i) -> a + " +
-          "IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i), 0L))").as("s1"),
-        expr("aggregate(sequence(32, 63), 0L, (a, i) -> a + " +
-          "IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i - 32), 0L))").as("s2"))
-      val q = sig.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("s1").as("q1"), col("s2").as("q2"))
-      val c = sig.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("neighbor_id"), col("s1").as("c1"), col("s2").as("c2"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-        .orderBy(col("hamming"), col("neighbor_id"))
-      c.crossJoin(broadcast(q))
-        .withColumn("hamming",
-          (bit_count(col("q1").bitwiseXOR(col("c1"))) +
-            bit_count(col("q2").bitwiseXOR(col("c2")))).cast("long"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 5)
-        .select("query_id", "neighbor_id", "hamming", "rnk")
+      hammingCandidates(vecs(s, dir), k = 5)
     },
     // Two-stage serving: integer Hamming FIRST-PASS (the 32×-smaller
     // sign signatures rank 20 candidates per query) then an EXACT
@@ -226,23 +231,7 @@ object SimilarityQueries {
     // reordering is auditable.
     "sim_ann_rerank" -> { (s, dir) =>
       val e = vecs(s, dir)
-      val sig = e.select(col("vec_id"),
-        expr("aggregate(sequence(0, 31), 0L, (a, i) -> a + " +
-          "IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i), 0L))").as("s1"),
-        expr("aggregate(sequence(32, 63), 0L, (a, i) -> a + " +
-          "IF(element_at(v, i + 1) >= 0D, shiftleft(1L, i - 32), 0L))").as("s2"))
-      val q = sig.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("s1").as("q1"), col("s2").as("q2"))
-      val c = sig.filter(col("vec_id") >= 10)
-        .select(col("vec_id").as("neighbor_id"), col("s1").as("c1"), col("s2").as("c2"))
-      val wH = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
-        .orderBy(col("hamming"), col("neighbor_id"))
-      val cand = c.crossJoin(broadcast(q))
-        .withColumn("hamming",
-          (bit_count(col("q1").bitwiseXOR(col("c1"))) +
-            bit_count(col("q2").bitwiseXOR(col("c2")))).cast("long"))
-        .withColumn("hrnk", row_number().over(wH))
-        .filter(col("hrnk") <= 20)
+      val cand = hammingCandidates(e, k = 20)
         .select("query_id", "neighbor_id", "hamming")
       val qv = querySide(e)
       val cv = corpusSide(e)

@@ -110,6 +110,10 @@ object StreamingOps {
       windowLen: String = "1 hour"): DataFrame = {
     require(baseline.nonEmpty && baseline.forall(_._2 > 0),
       "baseline must be non-empty with positive counts")
+    require(baseline.map(_._1).distinct.size == baseline.size,
+      "baseline has duplicate event types — merge their counts first " +
+        "(a duplicated key would fail in the map literal far from here, " +
+        "or silently skew tt under LAST_WIN dedup)")
     val tt = baseline.map(_._2).sum
     val bm = map(baseline.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     withEventTime(events)
@@ -117,11 +121,10 @@ object StreamingOps {
       .groupBy(window(col("event_time"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("o"))
       .groupBy(window(window_time(col("window")), windowLen))
-      .agg(sum("o").as("n_all"),
+      .agg(
         map_from_entries(collect_list(struct(col("event_type"), col("o"))))
           .as("om"))
-      .select(col("window.start").as("win_start"),
-        col("n_all"), col("om"),
+      .select(col("window.start").as("win_start"), col("om"),
         // n_events = rows in BASELINE types only (the χ² population);
         // novel types are counted separately, not silently mixed in
         aggregate(map_keys(bm), lit(0L), (acc, t) =>
