@@ -85,6 +85,48 @@ object MultimodalQueries {
     // swaps in a codec kernel, but the metadata recomputation and the
     // payload-size contract (ceil semantics, channel preservation) are
     // the pipeline-visible behavior, and they're exact integer math.
+    // Perceptual near-dup tier of media dedup: a banded 64-bit
+    // pHash-STUB (four 16-bit blocks, each the md5 of one payload
+    // QUARTER — block-local, so payloads sharing a quarter share that
+    // band; a real perceptual hash replaces exactly the block
+    // function, the banding/verify plumbing is the production shape).
+    // Candidates = pairs sharing ANY band (equi-join on (band, value),
+    // NEVER all-pairs — the same LSH discipline as dedup_minhash_lsh;
+    // bucket sizes are corpus/2^16 per band plus true near-dups), then
+    // the integer Hamming over all four blocks is the verify stage.
+    // Emitted as an AUDIT: every candidate with its distance and the
+    // ≤16 near-dup verdict, so threshold tuning reads one table.
+    "mm_phash_near_dup" -> { (s, dir) =>
+      val m = withMedia(Tables(s, dir, "documents"))
+      def block(q: Int) = expr(
+        s"""cast(conv(substr(md5(substr(payload,
+           |  1 + ($q * octet_length(payload)) div 4,
+           |  ((${q + 1} * octet_length(payload)) div 4)
+           |    - (($q * octet_length(payload)) div 4))), 1, 4),
+           |  16, 10) as bigint)""".stripMargin)
+      val sig = m.select(col("doc_id"), block(0).as("b0"), block(1).as("b1"),
+        block(2).as("b2"), block(3).as("b3"))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("bi", "bv")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val sa = sig.select(col("doc_id").as("a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+      val sb = sig.select(col("doc_id").as("b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+      cand.join(sa, "a").join(sb, "b")
+        .select(col("a"), col("b"),
+          (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+            bit_count(col("a1").bitwiseXOR(col("c1"))) +
+            bit_count(col("a2").bitwiseXOR(col("c2"))) +
+            bit_count(col("a3").bitwiseXOR(col("c3")))).cast("long")
+            .as("hamming"))
+        .withColumn("near_dup", col("hamming") <= 16)
+    },
     "mm_resize_stub" -> { (s, dir) =>
       withMedia(Tables(s, dir, "documents"))
         .filter(col("meta.media_type") === "image/png")
@@ -149,6 +191,40 @@ object MultimodalQueries {
         | CAST(strlen(text) % 64 + 1 AS INT) AS width,
         | CAST(strlen(text) % 48 + 1 AS INT) AS height
         |FROM documents""".stripMargin,
+    // text quarters by CHARS where Spark slices payload BYTES —
+    // identical on the ASCII fixture (same note as mm_feature_extract)
+    "mm_phash_near_dup" ->
+      """WITH m AS (SELECT doc_id, text FROM documents),
+        |sig AS (
+        | SELECT doc_id,
+        |  ('0x' || substr(md5(substr(text, 1 + (0*strlen(text))//4,
+        |    (1*strlen(text))//4 - (0*strlen(text))//4)),1,4))::BIGINT AS b0,
+        |  ('0x' || substr(md5(substr(text, 1 + (1*strlen(text))//4,
+        |    (2*strlen(text))//4 - (1*strlen(text))//4)),1,4))::BIGINT AS b1,
+        |  ('0x' || substr(md5(substr(text, 1 + (2*strlen(text))//4,
+        |    (3*strlen(text))//4 - (2*strlen(text))//4)),1,4))::BIGINT AS b2,
+        |  ('0x' || substr(md5(substr(text, 1 + (3*strlen(text))//4,
+        |    (4*strlen(text))//4 - (3*strlen(text))//4)),1,4))::BIGINT AS b3
+        | FROM m),
+        |bands AS (
+        | SELECT doc_id, 0 AS bi, b0 AS bv FROM sig
+        | UNION ALL SELECT doc_id, 1, b1 FROM sig
+        | UNION ALL SELECT doc_id, 2, b2 FROM sig
+        | UNION ALL SELECT doc_id, 3, b3 FROM sig),
+        |cand AS (
+        | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        | FROM bands x JOIN bands y
+        |  ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT a, b,
+        | CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+        |    + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+        |   AS BIGINT) AS hamming,
+        | (CAST(bit_count(xor(sa.b0, sb.b0)) + bit_count(xor(sa.b1, sb.b1))
+        |     + bit_count(xor(sa.b2, sb.b2)) + bit_count(xor(sa.b3, sb.b3))
+        |    AS BIGINT) <= 16) AS near_dup
+        |FROM cand
+        |JOIN sig sa ON sa.doc_id = a
+        |JOIN sig sb ON sb.doc_id = b""".stripMargin,
     // md5 over VARCHAR hashes its UTF-8 bytes — the same bytes Spark's
     // md5 sees on the encoded payload column
     "mm_dedup_bytes" ->
