@@ -244,6 +244,30 @@ object SimilarityQueries {
         .filter(col("rnk") <= 5)
         .select("query_id", "neighbor_id", "hamming", "rnk")
     },
+    // Matryoshka-truncation evaluation: top-5 recall when ranking with
+    // only the first 16/32/64 embedding dimensions against the
+    // full-dimension truth — the measurement behind "can we serve the
+    // 4×-cheaper prefix?" that MRL-style embedding rollouts run before
+    // truncating an index. One brute-force ranking per prefix width
+    // (same broadcast-query scan shape as sim_topk_bruteforce, corpus
+    // scanned once per width), hits counted by a semi-join against the
+    // full-dim top-5, recall in integer permille. The 64-dim row is
+    // the built-in sanity check: recall ≡ 1000 by construction.
+    "vec_matryoshka_eval" -> { (s, dir) =>
+      val e = vecs(s, dir)
+      def pref(d: Int) = Similarity.bruteForceTopK(
+          querySide(e.select(col("vec_id"), expr(s"slice(v, 1, $d)").as("v"))),
+          corpusSide(e.select(col("vec_id"), expr(s"slice(v, 1, $d)").as("v"))),
+          k = 5)
+        .select(lit(d).as("dims"), col("query_id"), col("neighbor_id"))
+      val truth = pref(64).select("query_id", "neighbor_id")
+      val hits = Seq(16, 32, 64).map(pref).reduce(_ unionAll _)
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("dims").agg(count(lit(1)).as("n_hits"))
+      hits.crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+        .select(col("dims"), col("n_hits"),
+          expr("n_hits * 1000 div n_truth").as("recall_permille"))
+    },
     // Multi-probe IVF: queries probe their 2 nearest buckets (corpus
     // stays single-assigned) — the standard recall-recovery knob for
     // vectors near bucket boundaries, at 2× bounded probe cost.
@@ -587,6 +611,34 @@ object SimilarityQueries {
         | FROM sig q, sig c
         | WHERE q.vec_id < 10 AND c.vec_id >= 10
         |) t WHERE rnk <= 5""".stripMargin,
+    "vec_matryoshka_eval" -> {
+      def pref(name: String, d: Int) =
+        s"""$name AS (
+           | SELECT query_id, neighbor_id FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |     ORDER BY list_cosine_similarity(q.v[1:$d], c.v[1:$d]) DESC,
+           |              c.vec_id) AS rnk
+           |  FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id >= 10
+           | ) t WHERE rnk <= 5)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |${pref("p16", 16)},
+        |${pref("p32", 32)},
+        |${pref("p64", 64)},
+        |pref AS (
+        | SELECT 16 AS dims, query_id, neighbor_id FROM p16
+        | UNION ALL SELECT 32, query_id, neighbor_id FROM p32
+        | UNION ALL SELECT 64, query_id, neighbor_id FROM p64),
+        |hits AS (
+        | SELECT dims, COUNT(*) AS n_hits
+        | FROM pref JOIN p64 t USING (query_id, neighbor_id)
+        | GROUP BY dims),
+        |tot AS (SELECT COUNT(*) AS n_truth FROM p64)
+        |SELECT CAST(dims AS INT) AS dims, CAST(n_hits AS BIGINT) AS n_hits,
+        | CAST(n_hits * 1000 // n_truth AS BIGINT) AS recall_permille
+        |FROM hits, tot""".stripMargin
+    },
     "sim_ann_rerank" ->
       """WITH sig AS (
         | SELECT vec_id,
