@@ -113,6 +113,21 @@ object DedupQueries {
         .withColumn("rows_kept", col("n_clusters"))
         .withColumn("rows_dropped", (col("sz") - 1) * col("n_clusters"))
     },
+    // The dedup REPORT a crawl operator reads first: per-source doc
+    // count, distinct-content count (md5 groupBy — the exact-dedup
+    // shuffle carries 16-byte digests, never text), and the duplicate
+    // rate in integer ppm. WITHIN-source by design: "which crawl is
+    // feeding me copies" — cross-source duplicate attribution is
+    // dedup_exact's keeper semantics, not a rate.
+    "dedup_rate_by_source" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"), md5(col("text")).as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("h").as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          expr("(n_docs - n_distinct) * 1000000 div n_docs").as("dup_ppm"))
+    },
     // Containment dedup: den·|a∩b| >= num·min(|a|,|b|) — catches a
     // short doc quoted inside a long one, where symmetric Jaccard is
     // diluted by the big doc. Same df-capped candidate stage (every
@@ -345,6 +360,12 @@ object DedupQueries {
         |FROM inter JOIN cnt ca ON ca.doc_id = a_id JOIN cnt cb ON cb.doc_id = b_id
         |WHERE 10 * i >= 9 * LEAST(ca.n, cb.n)""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
+    "dedup_rate_by_source" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+        | CAST((COUNT(*) - COUNT(DISTINCT md5(text))) * 1000000
+        |   // COUNT(*) AS BIGINT) AS dup_ppm
+        |FROM documents GROUP BY source""".stripMargin,
     "dedup_cluster_cc" -> ccOracle,
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE $jaccardCtes,
