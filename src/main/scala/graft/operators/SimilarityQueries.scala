@@ -157,6 +157,33 @@ object SimilarityQueries {
     // inputs. At 100 TB the corpus is bucketed by centroid once, and
     // queries probe only their nearest bucket(s) (sim_ann_ivf).
     "ivf_assign" -> { (s, dir) => sharedStages(s, dir)._2 },
+    // CAPACITY-BOUNDED IVF assignment — the hot-bucket mitigation a
+    // production index runs: a skewed corpus can pile most vectors
+    // into few buckets, making every probe of those buckets pay the
+    // hot-bucket scan. Round 1 keeps at most CAP=40 vectors per
+    // first-choice bucket (rank within bucket — here by vec_id so the
+    // cut is integer-exact; production ranks by distance so the
+    // CLOSEST stay); overflow spills to each vector's SECOND-nearest
+    // centroid (round 2, uncapped — two rounds bound the cascade).
+    // Both rounds are bucket-partitioned windows + equi-joins; the
+    // `spilled` flag makes serve-time recall accounting explicit
+    // (a spilled vector is found via nprobe ≥ 2, not its home bucket).
+    "ivf_assign_capped" -> { (s, dir) =>
+      val two = Similarity.ivfAssignN(vecs(s, dir), sharedStages(s, dir)._1,
+        nprobe = 2)
+      val first = two.filter(col("probe_rank") === 1)
+        .select("vec_id", "centroid")
+      val second = two.filter(col("probe_rank") === 2)
+        .select("vec_id", "centroid")
+      val wCap = org.apache.spark.sql.expressions.Window
+        .partitionBy("centroid").orderBy("vec_id")
+      val ranked = first.withColumn("crk", row_number().over(wCap))
+      ranked.filter(col("crk") <= 40)
+        .select(col("vec_id"), col("centroid"), lit(false).as("spilled"))
+        .unionAll(ranked.filter(col("crk") > 40).select("vec_id")
+          .join(second, "vec_id")
+          .select(col("vec_id"), col("centroid"), lit(true).as("spilled")))
+    },
     // The streaming-safe narrow assign kernel (per-row argmin over the
     // centroid literal — no window, no aggregate; what an append-mode
     // ingest stream runs on arrival). Bit-compatible with ivf_assign,
@@ -525,6 +552,37 @@ object SimilarityQueries {
         | WHERE q.vec_id < 10 AND c.vec_id >= 10 AND q.label <> c.label
         |) t WHERE rnk <= 3""".stripMargin,
     "ivf_assign" -> ivfAssignOracle,
+    "ivf_assign_capped" ->
+      """WITH m AS (
+        | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
+        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+        |   CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings) t GROUP BY 1, 2),
+        |cent AS (
+        | SELECT label AS c_label, list(m ORDER BY dim) AS c
+        | FROM m GROUP BY label),
+        |cent2 AS (
+        | SELECT c_label, c,
+        |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
+        | FROM cent),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings),
+        |two AS (
+        | SELECT vec_id, c_label AS centroid, rn FROM (
+        |  SELECT vec_id, c_label,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id
+        |     ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
+        |  FROM v, cent2) t WHERE rn <= 2),
+        |ranked AS (
+        | SELECT vec_id, centroid,
+        |  ROW_NUMBER() OVER (PARTITION BY centroid ORDER BY vec_id) AS crk
+        | FROM two WHERE rn = 1)
+        |SELECT vec_id, centroid, FALSE AS spilled
+        |FROM ranked WHERE crk <= 40
+        |UNION ALL
+        |SELECT r.vec_id, s.centroid, TRUE AS spilled
+        |FROM ranked r JOIN two s ON s.vec_id = r.vec_id AND s.rn = 2
+        |WHERE r.crk > 40""".stripMargin,
     // same oracle on purpose: the gate proves the narrow streaming
     // kernel and the window-argmin kernel produce identical assignments
     "ivf_assign_narrow" -> ivfAssignOracle,
