@@ -158,6 +158,25 @@ object CurationQueries {
         Seq("h", "doc_id"), idName = "shuffle_pos")
         .select("doc_id", "shuffle_pos")
     },
+    // Deterministic SOURCE-INTERLEAVED training order: round-robin the
+    // sources (position 0 = first source's first doc, then every other
+    // source's first doc, then the seconds, …) — the "mix sources
+    // evenly through the epoch" ordering that keeps any training-run
+    // prefix close to the corpus mixture, where a naive concat-by-
+    // source front-loads one domain. Per-source ordinals are a
+    // source-partitioned window; the GLOBAL position over (ridx,
+    // source) is Ids.contiguous — the distributed-ordinal scaffold, no
+    // single-task sort. Sources of unequal size drain naturally (a
+    // exhausted source just stops appearing in later rounds).
+    "cur_interleave_mix" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+      Ids.contiguous(
+        Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+          .withColumn("ridx", row_number().over(w).cast("long")),
+        Seq("ridx", "source"), idName = "pos")
+        .select("doc_id", "source", "ridx", "pos")
+    },
     // Mixture audit over cur_epoch_mix: per-source docs/copies/token
     // output and the realized per-mille token share — the check that the
     // mix actually hit its target weights before tokens are burned on
@@ -323,6 +342,13 @@ object CurationQueries {
         | ROW_NUMBER() OVER (ORDER BY md5('shuffle|' || text), doc_id) - 1
         |  AS shuffle_pos
         |FROM documents""".stripMargin,
+    "cur_interleave_mix" ->
+      """SELECT doc_id, source, CAST(ridx AS BIGINT) AS ridx,
+        | ROW_NUMBER() OVER (ORDER BY ridx, source) - 1 AS pos
+        |FROM (
+        | SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS ridx
+        | FROM documents) t""".stripMargin,
     "cur_mixture_report" ->
       s"""WITH toks AS (
         | SELECT doc_id,

@@ -252,6 +252,26 @@ object GraphQueries {
         .withColumn("community", col("node"))
       step(step(step(l0)))
     },
+    // k-core peeling (k=3, 3 unrolled rounds): repeatedly drop nodes
+    // with degree < k and the edges they carry — the standard
+    // density-core extraction (spam/bot rings and tight communities
+    // survive peeling; tendrils don't). Each round is one degree
+    // aggregate + two semi-shaped equi-joins filtering the adjacency
+    // to surviving endpoints; rounds are fixed like graph_pagerank
+    // (full peeling iterates to a fixpoint — a convergence probe adds
+    // rounds, not a new plan shape). Output: surviving nodes with
+    // their degree inside the 3-peeled subgraph.
+    "graph_kcore" -> { (s, dir) =>
+      def peel(adj: DataFrame): DataFrame = {
+        val alive = adj.groupBy("node").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 3).select("node")
+        adj.join(alive, "node")
+          .join(alive.withColumnRenamed("node", "nbr"), "nbr")
+          .select("node", "nbr")
+      }
+      peel(peel(peel(coAdj(s, dir))))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+    },
     // Link prediction: top-20 supplier pairs by neighbor-set Jaccard.
     // Common-neighbor counts come from one wedge join on the shared
     // neighbor (fan-out deg(n)² per neighbor — production would
@@ -359,6 +379,19 @@ object GraphQueries {
         |      UNION ALL SELECT b FROM tri
         |      UNION ALL SELECT c FROM tri) corners
         |GROUP BY node""".stripMargin,
+    "graph_kcore" ->
+      s"""WITH $coCtes,
+        |d1 AS (SELECT node FROM adj GROUP BY node HAVING COUNT(*) >= 3),
+        |a1 AS (SELECT x.node, x.nbr FROM adj x
+        |       JOIN d1 n ON n.node = x.node JOIN d1 m ON m.node = x.nbr),
+        |d2 AS (SELECT node FROM a1 GROUP BY node HAVING COUNT(*) >= 3),
+        |a2 AS (SELECT x.node, x.nbr FROM a1 x
+        |       JOIN d2 n ON n.node = x.node JOIN d2 m ON m.node = x.nbr),
+        |d3 AS (SELECT node FROM a2 GROUP BY node HAVING COUNT(*) >= 3),
+        |a3 AS (SELECT x.node, x.nbr FROM a2 x
+        |       JOIN d3 n ON n.node = x.node JOIN d3 m ON m.node = x.nbr)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        |FROM a3 GROUP BY node""".stripMargin,
     "graph_label_propagation" ->
       s"""WITH $coCtes,
         |l0 AS (SELECT DISTINCT node, node AS community FROM adj),
