@@ -46,6 +46,23 @@ class GraphSpec extends SparkTestBase {
     assert(key.sameElements(key.sorted), "not in (jacc desc, a, b) order")
   }
 
+  test("graph_kcore equals naive 3-round peel") {
+    val und = edges()
+    var adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2).toSet }
+    for (_ <- 1 to 3) {
+      val alive = adj.filter(_._2.size >= 3).keySet
+      adj = adj.collect { case (n, nbrs) if alive(n) =>
+        n -> nbrs.filter(alive)
+      }.filter(_._2.nonEmpty).toMap
+    }
+    val naive = adj.map { case (n, nbrs) => n -> nbrs.size.toLong }
+    val got = SparkEntry.queries("graph_kcore")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive, "peel mismatch vs naive")
+    assert(got.nonEmpty)
+  }
+
   test("graph_label_propagation equals naive synchronous LPA") {
     val und = edges()
     val adj = (und ++ und.map(_.swap)).groupBy(_._1)
