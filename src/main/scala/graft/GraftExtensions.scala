@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ContentChunks, CosineSim, DotProduct, MinHashSig, MisraGries, RollingHash, Shingles, SimHash64}
+import graft.functions.{BottomK, ContentChunks, CosineSim, DotProduct, MinHashSig, MisraGries, RollingHash, Shingles, SimHash64}
 
 /** `SparkSessionExtensions` hook registering the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql("SELECT rolling_hash(text)
@@ -115,6 +115,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         val k = children(1).eval().asInstanceOf[Number].intValue()
         MisraGries(children.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bottom_k"),
+      info("bottom_k",
+        "bottom_k(str, k) - deterministic KMV distinct sample as array<struct<item,key>> (k smallest md5-keys)"),
+      (children: Seq[Expression]) => {
+        val k = children(1).eval().asInstanceOf[Number].intValue()
+        BottomK(children.head, k)
       }))
   }
 }

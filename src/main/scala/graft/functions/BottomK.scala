@@ -1,0 +1,141 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bottom-k (KMV) distinct sampling as a native Catalyst aggregate:
+  * keep the `k` DISTINCT items with the smallest deterministic
+  * 60-bit md5-derived keys. The classic order-independent sketch —
+  * a deterministic uniform sample over the distinct values that is
+  * mergeable (union, keep k smallest), so partial aggregation runs
+  * map-side with O(k) state per buffer where a sort-based sample
+  * would shuffle every row. Uses:
+  *  - per-group content samples ("show me 8 example payloads per
+  *    source") with no full-group sort;
+  *  - bottom-k sketches compare across tables: |A∩B| estimation via
+  *    key overlap (the KMV/theta-sketch construction);
+  *  - the k-th smallest key estimates distinct count ((k−1)·2⁶⁰/kth).
+  *
+  * DETERMINISM makes it oracle-checkable: the key is the first 15 hex
+  * chars of md5(item) parsed as a BIGINT — bit-identical to DuckDB's
+  * `('0x' || substr(md5(x), 1, 15))::BIGINT` — so an exact SQL oracle
+  * can rank by the same key. Duplicate inputs collapse (same item →
+  * same key): this samples the distinct domain, not row frequency —
+  * [[MisraGries]] is the frequency-weighted counterpart.
+  *
+  * Output: `array<struct<item:string, key:long>>` ascending by
+  * (key, item) — the key rides along for rank-interval audits. */
+case class BottomK(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.TreeMap[(Long, String), Unit]] {
+  require(k > 0 && k <= 65536, "capacity must be in (0, 65536]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("key", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bottom_k requires STRING input, got $other")
+  }
+
+  override def createAggregationBuffer(): mutable.TreeMap[(Long, String), Unit] =
+    mutable.TreeMap.empty[(Long, String), Unit]
+
+  private def insert(buf: mutable.TreeMap[(Long, String), Unit],
+      key: Long, item: String): Unit = {
+    buf.update((key, item), ())
+    if (buf.size > k) buf.remove(buf.lastKey): Unit
+  }
+
+  override def update(buf: mutable.TreeMap[(Long, String), Unit],
+      input: InternalRow): mutable.TreeMap[(Long, String), Unit] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      insert(buf, BottomK.key(s), s)
+    }
+    buf
+  }
+
+  override def merge(b1: mutable.TreeMap[(Long, String), Unit],
+      b2: mutable.TreeMap[(Long, String), Unit]): mutable.TreeMap[(Long, String), Unit] = {
+    b2.foreachEntry { case ((key, item), _) => insert(b1, key, item) }
+    b1
+  }
+
+  override def eval(buf: mutable.TreeMap[(Long, String), Unit]): Any =
+    new GenericArrayData(buf.keysIterator
+      .map { case (key, item) =>
+        InternalRow(UTF8String.fromString(item), key): Any
+      }.toArray)
+
+  // length-prefixed UTF-8 (same rationale as MisraGries: writeUTF
+  // caps at 64 KB per item)
+  override def serialize(buf: mutable.TreeMap[(Long, String), Unit]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreachEntry { case ((key, item), _) =>
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(key)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeMap[(Long, String), Unit] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val item = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      buf.update((in.readLong(), item), ())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BottomK =
+    copy(child = newChildren.head)
+}
+
+object BottomK {
+  /** 60-bit sampling key: first 15 hex chars of md5(UTF-8 bytes) —
+    * the DuckDB-replicable construction (`('0x' || substr(md5(x), 1,
+    * 15))::BIGINT`), non-negative so integer comparisons match. */
+  def key(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = 60 bits: 7 full bytes + the high nibble of
+    // the 8th
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** Column-API entry: `bottom_k(col, k)` aggregate. */
+  def bottom_k(c: Column, k: Int): Column =
+    Bridge.column(BottomK(Bridge.expression(c), k).toAggregateExpression())
+}

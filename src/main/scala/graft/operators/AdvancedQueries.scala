@@ -243,6 +243,21 @@ object AdvancedQueries {
         .select(explode(col("hh")).as("e"))
         .select(col("e.item").as("event_type"), col("e.cnt").as("n"))
     },
+    // Deterministic per-group content sampling via the bottom-k (KMV)
+    // sketch aggregate: the 4 distinct texts with the smallest
+    // md5-derived keys per source — a uniform distinct-domain sample
+    // with O(k) state per aggregation buffer (map-side partial), where
+    // the window form (rank by key within source) shuffles every row.
+    // The md5-prefix key is bit-reproducible in SQL, so the oracle is
+    // EXACT — the rare sketch whose whole output hash-matches.
+    "agg_bottomk_sample" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(graft.functions.BottomK.bottom_k(col("text"), 4).as("bk"))
+        .select(col("source"),
+          expr("transform(bk, x -> x.item)").as("items"),
+          expr("transform(bk, x -> x.key)").as("keys"))
+    },
     // Equi-width histogram: integer floor-division bucketing — one
     // narrow map + one shuffle, the analytics primitive behind every
     // distribution dashboard.
@@ -1017,6 +1032,20 @@ object AdvancedQueries {
     "freq_heavy_hitters_by_user" ->
       """SELECT user_id, event_type, COUNT(*) AS n
         |FROM events GROUP BY user_id, event_type""".stripMargin,
+    "agg_bottomk_sample" ->
+      """WITH keyed AS (
+        | SELECT source, text,
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS key
+        | FROM documents GROUP BY source, text),
+        |ranked AS (
+        | SELECT source, text, key,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY key, text) AS rn
+        | FROM keyed)
+        |SELECT source,
+        | list(text ORDER BY key, text) AS items,
+        | list(key ORDER BY key, text) AS keys
+        |FROM ranked WHERE rn <= 4 GROUP BY source""".stripMargin,
     "stat_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // 25000 AS bucket,
         | COUNT(*) AS n

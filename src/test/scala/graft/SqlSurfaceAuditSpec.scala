@@ -36,7 +36,7 @@ class SqlSurfaceAuditSpec extends SparkTestBase {
   test("the audit covers every injected function, enumerated from the extension") {
     val audited = Set("rolling_hash", "simhash64", "minhash_sig",
       "content_chunks", "cosine_sim", "dot_product", "char_shingles",
-      "z_value", "heavy_hitters")
+      "z_value", "heavy_hitters", "bottom_k")
     assert(injectedNames == audited,
       s"injected vs audited drift: +${injectedNames -- audited} -${audited -- injectedNames}")
   }
@@ -114,5 +114,30 @@ class SqlSurfaceAuditSpec extends SparkTestBase {
       .getSeq[org.apache.spark.sql.Row](0)
       .map(r => (r.getString(0), r.getLong(1)))
     assert(got == want && got.head == ("a", 3L))
+  }
+
+  test("bottom_k: SQL aggregate == Column API aggregate; keys match the " +
+      "md5-prefix construction") {
+    import spark.implicits._
+    val df = Seq("a", "b", "a", "c", "d", "b").toDF("s")
+    df.createOrReplaceTempView("audit_bk")
+    val want = df.select(graft.functions.BottomK.bottom_k(col("s"), 3))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    val got = sql1("SELECT bottom_k(s, 3) FROM audit_bk")
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got == want)
+    assert(got.size == 3)
+    // duplicates collapse: 4 distinct values, sample holds the 3
+    // smallest md5-prefix keys in ascending order
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    got.foreach { case (item, key) =>
+      assert(key == graft.functions.BottomK.key(item))
+      // same value DuckDB computes: ('0x' || substr(md5(x),1,15))::BIGINT
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(item.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(key == java.lang.Long.parseLong(md5hex.take(15), 16))
+    }
   }
 }
