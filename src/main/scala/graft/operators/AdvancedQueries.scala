@@ -258,6 +258,25 @@ object AdvancedQueries {
           expr("transform(bk, x -> x.item)").as("items"),
           expr("transform(bk, x -> x.key)").as("keys"))
     },
+    // The KMV sketch's canonical cross-table use: pairwise SOURCE
+    // OVERLAP without comparing full domains. Each source compresses
+    // to its bottom-64 key sketch (one aggregate pass over the
+    // corpus); the pairwise comparison then runs on the 20-row sketch
+    // table — matching keys between two sketches are shared DISTINCT
+    // texts (md5 keys collide only on equal content at these scales),
+    // the signal that feeds cross-source contamination review. At
+    // 100 TB: the expensive pass stays one O(k)-state aggregate;
+    // sources² pairwise work touches only k-length arrays.
+    "dedup_kmv_overlap" -> { (s, dir) =>
+      val sk = Tables(s, dir, "documents")
+        .groupBy("source")
+        .agg(graft.functions.BottomK.bottom_k(col("text"), 64).as("bk"))
+        .select(col("source"), expr("transform(bk, x -> x.key)").as("keys"))
+      sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          size(array_intersect(col("a.keys"), col("b.keys")))
+            .cast("long").as("n_shared"))
+    },
     // Equi-width histogram: integer floor-division bucketing — one
     // narrow map + one shuffle, the analytics primitive behind every
     // distribution dashboard.
@@ -1046,6 +1065,22 @@ object AdvancedQueries {
         | list(text ORDER BY key, text) AS items,
         | list(key ORDER BY key, text) AS keys
         |FROM ranked WHERE rn <= 4 GROUP BY source""".stripMargin,
+    "dedup_kmv_overlap" ->
+      """WITH keyed AS (
+        | SELECT source, text,
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS key
+        | FROM documents GROUP BY source, text),
+        |ranked AS (
+        | SELECT source, key,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY key, text) AS rn
+        | FROM keyed),
+        |sk AS (
+        | SELECT source, list(key ORDER BY key) AS keys
+        | FROM ranked WHERE rn <= 64 GROUP BY source)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        | CAST(len(list_intersect(a.keys, b.keys)) AS BIGINT) AS n_shared
+        |FROM sk a JOIN sk b ON a.source < b.source""".stripMargin,
     "stat_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // 25000 AS bucket,
         | COUNT(*) AS n
