@@ -168,6 +168,25 @@ object CurationQueries {
     // source) is Ids.contiguous — the distributed-ordinal scaffold, no
     // single-task sort. Sources of unequal size drain naturally (a
     // exhausted source just stops appearing in later rounds).
+    // The one-row DATASET CARD: corpus size, source/language breadth,
+    // token/char volume, exact-duplicate count and mean length — the
+    // summary block a dataset release publishes and a pipeline logs
+    // per snapshot. One scan, one aggregate (the distinct counts are
+    // the only shuffled state); all integers, mean as integer div.
+    "cur_dataset_card" -> { (s, dir) =>
+      val t = col("text")
+      Tables(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          TextAnalysis.tokenCount(t).as("nt"),
+          length(t).cast("long").as("nc"), md5(t).as("h"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          countDistinct("lang").as("n_langs"),
+          sum("nt").as("n_tokens"),
+          sum("nc").as("n_chars"),
+          (count(lit(1)) - countDistinct("h")).as("n_dup_docs"),
+          expr("sum(nc) div count(1)").as("mean_chars"))
+    },
     "cur_interleave_mix" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy("doc_id")
@@ -342,6 +361,22 @@ object CurationQueries {
         | ROW_NUMBER() OVER (ORDER BY md5('shuffle|' || text), doc_id) - 1
         |  AS shuffle_pos
         |FROM documents""".stripMargin,
+    "cur_dataset_card" ->
+      """WITH d AS (
+        | SELECT source, lang,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |            AS BIGINT) END AS nt,
+        |  CAST(strlen(text) AS BIGINT) AS nc, md5(text) AS h
+        | FROM documents)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        | CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        | CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        | CAST(SUM(nc) AS BIGINT) AS n_chars,
+        | CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs,
+        | CAST(SUM(nc) // COUNT(*) AS BIGINT) AS mean_chars
+        |FROM d""".stripMargin,
     "cur_interleave_mix" ->
       """SELECT doc_id, source, CAST(ridx AS BIGINT) AS ridx,
         | ROW_NUMBER() OVER (ORDER BY ridx, source) - 1 AS pos

@@ -71,6 +71,21 @@ object StreamingOps {
         .as("top"))
       .select(col("window.start").as("win_start"), col("top"))
 
+  /** Per-window deterministic content sample: the bottom-k (KMV)
+    * sketch aggregate inside a watermarked tumbling window — the same
+    * mergeability that makes it map-side-combinable in batch makes it
+    * valid across micro-batches here, so each closed window carries a
+    * uniform sample of its distinct items ("show me what this hour's
+    * ingest looked like") with O(k) state per open window. Stream ≡
+    * batch on the same code path (StreamingSpec). */
+  def windowedSample(events: DataFrame, k: Int): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(graft.functions.BottomK.bottom_k(col("event_type"), k)
+        .as("sample"))
+      .select(col("window.start").as("win_start"), col("sample"))
+
   /** Sliding 10-minute window every 5 minutes (overlapping windows). */
   def slidingCounts(events: DataFrame): DataFrame =
     withEventTime(events)

@@ -95,6 +95,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowed bottom-k sample: merged sketch state across micro-batches " +
+      "equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(_.ts)
+    val (b1, b2) = all.splitAt(all.length / 2)
+    val stream = MemoryStream[Event]
+    val q = windowedSample(stream.toDF(), k = 3)
+      .writeStream.format("memory").queryName("wsample")
+      .outputMode("complete").start()
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("win_start"), expr(
+          "to_json(transform(sample, x -> struct(x.item, x.key)))").as("s"))
+        .collect().map(r => r.getTimestamp(0) -> r.getString(1)).toMap
+      val got = canon(spark.table("wsample"))
+      val expect = canon(windowedSample(events.selectExpr(
+        "event_id", "ts", "user_id", "event_type", "value"), k = 3))
+      assert(got == expect)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("tumbling window streaming counts match the batch oracle query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
