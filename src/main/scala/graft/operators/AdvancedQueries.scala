@@ -382,6 +382,41 @@ object AdvancedQueries {
                  |     - cast(sx as double) * cast(sx as double))
                  |  * 1e6 + 0.5d) / 1e6""".stripMargin).as("slope_cents_per_qty"))
     },
+    // TAIL drift — the third leg of the drift suite (chi² = categorical
+    // mix, KS = whole-shape max-gap, this = tail percentiles, which KS
+    // underweights because the max ECDF gap almost always sits mid-
+    // distribution). Exact nearest-rank p50/p90 per (event_type,
+    // week-parity cohort), same integer-selection idiom as
+    // stat_percentiles_disc (cent-quantized, no interpolation), then
+    // one cohort self-join emits the per-type drift in cents. Windows
+    // partition by (type, cohort); at a 10^9-row group the disc rank
+    // gives way to the GK twin exactly as percentiles_disc documents.
+    "stat_quantile_drift" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (expr("ts div 604800000000000") % 2 === 0).as("even"),
+          col("event_id"),
+          expr("cast(floor(value * 100 + 0.5d) as bigint)").as("q_cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "even")
+        .orderBy(col("q_cents"), col("event_id"))
+      val ranked = ev.withColumn("rn", row_number().over(w).cast("long"))
+      val pos = ev.groupBy("event_type", "even").agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("even"), col("n"),
+          explode(expr("array(50L, 90L)")).as("p"))
+        .withColumn("idx", expr("(n * p + 99) div 100"))
+      val q = pos.join(ranked, Seq("event_type", "even"))
+        .filter(col("rn") === col("idx"))
+        .select("event_type", "even", "p", "q_cents")
+      val a = q.filter(col("even"))
+        .select(col("event_type"), col("p"), col("q_cents").as("q_even"))
+      val b = q.filter(!col("even"))
+        .select(col("event_type"), col("p"), col("q_cents").as("q_odd"))
+      a.join(b, Seq("event_type", "p"))
+        .select(col("event_type"), col("p"), col("q_even"), col("q_odd"),
+          (col("q_odd") - col("q_even")).as("drift_cents"))
+    },
     // Benford first-digit audit — the classic fabricated-/corrupted-
     // numbers tripwire for ingested numeric columns. The first
     // SIGNIFICANT digit comes from the value's string rendering
@@ -1108,6 +1143,29 @@ object AdvancedQueries {
         | true AS p50_ok, true AS p90_ok, true AS p99_ok
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type""".stripMargin,
+    "stat_quantile_drift" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |  (epoch_ns(ts) // 604800000000000) % 2 = 0 AS even,
+        |  event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS q_cents
+        | FROM events WHERE value IS NOT NULL),
+        |ranked AS (
+        | SELECT event_type, even, q_cents,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type, even
+        |    ORDER BY q_cents, event_id) AS rn
+        | FROM e),
+        |pos AS (
+        | SELECT event_type, even, n, p, (n * p + 99) // 100 AS idx FROM (
+        |  SELECT event_type, even, COUNT(*) AS n FROM e GROUP BY 1, 2) t,
+        |  (VALUES (50), (90)) AS ps(p)),
+        |q AS (
+        | SELECT r.event_type, r.even, CAST(p AS BIGINT) AS p, r.q_cents
+        | FROM pos JOIN ranked r ON r.event_type = pos.event_type
+        |   AND r.even = pos.even AND r.rn = pos.idx)
+        |SELECT a.event_type, a.p, a.q_cents AS q_even, b.q_cents AS q_odd,
+        | CAST(b.q_cents - a.q_cents AS BIGINT) AS drift_cents
+        |FROM q a JOIN q b ON a.event_type = b.event_type AND a.p = b.p
+        |  AND a.even AND NOT b.even""".stripMargin,
     "stat_benford" ->
       """WITH exp(digit, benford_ppm) AS (VALUES
         |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
