@@ -113,6 +113,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("heavy_hitters",
         "heavy_hitters(str, k) - Misra-Gries top items as array<struct<item,cnt>> (exact when distinct <= k)"),
       (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"heavy_hitters(str, k) takes 2 arguments, got ${children.size}")
         val k = children(1).eval().asInstanceOf[Number].intValue()
         MisraGries(children.head, k)
       }))
@@ -121,6 +123,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bottom_k",
         "bottom_k(str, k) - deterministic KMV distinct sample as array<struct<item,key>> (k smallest md5-keys)"),
       (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"bottom_k(str, k) takes 2 arguments, got ${children.size}")
         val k = children(1).eval().asInstanceOf[Number].intValue()
         BottomK(children.head, k)
       }))

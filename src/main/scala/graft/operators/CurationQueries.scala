@@ -158,16 +158,6 @@ object CurationQueries {
         Seq("h", "doc_id"), idName = "shuffle_pos")
         .select("doc_id", "shuffle_pos")
     },
-    // Deterministic SOURCE-INTERLEAVED training order: round-robin the
-    // sources (position 0 = first source's first doc, then every other
-    // source's first doc, then the seconds, …) — the "mix sources
-    // evenly through the epoch" ordering that keeps any training-run
-    // prefix close to the corpus mixture, where a naive concat-by-
-    // source front-loads one domain. Per-source ordinals are a
-    // source-partitioned window; the GLOBAL position over (ridx,
-    // source) is Ids.contiguous — the distributed-ordinal scaffold, no
-    // single-task sort. Sources of unequal size drain naturally (a
-    // exhausted source just stops appearing in later rounds).
     // The one-row DATASET CARD: corpus size, source/language breadth,
     // token/char volume, exact-duplicate count and mean length — the
     // summary block a dataset release publishes and a pipeline logs
@@ -187,6 +177,16 @@ object CurationQueries {
           (count(lit(1)) - countDistinct("h")).as("n_dup_docs"),
           expr("sum(nc) div count(1)").as("mean_chars"))
     },
+    // Deterministic SOURCE-INTERLEAVED training order: round-robin the
+    // sources (position 0 = first source's first doc, then every other
+    // source's first doc, then the seconds, …) — the "mix sources
+    // evenly through the epoch" ordering that keeps any training-run
+    // prefix close to the corpus mixture, where a naive concat-by-
+    // source front-loads one domain. Per-source ordinals are a
+    // source-partitioned window; the GLOBAL position over (ridx,
+    // source) is Ids.contiguous — the distributed-ordinal scaffold, no
+    // single-task sort. Sources of unequal size drain naturally (an
+    // exhausted source just stops appearing in later rounds).
     "cur_interleave_mix" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source").orderBy("doc_id")
@@ -367,7 +367,7 @@ object CurationQueries {
         |  CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+'))
         |            AS BIGINT) END AS nt,
-        |  CAST(strlen(text) AS BIGINT) AS nc, md5(text) AS h
+        |  CAST(length(text) AS BIGINT) AS nc, md5(text) AS h
         | FROM documents)
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
         | CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,

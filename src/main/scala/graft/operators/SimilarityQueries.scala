@@ -287,8 +287,12 @@ object SimilarityQueries {
           corpusSide(e.select(col("vec_id"), expr(s"slice(v, 1, $d)").as("v"))),
           k = 5)
         .select(lit(d).as("dims"), col("query_id"), col("neighbor_id"))
-      val truth = pref(64).select("query_id", "neighbor_id")
-      val hits = Seq(16, 32, 64).map(pref).reduce(_ unionAll _)
+      // one subtree for d=64: it serves both the union branch and the
+      // truth side (a second pref(64) would plan the most expensive
+      // full-dim ranking twice)
+      val p64 = pref(64)
+      val truth = p64.select("query_id", "neighbor_id")
+      val hits = (Seq(16, 32).map(pref) :+ p64).reduce(_ unionAll _)
         .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy("dims").agg(count(lit(1)).as("n_hits"))
       hits.crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
@@ -511,8 +515,12 @@ object SimilarityQueries {
           .as("l2_norm"))
     })
 
-  private val ivfAssignOracle: String =
-    """WITH m AS (
+  /** The quantizer-contract CTE stack shared by every oracle that
+    * derives the mean-centroid table: ONE home for the rounding
+    * precision, list ordering and norm fold, so the oracles cannot
+    * drift apart on what "the centroids" are. */
+  private val centroidCtes: String =
+    """m AS (
       | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
       |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
       |   CAST(unnest(embedding) AS DOUBLE) AS val
@@ -523,7 +531,11 @@ object SimilarityQueries {
       | SELECT c_label, c,
       |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
       | FROM cent),
-      |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
+      .stripMargin
+
+  private val ivfAssignOracle: String =
+    s"""WITH $centroidCtes
       |SELECT vec_id, c_label AS centroid FROM (
       | SELECT vec_id, c_label,
       |  ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -553,20 +565,7 @@ object SimilarityQueries {
         |) t WHERE rnk <= 3""".stripMargin,
     "ivf_assign" -> ivfAssignOracle,
     "ivf_assign_capped" ->
-      """WITH m AS (
-        | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
-        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
-        |   CAST(unnest(embedding) AS DOUBLE) AS val
-        |  FROM embeddings) t GROUP BY 1, 2),
-        |cent AS (
-        | SELECT label AS c_label, list(m ORDER BY dim) AS c
-        | FROM m GROUP BY label),
-        |cent2 AS (
-        | SELECT c_label, c,
-        |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
-        | FROM cent),
-        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |      FROM embeddings),
+      s"""WITH $centroidCtes,
         |two AS (
         | SELECT vec_id, c_label AS centroid, rn FROM (
         |  SELECT vec_id, c_label,
@@ -730,18 +729,7 @@ object SimilarityQueries {
         | JOIN v cv ON cv.vec_id = cand.neighbor_id
         |) t WHERE rnk <= 5""".stripMargin,
     "sim_range_search" ->
-      """WITH m AS (
-        | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
-        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
-        |   CAST(unnest(embedding) AS DOUBLE) AS val
-        |  FROM embeddings) t GROUP BY 1, 2),
-        |cent AS (
-        | SELECT label AS c_label, list(m ORDER BY dim) AS c FROM m GROUP BY label),
-        |cent2 AS (
-        | SELECT c_label, c,
-        |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
-        | FROM cent),
-        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH $centroidCtes,
         |assign AS (
         | SELECT vec_id, c_label AS centroid FROM (
         |  SELECT vec_id, c_label,

@@ -20,7 +20,7 @@ private[graft] object StageCaches {
   type Cache[T] = scala.collection.concurrent.TrieMap[(SparkSession, String), T]
 
   /** Evict dead-session entries, then memoize `build` per
-    * (session, dir). `cached` runs on a cache MISS only — use it to
+    * (session, dir). `build` runs on a cache MISS only — use it to
     * persist the built value. */
   def memo[T](cache: Cache[T], s: SparkSession, dir: String)(
       build: => T): T = {

@@ -14,7 +14,11 @@ round-close script can gate on it.
 Driver-side python only — not part of the library.
 """
 import json
+import signal
 import sys
+
+# die quietly when piped into head instead of tracebacking on SIGPIPE
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 
 def main() -> int:
@@ -44,7 +48,9 @@ def main() -> int:
           f"common: {len(common)}")
     ratios = sorted(qn[q] / qo[q] for q in common if qo[q] > 0)
     if ratios:
-        med = ratios[len(ratios) // 2]
+        n = len(ratios)
+        med = (ratios[n // 2] if n % 2 == 1
+               else (ratios[n // 2 - 1] + ratios[n // 2]) / 2)
         print(f"median per-query ratio: {med:.2f}")
     if only_new:
         print(f"\nnew queries ({len(only_new)}): {', '.join(only_new)}")
