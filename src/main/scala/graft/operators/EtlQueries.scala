@@ -49,6 +49,33 @@ object EtlQueries {
     // min/max stringify for a uniform output schema; the profiled
     // columns' string forms are engine-identical (ints, ASCII flags,
     // whole-second timestamps, short decimals-as-doubles).
+    // Data-contract validation — the ingest gate that runs BEFORE a
+    // snapshot is promoted: null checks on required columns, domain
+    // checks (non-negative price, status in its enum), and referential
+    // integrity (orders→customer orphans via one anti-join keyed on the
+    // FK — at 100 TB the dimension side broadcasts or the join keys on
+    // custkey, never a collect). One scan per table + one join; every
+    // violation class is an integer count, so a red contract is a
+    // diffable artifact rather than an exception trace.
+    "etl_contract_check" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer").select(col("c_custkey"))
+      val orphans = o.join(c, col("o_custkey") === col("c_custkey"),
+        "left_anti")
+      val checks = o.agg(
+        count(lit(1)).as("n_rows"),
+        expr("count_if(o_orderkey is null)").as("null_pk"),
+        expr("count_if(o_custkey is null)").as("null_fk"),
+        expr("count_if(o_totalprice < 0)").as("neg_price"),
+        expr("count_if(o_orderstatus not in ('O', 'F', 'P'))")
+          .as("bad_status"),
+        (count(lit(1)) - countDistinct("o_orderkey")).as("dup_pk"))
+      checks.crossJoin(broadcast(
+        orphans.agg(count(lit(1)).as("fk_orphans"))))
+        .withColumn("contract_ok",
+          col("null_pk") + col("null_fk") + col("neg_price") +
+            col("bad_status") + col("dup_pk") + col("fk_orphans") === 0)
+    },
     "etl_profile_columns" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
       val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag",
@@ -238,6 +265,34 @@ object EtlQueries {
       Tables(s, dir, "events").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+    },
+    // Sequential-pattern detection (the MATCH_RECOGNIZE shape Spark
+    // has no native operator for): view → purchase within 30 minutes
+    // with NO error in between, per user. Composed, not scanned: two
+    // conditional MINs over a (1 FOLLOWING, UNBOUNDED) frame give each
+    // event its next-purchase and next-error timestamps, and the
+    // pattern is then a pure row-local predicate — next_p within the
+    // bound and next_e absent-or-later. Windows partition by user
+    // (never global); the frame-min is O(1) memory per row in both
+    // engines, so the whole CEP check is one pass over the ordered
+    // stream — the same shape a Flink CEP NFA would compute, minus
+    // the state machine.
+    "ev_pattern_match" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("next_p",
+          min(when(col("event_type") === "purchase", col("ts"))).over(w))
+        .withColumn("next_e",
+          min(when(col("event_type") === "error", col("ts"))).over(w))
+        .filter(col("event_type") === "view" &&
+          col("next_p").isNotNull &&
+          col("next_p") - col("ts") <= 1800000000000L &&
+          (col("next_e").isNull || col("next_e") > col("next_p")))
+        .select(col("user_id"), col("event_id").as("view_id"),
+          expr("(next_p - ts) div 1000000000").as("gap_seconds"))
     },
     // First-order Markov transition matrix of the per-user event
     // stream: P(next type | type) in integer ppm — the behavioral-
@@ -451,6 +506,29 @@ object EtlQueries {
 
   val oracles: Map[String, String] = Map(
     "p1_projection" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "etl_contract_check" ->
+      """WITH checks AS (
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS null_pk,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS null_fk,
+        |  CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS neg_price,
+        |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+        |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_pk
+        | FROM orders),
+        |orph AS (
+        | SELECT CAST(COUNT(*) AS BIGINT) AS fk_orphans
+        | FROM orders o
+        | WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                   WHERE c.c_custkey = o.o_custkey))
+        |SELECT n_rows, null_pk, null_fk, neg_price, bad_status, dup_pk,
+        | fk_orphans,
+        | (null_pk + null_fk + neg_price + bad_status + dup_pk
+        |  + fk_orphans = 0) AS contract_ok
+        |FROM checks, orph""".stripMargin,
     "etl_profile_columns" -> Seq(
       "l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate", "l_quantity")
       .map(c =>
@@ -554,6 +632,25 @@ object EtlQueries {
     "ev_json_extract" ->
       """SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k
         |FROM events""".stripMargin,
+    "ev_pattern_match" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_ns(ts) AS ts, event_type
+        | FROM events),
+        |m AS (
+        | SELECT user_id, event_id, ts, event_type,
+        |  MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p,
+        |  MIN(CASE WHEN event_type = 'error' THEN ts END) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_e
+        | FROM e)
+        |SELECT user_id, event_id AS view_id,
+        | CAST((next_p - ts) // 1000000000 AS BIGINT) AS gap_seconds
+        |FROM m
+        |WHERE event_type = 'view' AND next_p IS NOT NULL
+        | AND next_p - ts <= 1800000000000
+        | AND (next_e IS NULL OR next_e > next_p)""".stripMargin,
     "ev_markov_transition" ->
       """WITH o AS (
         | SELECT event_type AS src,
