@@ -262,10 +262,17 @@ object GraphQueries {
     // rounds, not a new plan shape). Output: surviving nodes with
     // their degree inside the 3-peeled subgraph.
     "graph_kcore" -> { (s, dir) =>
+      // each round MATERIALIZES (localCheckpoint) before feeding the
+      // next: the peeled adjacency is referenced twice per round (the
+      // degree aggregate AND the edge filter), so a lazy chain would
+      // re-derive round n-1 in every branch of round n — measured 7 s
+      // vs ~1 s at sf0.1. The checkpointed frame is edge-list-sized
+      // and shrinks every round.
       def peel(adj: DataFrame): DataFrame = {
-        val alive = adj.groupBy("node").agg(count(lit(1)).as("d"))
+        val a = adj.localCheckpoint()
+        val alive = a.groupBy("node").agg(count(lit(1)).as("d"))
           .filter(col("d") >= 3).select("node")
-        adj.join(alive, "node")
+        a.join(alive, "node")
           .join(alive.withColumnRenamed("node", "nbr"), "nbr")
           .select("node", "nbr")
       }
