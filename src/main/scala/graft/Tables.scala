@@ -85,11 +85,15 @@ object Tables {
 /** One place for session settings every entry point (Verify, Bench, tests)
   * must share so results are reproducible and oracle-comparable. */
 object GraftSession {
-  /** Library teardown: drop ALL session-scoped cached state (the ANN
-    * shared stages, the dedup CC labels, the graph shared stages)
-    * without stopping the session — call when a long-lived session is
-    * done with this library, or before switching corpora. Blocking, so
-    * cached blocks are gone on return. */
+  /** Library teardown: drop ALL session-scoped SHARED cached state
+    * (the ANN shared stages, the dedup CC labels, the graph shared
+    * stages) without stopping the session — call when a long-lived
+    * session is done with this library, or before switching corpora.
+    * Blocking, so those cache blocks are gone on return. Out of scope:
+    * per-call transient localCheckpoint blocks (e.g. graph_kcore's
+    * intermediate peel rounds, StreamingCuration's per-batch frames) —
+    * those belong to individual invocations and are reclaimed by
+    * Spark's ContextCleaner once the frames are garbage collected. */
   def release(spark: SparkSession): Unit = {
     graft.operators.Similarity.releaseStages(spark)
     graft.operators.DedupQueries.releaseStages(spark)

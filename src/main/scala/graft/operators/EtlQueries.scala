@@ -37,18 +37,6 @@ object EtlQueries {
             lit("1992-01-01").cast("date")), lit(65536)).cast("long").as("zb"))
         .withColumn("zval", Layout.zValue(col("za"), col("zb"), 16))
     },
-    // Column profiling — the pre-copy audit an ETL tool runs before
-    // sizing a migration: per-column null count, exact distinct count,
-    // and min/max, in TWO scans of the table: the plain min/max/null
-    // aggregates in one (no Expand), the multi-count-distinct in the
-    // other (Spark plans N distinct columns as ONE pass over an
-    // N+1-way Expand — keeping the plain aggregates out of that pass
-    // stops them being re-evaluated across every expanded branch,
-    // measured 5.1 s → ~1 s at sf0.1). Both results are single rows,
-    // recombined by a trivial cross join; stack() pivots to long form.
-    // min/max stringify for a uniform output schema; the profiled
-    // columns' string forms are engine-identical (ints, ASCII flags,
-    // whole-second timestamps, short decimals-as-doubles).
     // Data-contract validation — the ingest gate that runs BEFORE a
     // snapshot is promoted: null checks on required columns, domain
     // checks (non-negative price, status in its enum), and referential
@@ -76,6 +64,18 @@ object EtlQueries {
           col("null_pk") + col("null_fk") + col("neg_price") +
             col("bad_status") + col("dup_pk") + col("fk_orphans") === 0)
     },
+    // Column profiling — the pre-copy audit an ETL tool runs before
+    // sizing a migration: per-column null count, exact distinct count,
+    // and min/max, in TWO scans of the table: the plain min/max/null
+    // aggregates in one (no Expand), the multi-count-distinct in the
+    // other (Spark plans N distinct columns as ONE pass over an
+    // N+1-way Expand — keeping the plain aggregates out of that pass
+    // stops them being re-evaluated across every expanded branch,
+    // measured 5.1 s → ~1 s at sf0.1). Both results are single rows,
+    // recombined by a trivial cross join; stack() pivots to long form.
+    // min/max stringify for a uniform output schema; the profiled
+    // columns' string forms are engine-identical (ints, ASCII flags,
+    // whole-second timestamps, short decimals-as-doubles).
     "etl_profile_columns" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
       val cols = Seq("l_orderkey", "l_suppkey", "l_returnflag",
@@ -269,18 +269,24 @@ object EtlQueries {
     // Sequential-pattern detection (the MATCH_RECOGNIZE shape Spark
     // has no native operator for): view → purchase within 30 minutes
     // with NO error in between, per user. Composed, not scanned: two
-    // conditional MINs over a (1 FOLLOWING, UNBOUNDED) frame give each
-    // event its next-purchase and next-error timestamps, and the
+    // conditional MINs over "all rows strictly after this one" give
+    // each event its next-purchase and next-error timestamps, and the
     // pattern is then a pure row-local predicate — next_p within the
-    // bound and next_e absent-or-later. Windows partition by user
-    // (never global); the frame-min is O(1) memory per row in both
-    // engines, so the whole CEP check is one pass over the ordered
-    // stream — the same shape a Flink CEP NFA would compute, minus
-    // the state machine.
+    // bound and next_e absent-or-later. The frame is spelled as a
+    // RUNNING min over (UNBOUNDED PRECEDING, 1 PRECEDING) in REVERSED
+    // (ts DESC, event_id DESC) order — the same row set as
+    // (1 FOLLOWING, UNBOUNDED FOLLOWING) ascending, but Spark executes
+    // running frames incrementally (O(n) per partition) where an
+    // unbounded-following frame re-aggregates the remainder per row
+    // (O(n²) — a 100k-event bot user would pay ~10^10 updates).
+    // Windows partition by user (never global); one pass over the
+    // ordered stream — the shape a Flink CEP NFA computes, minus the
+    // state machine.
     "ev_pattern_match" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        .partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       Tables(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
         .withColumn("next_p",
@@ -509,14 +515,18 @@ object EtlQueries {
     "etl_contract_check" ->
       """WITH checks AS (
         | SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS null_pk,
-        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS null_fk,
-        |  CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS neg_price,
-        |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+        |  -- COALESCE: an EMPTY snapshot (the very case a contract gate
+        |  -- exists for) must read all-zero + contract_ok=true on both
+        |  -- engines; bare SUM over zero rows is NULL in SQL where
+        |  -- Spark's count_if is 0
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0
+        |    END), 0) AS BIGINT) AS null_pk,
+        |  CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0
+        |    END), 0) AS BIGINT) AS null_fk,
+        |  CAST(COALESCE(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0
+        |    END), 0) AS BIGINT) AS neg_price,
+        |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS bad_status,
         |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_pk
         | FROM orders),
         |orph AS (
@@ -639,11 +649,11 @@ object EtlQueries {
         |m AS (
         | SELECT user_id, event_id, ts, event_type,
         |  MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p,
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_p,
         |  MIN(CASE WHEN event_type = 'error' THEN ts END) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_e
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_e
         | FROM e)
         |SELECT user_id, event_id AS view_id,
         | CAST((next_p - ts) // 1000000000 AS BIGINT) AS gap_seconds

@@ -262,22 +262,27 @@ object GraphQueries {
     // rounds, not a new plan shape). Output: surviving nodes with
     // their degree inside the 3-peeled subgraph.
     "graph_kcore" -> { (s, dir) =>
-      // each round MATERIALIZES (localCheckpoint) before feeding the
-      // next: the peeled adjacency is referenced twice per round (the
-      // degree aggregate AND the edge filter), so a lazy chain would
-      // re-derive round n-1 in every branch of round n — measured 7 s
-      // vs ~1 s at sf0.1. The checkpointed frame is edge-list-sized
-      // and shrinks every round.
+      // Each round's input must be MATERIALIZED: peel references it
+      // twice (degree aggregate AND edge filter), so a lazy chain
+      // re-derives round n-1 inside every branch of round n — measured
+      // 7 s vs ~1 s at sf0.1. Round 1 reads the memoized coAdj (already
+      // persisted — checkpointing it again would store a duplicate copy
+      // of the biggest frame); only the two INTERMEDIATE peel outputs
+      // localCheckpoint, and those are edge-list-sized and shrinking.
+      // Lifecycle: the per-call checkpoint blocks are transient — freed
+      // by Spark's ContextCleaner when the frames are collected, not by
+      // releaseStages (which owns the shared memo caches); see
+      // GraftSession.release's scaladoc.
       def peel(adj: DataFrame): DataFrame = {
-        val a = adj.localCheckpoint()
-        val alive = a.groupBy("node").agg(count(lit(1)).as("d"))
+        val alive = adj.groupBy("node").agg(count(lit(1)).as("d"))
           .filter(col("d") >= 3).select("node")
-        a.join(alive, "node")
+        adj.join(alive, "node")
           .join(alive.withColumnRenamed("node", "nbr"), "nbr")
           .select("node", "nbr")
       }
-      peel(peel(peel(coAdj(s, dir))))
-        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val r1 = peel(coAdj(s, dir)).localCheckpoint()
+      val r2 = peel(r1).localCheckpoint()
+      peel(r2).groupBy("node").agg(count(lit(1)).as("degree"))
     },
     // Link prediction: top-20 supplier pairs by neighbor-set Jaccard.
     // Common-neighbor counts come from one wedge join on the shared
