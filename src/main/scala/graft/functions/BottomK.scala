@@ -33,11 +33,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[MisraGries]] is the frequency-weighted counterpart.
   *
   * Output: `array<struct<item:string, key:long>>` ascending by
-  * (key, item) — the key rides along for rank-interval audits. */
+  * (key, item) — the key rides along for rank-interval audits.
+  *
+  * Tie-break on equal keys compares items as UTF8String — i.e. raw
+  * UTF-8 bytes — matching DuckDB's binary collation. (Java String
+  * compareTo is UTF-16 code-unit order, which disagrees beyond the
+  * BMP: supplementary chars sort via surrogates 0xD800-0xDFFF, below
+  * 0xE000-0xFFFF chars, while their UTF-8 bytes sort above.) */
 case class BottomK(child: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.TreeMap[(Long, String), Unit]] {
+    extends TypedImperativeAggregate[mutable.TreeMap[(Long, UTF8String), Unit]] {
   require(k > 0 && k <= 65536, "capacity must be in (0, 65536]")
+  import BottomK.entryOrdering
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -50,52 +57,51 @@ case class BottomK(child: Expression, k: Int,
       s"bottom_k requires STRING input, got $other")
   }
 
-  override def createAggregationBuffer(): mutable.TreeMap[(Long, String), Unit] =
-    mutable.TreeMap.empty[(Long, String), Unit]
+  override def createAggregationBuffer(): mutable.TreeMap[(Long, UTF8String), Unit] =
+    mutable.TreeMap.empty[(Long, UTF8String), Unit]
 
-  private def insert(buf: mutable.TreeMap[(Long, String), Unit],
-      key: Long, item: String): Unit = {
+  private def insert(buf: mutable.TreeMap[(Long, UTF8String), Unit],
+      key: Long, item: UTF8String): Unit = {
     buf.update((key, item), ())
     if (buf.size > k) buf.remove(buf.lastKey): Unit
   }
 
-  override def update(buf: mutable.TreeMap[(Long, String), Unit],
-      input: InternalRow): mutable.TreeMap[(Long, String), Unit] = {
+  override def update(buf: mutable.TreeMap[(Long, UTF8String), Unit],
+      input: InternalRow): mutable.TreeMap[(Long, UTF8String), Unit] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
-      insert(buf, BottomK.key(s), s)
+      // clone: eval's UTF8String may be backed by a reused row buffer
+      val s = v.asInstanceOf[UTF8String].clone()
+      insert(buf, BottomK.key(s.getBytes), s)
     }
     buf
   }
 
-  override def merge(b1: mutable.TreeMap[(Long, String), Unit],
-      b2: mutable.TreeMap[(Long, String), Unit]): mutable.TreeMap[(Long, String), Unit] = {
+  override def merge(b1: mutable.TreeMap[(Long, UTF8String), Unit],
+      b2: mutable.TreeMap[(Long, UTF8String), Unit]): mutable.TreeMap[(Long, UTF8String), Unit] = {
     b2.foreachEntry { case ((key, item), _) => insert(b1, key, item) }
     b1
   }
 
-  override def eval(buf: mutable.TreeMap[(Long, String), Unit]): Any =
+  override def eval(buf: mutable.TreeMap[(Long, UTF8String), Unit]): Any =
     new GenericArrayData(buf.keysIterator
-      .map { case (key, item) =>
-        InternalRow(UTF8String.fromString(item), key): Any
-      }.toArray)
+      .map { case (key, item) => InternalRow(item, key): Any }.toArray)
 
   // length-prefixed UTF-8 (same rationale as MisraGries: writeUTF
   // caps at 64 KB per item)
-  override def serialize(buf: mutable.TreeMap[(Long, String), Unit]): Array[Byte] = {
+  override def serialize(buf: mutable.TreeMap[(Long, UTF8String), Unit]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreachEntry { case ((key, item), _) =>
-      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = item.getBytes
       out.writeInt(b.length); out.write(b); out.writeLong(key)
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.TreeMap[(Long, String), Unit] = {
+  override def deserialize(bytes: Array[Byte]): mutable.TreeMap[(Long, UTF8String), Unit] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
@@ -104,8 +110,7 @@ case class BottomK(child: Expression, k: Int,
       val len = in.readInt()
       val b = new Array[Byte](len)
       in.readFully(b)
-      val item = new String(b, java.nio.charset.StandardCharsets.UTF_8)
-      buf.update((in.readLong(), item), ())
+      buf.update((in.readLong(), UTF8String.fromBytes(b)), ())
       i += 1
     }
     buf
@@ -121,12 +126,23 @@ case class BottomK(child: Expression, k: Int,
 }
 
 object BottomK {
+  /** (key, item) order with BINARY item tie-break: UTF8String
+    * compareTo is unsigned byte comparison — the collation DuckDB
+    * applies to text, so a 60-bit key collision between distinct
+    * items resolves identically in both engines. */
+  implicit val entryOrdering: Ordering[(Long, UTF8String)] =
+    Ordering.Tuple2(Ordering.Long, Ordering.comparatorToOrdering(
+      java.util.Comparator.naturalOrder[UTF8String]()))
+
   /** 60-bit sampling key: first 15 hex chars of md5(UTF-8 bytes) —
     * the DuckDB-replicable construction (`('0x' || substr(md5(x), 1,
     * 15))::BIGINT`), non-negative so integer comparisons match. */
-  def key(s: String): Long = {
+  def key(s: String): Long =
+    key(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def key(utf8: Array[Byte]): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(utf8)
     // first 15 hex chars = 60 bits: 7 full bytes + the high nibble of
     // the 8th
     var acc = 0L

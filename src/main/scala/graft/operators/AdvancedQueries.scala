@@ -250,13 +250,18 @@ object AdvancedQueries {
     // the window form (rank by key within source) shuffles every row.
     // The md5-prefix key is bit-reproducible in SQL, so the oracle is
     // EXACT — the rare sketch whose whole output hash-matches.
+    // Output is SCALAR rows (source, rn, item, key) — one row per sampled
+    // doc — rather than two ARRAY columns: the driver's canonicalizer
+    // sorts result rows by every column and array cells are unsortable
+    // there (r8's only red row). OutputSurfaceSpec pins this invariant
+    // for all registered queries.
     "agg_bottomk_sample" -> { (s, dir) =>
       Tables(s, dir, "documents")
         .groupBy("source")
         .agg(graft.functions.BottomK.bottom_k(col("text"), 4).as("bk"))
-        .select(col("source"),
-          expr("transform(bk, x -> x.item)").as("items"),
-          expr("transform(bk, x -> x.key)").as("keys"))
+        .select(col("source"), posexplode(col("bk")).as(Seq("pos", "e")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rn"),
+          col("e.item").as("item"), col("e.key").as("key"))
     },
     // The KMV sketch's canonical cross-table use: pairwise SOURCE
     // OVERLAP without comparing full domains. Each source compresses
@@ -1096,10 +1101,8 @@ object AdvancedQueries {
         |  ROW_NUMBER() OVER (PARTITION BY source
         |    ORDER BY key, text) AS rn
         | FROM keyed)
-        |SELECT source,
-        | list(text ORDER BY key, text) AS items,
-        | list(key ORDER BY key, text) AS keys
-        |FROM ranked WHERE rn <= 4 GROUP BY source""".stripMargin,
+        |SELECT source, rn, text AS item, key
+        |FROM ranked WHERE rn <= 4""".stripMargin,
     "dedup_kmv_overlap" ->
       """WITH keyed AS (
         | SELECT source, text,

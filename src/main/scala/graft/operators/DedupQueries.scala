@@ -57,7 +57,7 @@ object DedupQueries {
         Dedup.jaccardPairs(d, "doc_id", "text", dfCap = ShingleDfCap))
         .select(col("id").as("doc_id"), col("cluster_id"))
         .persist()
-    }
+    }(_.unpersist(blocking = true))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy on content, keep lowest PK per group —

@@ -45,7 +45,7 @@ object GraphQueries {
     * (dead-session eviction, release) live in [[StageCaches]]. */
   private def memo(cache: StageCaches.Cache[DataFrame], s: SparkSession,
       dir: String)(build: => DataFrame): DataFrame =
-    StageCaches.memo(cache, s, dir)(build.persist())
+    StageCaches.memo(cache, s, dir)(build.persist())(_.unpersist(blocking = true))
 
   private val caches = Seq(
     () => edgeCache, () => coCache, () => adjCache, () => oriCache)

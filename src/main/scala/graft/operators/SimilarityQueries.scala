@@ -74,6 +74,9 @@ object SimilarityQueries {
             .persist()
           (cent, Similarity.ivfAssign(vecs(s, dir), cent).persist())
       }
+    } { case (cent, assign) =>
+      cent.unpersist(blocking = true)
+      assign.unpersist(blocking = true)
     }
 
   /** Unpersist and forget this session's shared stages — the teardown

@@ -21,11 +21,27 @@ private[graft] object StageCaches {
 
   /** Evict dead-session entries, then memoize `build` per
     * (session, dir). `build` runs on a cache MISS only — use it to
-    * persist the built value. */
+    * persist the built value. TrieMap.getOrElseUpdate is not atomic
+    * for concurrent first callers (both evaluate `build`; one result
+    * is dropped), so the race is resolved putIfAbsent-style and the
+    * LOSING build is handed to `discard` — pass the family's blocking
+    * unpersist so a lost race can't leak cache blocks for the life of
+    * the session. */
   def memo[T](cache: Cache[T], s: SparkSession, dir: String)(
-      build: => T): T = {
+      build: => T)(discard: T => Unit): T = {
     cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    cache.getOrElseUpdate((s, dir), build)
+    val key = (s, dir)
+    cache.get(key) match {
+      case Some(v) => v
+      case None =>
+        val built = build
+        cache.putIfAbsent(key, built) match {
+          case None => built            // we won; our value is cached
+          case Some(winner) =>          // lost the race: free our copy
+            discard(built)
+            winner
+        }
+    }
   }
 
   /** Drop this session's entries, running `unpersist` on each removed

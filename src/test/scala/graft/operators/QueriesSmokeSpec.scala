@@ -25,6 +25,23 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(empty.isEmpty, s"empty results: $empty")
   }
 
+  test("no query emits top-level ARRAY/MAP columns (driver canonicalizer sorts rows by all columns)") {
+    // The driver's pandas checker sorts result rows by every column;
+    // array/map cells are unhashable there and crash the gate (r8's
+    // only red row, agg_bottomk_sample pre-reshape). Struct columns
+    // would equally defeat the row sort. Registered queries must emit
+    // scalar columns only — posexplode collection outputs to rows.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty, s"non-scalar output columns: $offenders")
+  }
+
   test("output column names are unique per query (driver sorts by name)") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val cols = fn(spark, sfDir).columns

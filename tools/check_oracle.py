@@ -16,13 +16,15 @@ import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # list/array cells are unhashable — sort on a stringified shadow
+    # list/array cells are unhashable (a list-of-repr shadow still is) —
+    # collapse each array cell to ONE scalar string so multi-column
+    # sort_values and equality both work
     for col in df.columns:
         if df[col].dtype == object and df[col].map(
                 lambda v: isinstance(v, (list, tuple)) or
                 hasattr(v, "__array__")).any():
             df[col] = df[col].map(
-                lambda v: None if v is None else list(map(repr, v)))
+                lambda v: None if v is None else "|".join(map(repr, v)))
     if len(df):
         df = df.sort_values(by=list(df.columns), na_position="last",
                             kind="mergesort",
