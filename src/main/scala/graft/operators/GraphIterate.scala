@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Run-to-CONVERGENCE graph iteration — the production form of the
+  * fixed-round demos in [[GraphQueries]]. Same per-round plan shapes
+  * (one equi-join + one aggregate keyed on node ids, never a global
+  * window or collect), but the round count comes from a convergence
+  * probe instead of an unrolled constant, the
+  * [[Dedup.connectedComponents]] pattern:
+  *  - each round's output is `localCheckpoint(false)` (lazy) and the
+  *    probe aggregate is the action that materializes it — ONE Spark
+  *    job per round, and round n+1 reads round n's checkpointed blocks
+  *    instead of re-deriving the whole lineage chain;
+  *  - the probe is a node-table-sized aggregate (edge count for
+  *    peeling, changed-label count for LPA, L1 rank delta for
+  *    PageRank) — cheap at any graph size because the iterated state
+  *    is node-sized, ≪ edges;
+  *  - `maxRounds` caps runaway iteration: synchronous LPA can
+  *    oscillate forever on bipartite structure, and integer PageRank
+  *    provably never reaches delta == 0 in general (floor division
+  *    drops the map into a small limit cycle — measured period-2 with
+  *    L1 delta 11 µ-units on the [[GraphQueries]] fixture), which is
+  *    WHY the criterion is `delta <= eps`, not exact equality.
+  *
+  * Checkpoint lifecycle matches graph_kcore's: per-call blocks are
+  * transient, freed by Spark's ContextCleaner when the frames are
+  * collected — nothing here registers in the shared [[StageCaches]].
+  *
+  * Each operator returns (result, rounds) — rounds is the number of
+  * iteration steps executed INCLUDING the final confirming/accepted
+  * round, so callers (and GraphSpec) can assert convergence really was
+  * probe-driven rather than a round-count coincidence. */
+object GraphIterate {
+
+  /** k-core: peel nodes with degree < k until no node drops (edge
+    * count unchanged — edges strictly decrease while peeling, so an
+    * unchanged count IS the fixpoint). Input `adj` must be symmetric
+    * `(node, nbr)`. Returns the surviving adjacency. */
+  def kCoreFixpoint(adj0: DataFrame, k: Int,
+      maxRounds: Int = 100): (DataFrame, Int) = {
+    var adj = adj0.localCheckpoint(false)
+    var m = adj.count()
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val alive = adj.groupBy("node").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("node")
+      val next = adj.join(alive, "node")
+        .join(alive.withColumnRenamed("node", "nbr"), "nbr")
+        .select("node", "nbr")
+        .localCheckpoint(false)
+      val m2 = next.count()
+      done = m2 == m
+      adj = next; m = m2; rounds += 1
+    }
+    (adj, rounds)
+  }
+
+  /** Synchronous label propagation until labels stabilize (changed
+    * count == 0). Tie-break: most-frequent neighbor label, smallest
+    * label first — the deterministic batch variant ([[GraphQueries]]
+    * scaladoc). `maxRounds` matters here: sync LPA has no convergence
+    * guarantee (labels can 2-cycle on bipartite structure), so a
+    * production run caps rounds and takes the last iterate. */
+  def labelPropFixpoint(adj: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    def step(labels: DataFrame): DataFrame =
+      adj.join(labels.select(col("node").as("lnode"), col("community")),
+          col("nbr") === col("lnode"))
+        .groupBy("node", "community").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("community")).as("nc"))).as("m"))
+        .select(col("node"), (-col("m.nc")).as("community"))
+    var labels = adj.select("node").distinct()
+      .withColumn("community", col("node"))
+      .localCheckpoint(false)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val next = step(labels).localCheckpoint(false)
+      val changed = next
+        .join(labels.select(col("node"), col("community").as("prev")), "node")
+        .filter(col("community") =!= col("prev")).count()
+      done = changed == 0
+      labels = next; rounds += 1
+    }
+    (labels, rounds)
+  }
+
+  /** Damped PageRank in integer fixed-point micro-units, iterated
+    * until the L1 delta between consecutive rank vectors is <= epsMicro
+    * (exact-zero never arrives — see object scaladoc). Input `edges`
+    * is the [[GraphQueries.tradeEdges]] shape `(src, dst, w, outw)`.
+    *
+    * Arithmetic is the hub-overflow-HARDENED form of
+    * [[GraphQueries]]'s fixed-round step: both products that can wrap
+    * BIGINT — `r_q * w` per edge and `850000 * in_q` in the damping
+    * term — are widened to DECIMAL(38,0) before multiplying, so the
+    * binding bound moves from a hub's in-mass (~1.08e13 µ-units, the
+    * documented ~10^7-node-hub wrap) to the BIGINT range of the
+    * QUOTIENTS, which is a further ~10^6× of headroom (a rank only
+    * overflows once one node holds ~9e18 µ-units — i.e. the total
+    * mass of ~10^13 nodes). The quotients come out of Spark's `div`
+    * (IntegralDivide on decimal → BIGINT) and DuckDB's `//` on
+    * HUGEINT — both exact floor for non-negative operands, so the
+    * oracle still hash-matches bit-for-bit. */
+  def pageRankConverged(edges: DataFrame, epsMicro: Long,
+      maxRounds: Int = 60): (DataFrame, Int) = {
+    def step(ranks: DataFrame): DataFrame =
+      edges.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          expr("(cast(r_q as decimal(38,0)) * w) div outw").as("c_q"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c_q").cast("decimal(38,0)")).as("in_q"))
+        .select(col("node"),
+          (lit(150000L) +
+            expr("(cast(850000 as decimal(38,0)) * in_q) div 1000000"))
+            .as("r_q"))
+    var ranks = edges.select(col("src").as("node")).distinct()
+      .withColumn("r_q", lit(1000000L))
+      .localCheckpoint(false)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val next = step(ranks).localCheckpoint(false)
+      val delta = next
+        .join(ranks.select(col("node"), col("r_q").as("prev")), "node")
+        .agg(sum(abs(col("r_q") - col("prev"))).as("d"))
+        .first().getLong(0)
+      done = delta <= epsMicro
+      ranks = next; rounds += 1
+    }
+    (ranks, rounds)
+  }
+}

@@ -169,6 +169,53 @@ object GraphQueries {
           when(col("du") <= col("dv"), col("dv")).otherwise(col("du")).as("ddeg"))
     }
 
+  /** Nation-derived fixture graph for the CONVERGENCE-driven query
+    * variants ([[GraphIterate]]): an 8-node path 0—1—…—7 whose head is
+    * thickened to a K4 (all pairs of {0,1,2,3} connected) plus a
+    * DISJOINT K4 on {20..23}. `nation` is a fixed 25-row dimension at
+    * EVERY scale factor, so this graph — and each operator's
+    * convergence round count — is identical at sf0.001 and sf0.1;
+    * that is what lets an UNROLLED SQL oracle stay exact at every
+    * scale (a data-dependent graph would converge at different round
+    * counts per sf and no fixed SQL could match all of them).
+    * Measured fixpoints, all well away from the fixed-round demos' 3:
+    * k-core(2) peels the path tail in 5 rounds (both K4s survive, the
+    * path interior does NOT — degree-2 nodes die once the tail
+    * unravels), sync LPA stabilizes in 6 rounds (two communities,
+    * labels 0 and 20), and integer PageRank first reaches L1 delta
+    * <= 20000 µ-units at round 18 (its exact-zero fixpoint never
+    * arrives — floor division leaves a period-2 limit cycle with
+    * delta 11, which is why [[GraphIterate.pageRankConverged]] takes
+    * an epsilon at all). */
+  private[graft] def fixtureUnd(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables(s, dir, "nation").select(col("n_nationkey").cast("long").as("k"))
+    val path = n.filter(col("k") < 7)
+      .select(col("k").as("u"), (col("k") + 1).as("v"))
+    val head = n.filter(col("k") < 4)
+    val k4a = head.as("a").join(head.as("b"),
+        col("a.k") < col("b.k") && col("b.k") =!= col("a.k") + 1)
+      .select(col("a.k").as("u"), col("b.k").as("v"))
+    val tailC = n.filter(col("k").between(20, 23))
+    val k4b = tailC.as("a").join(tailC.as("b"), col("a.k") < col("b.k"))
+      .select(col("a.k").as("u"), col("b.k").as("v"))
+    path.unionAll(k4a).unionAll(k4b)
+  }
+
+  private[graft] def fixtureAdj(s: SparkSession, dir: String): DataFrame = {
+    val und = fixtureUnd(s, dir)
+    und.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(und.select(col("v").as("node"), col("u").as("nbr")))
+  }
+
+  /** Fixture graph in the `tradeEdges` shape (src, dst, w, outw),
+    * unweighted (w = 1, outw = degree). */
+  private[graft] def fixtureEdges(s: SparkSession, dir: String): DataFrame = {
+    val sym = fixtureAdj(s, dir)
+      .select(col("node").as("src"), col("nbr").as("dst"), lit(1L).as("w"))
+    val outW = sym.groupBy(col("src").as("ow_src")).agg(sum("w").as("outw"))
+    sym.join(outW, col("src") === col("ow_src")).drop("ow_src")
+  }
+
   /** One damped power-iteration step over the prepared edge list. */
   private def prStep(edges: DataFrame, ranks: DataFrame): DataFrame =
     edges.join(ranks, col("src") === col("node"))
@@ -293,6 +340,22 @@ object GraphQueries {
     // (inter·10⁶ div union) so the oracle hash-matches bit-for-bit.
     // Deterministic top-20: ORDER BY (jacc_micro DESC, a, b) is a
     // total order → TakeOrderedAndProject, no global sort.
+    // CONVERGENCE-driven twins of the three iterative demos above,
+    // over the scale-independent nation fixture graph (fixtureUnd
+    // scaladoc). Each runs GraphIterate's probe-driven loop — the
+    // production form: rounds come from the data, not a constant.
+    // GraphIterateSpec asserts the measured round counts (5/6/18, all
+    // != 3), proving the loop really is probe-terminated.
+    "graph_kcore_fixpoint" -> { (s, dir) =>
+      GraphIterate.kCoreFixpoint(fixtureAdj(s, dir), 2)._1
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+    },
+    "graph_lpa_fixpoint" -> { (s, dir) =>
+      GraphIterate.labelPropFixpoint(fixtureAdj(s, dir))._1
+    },
+    "graph_pagerank_fixpoint" -> { (s, dir) =>
+      GraphIterate.pageRankConverged(fixtureEdges(s, dir), epsMicro = 20000L)._1
+    },
     "graph_jaccard_topk" -> { (s, dir) =>
       val adj = coAdj(s, dir)
       val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
@@ -341,7 +404,96 @@ object GraphQueries {
       |        UNION ALL SELECT v, u FROM und),
       |deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1)""".stripMargin
 
+  /** Fixture-graph CTEs (see [[fixtureUnd]]) shared by the fixpoint
+    * oracles. `fa0` is the symmetric adjacency; `fix_ew` the
+    * (src, dst, w, outw) edge shape. */
+  private val fixCtes =
+    """fix_und AS (
+      | SELECT CAST(n_nationkey AS BIGINT) AS u,
+      |        CAST(n_nationkey + 1 AS BIGINT) AS v
+      | FROM nation WHERE n_nationkey < 7
+      | UNION ALL
+      | SELECT CAST(a.n_nationkey AS BIGINT), CAST(b.n_nationkey AS BIGINT)
+      | FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+      |   AND b.n_nationkey <> a.n_nationkey + 1
+      | WHERE a.n_nationkey < 4 AND b.n_nationkey < 4
+      | UNION ALL
+      | SELECT CAST(a.n_nationkey AS BIGINT), CAST(b.n_nationkey AS BIGINT)
+      | FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+      | WHERE a.n_nationkey BETWEEN 20 AND 23
+      |   AND b.n_nationkey BETWEEN 20 AND 23),
+      |fa0 AS MATERIALIZED (SELECT u AS node, v AS nbr FROM fix_und
+      |        UNION ALL SELECT v, u FROM fix_und),
+      |fix_ew AS (SELECT node AS src, nbr AS dst, CAST(1 AS BIGINT) AS w,
+      |           COUNT(*) OVER (PARTITION BY node) AS outw FROM fa0)"""
+      .stripMargin
+
+  /** The unrolled-SQL convergence oracles: the engine iterates to a
+    * probe-driven fixpoint; the oracle unrolls a FIXED round count
+    * chosen from the fixture's measured behavior. For the idempotent
+    * fixpoints (k-core, LPA) the unroll is convergence + slack —
+    * extra rounds are no-ops, so the oracle equals the fixpoint
+    * whatever round the engine stopped at. PageRank never goes
+    * idempotent (limit cycle), so its unroll must be EXACTLY the
+    * round at which the engine's delta probe first fires (18 at
+    * eps = 20000) — GraphIterateSpec pins that count so fixture or
+    * epsilon drift breaks a test before it breaks the oracle gate. */
+  // AS MATERIALIZED is load-bearing: DuckDB inlines CTEs by default,
+  // and each peel round references the previous round THREE times
+  // (the adjacency scan + both endpoint semijoins), so an inlined
+  // 8-round unroll expands into 3^8 ≈ 6.5k scans of the base parquet
+  // — enough to exhaust the process fd limit before it's even slow.
+  // Materializing each round keeps the oracle linear in rounds.
+  private def kcorePeelsSql(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""fd$i AS MATERIALIZED (
+         | SELECT node FROM fa${i - 1} GROUP BY node HAVING COUNT(*) >= 2),
+         |fa$i AS MATERIALIZED (
+         | SELECT x.node, x.nbr FROM fa${i - 1} x
+         | JOIN fd$i n ON n.node = x.node JOIN fd$i m ON m.node = x.nbr)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  private def lpaRoundsSql(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""fl$i AS (
+         | SELECT node, community FROM (
+         |  SELECT a.node, l.community,
+         |   ROW_NUMBER() OVER (PARTITION BY a.node
+         |     ORDER BY COUNT(*) DESC, l.community) AS rn
+         |  FROM fa0 a JOIN fl${i - 1} l ON l.node = a.nbr
+         |  GROUP BY a.node, l.community) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
+  private def prRoundsSql(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""fi$i AS (
+         | SELECT dst AS node,
+         |  CAST(150000 + (850000::HUGEINT *
+         |    SUM((CAST(r_q AS HUGEINT) * w) // outw)) // 1000000
+         |   AS BIGINT) AS r_q
+         | FROM fix_ew JOIN fi${i - 1} ON fi${i - 1}.node = fix_ew.src
+         | GROUP BY dst)""".stripMargin
+    }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "graph_kcore_fixpoint" ->
+      s"""WITH $fixCtes,
+        |${kcorePeelsSql(8)}
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        |FROM fa8 GROUP BY node""".stripMargin,
+    "graph_lpa_fixpoint" ->
+      s"""WITH $fixCtes,
+        |fl0 AS (SELECT DISTINCT node, node AS community FROM fa0),
+        |${lpaRoundsSql(8)}
+        |SELECT node, CAST(community AS BIGINT) AS community FROM fl8"""
+        .stripMargin,
+    "graph_pagerank_fixpoint" ->
+      s"""WITH $fixCtes,
+        |fi0 AS (SELECT DISTINCT node, CAST(1000000 AS BIGINT) AS r_q
+        |        FROM fa0),
+        |${prRoundsSql(18)}
+        |SELECT node, r_q FROM fi18""".stripMargin,
     "graph_pagerank" ->
       s"""WITH $edgeCtes,
         |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r_q
