@@ -127,6 +127,29 @@ object MultimodalQueries {
             .as("hamming"))
         .withColumn("near_dup", col("hamming") <= 16)
     },
+    // REAL decode (no stub): each document becomes a genuine P6 PPM —
+    // conforming header + 8×8 RGB raster whose bytes are the text's
+    // UTF-8 bytes repeated cyclically — and MediaBatchProcessor's real
+    // parser reads the dimensions back OUT OF THE BYTES and runs actual
+    // pixel math: integer per-channel means, mean luminance, and a true
+    // block-mean average-hash (8×8 grid, threshold vs global mean).
+    // Everything is integer division, and the ASCII fixture makes
+    // byte j ≡ unicode(char j) in DuckDB, so the WHOLE decode output —
+    // hash bits included — is oracle-exact. The mapPartitions stage is
+    // the documented batch shape: narrow, no shuffle, batch-bounded
+    // memory. (The codec-format stub in decodeBatched remains labeled;
+    // this path has no stub left.)
+    "mm_ppm_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("""encode(concat('P6\n8 8\n255\n',
+            | substr(repeat(text, cast(192 div octet_length(text) as int) + 1),
+            |        1, 192)), 'UTF-8')""".stripMargin).as("payload"),
+          lit("image/ppm").as("media_type"))
+        .as[MediaBatchProcessor.MediaRow]
+      MediaBatchProcessor.decodePpmBatched(media).toDF()
+    },
     "mm_resize_stub" -> { (s, dir) =>
       withMedia(Tables(s, dir, "documents"))
         .filter(col("meta.media_type") === "image/png")
@@ -232,6 +255,37 @@ object MultimodalQueries {
         | CAST(COUNT(*) AS BIGINT) AS n_copies,
         | CAST(MIN(strlen(text)) AS BIGINT) AS byte_len
         |FROM documents GROUP BY 1""".stripMargin,
+    // pixel j (0-based, row-major; 8×8 image so block ≡ pixel) has
+    // channel bytes text[(3j+c) mod n]; unicode() = byte value on the
+    // ASCII fixture. Integer luminance (2R+5G+B)//8; hash bit k set
+    // when lum_k > (Σlum)//64, split into non-negative 32-bit halves.
+    "mm_ppm_decode" ->
+      """WITH px AS (
+        | SELECT doc_id, k,
+        |  unicode(substr(text, CAST((3*k) % n AS INT) + 1, 1)) AS r,
+        |  unicode(substr(text, CAST((3*k+1) % n AS INT) + 1, 1)) AS g,
+        |  unicode(substr(text, CAST((3*k+2) % n AS INT) + 1, 1)) AS b
+        | FROM (SELECT doc_id, text, strlen(text) AS n,
+        |        unnest(range(0, 64)) AS k
+        |       FROM documents)),
+        |lm AS (SELECT doc_id, k, r, g, b, (2*r + 5*g + b) // 8 AS l FROM px),
+        |st AS (
+        | SELECT doc_id, SUM(r) // 64 AS mean_r, SUM(g) // 64 AS mean_g,
+        |        SUM(b) // 64 AS mean_b, SUM(l) // 64 AS lum_mean
+        | FROM lm GROUP BY doc_id)
+        |SELECT lm.doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        | CAST(ANY_VALUE(st.mean_r) AS BIGINT) AS mean_r,
+        | CAST(ANY_VALUE(st.mean_g) AS BIGINT) AS mean_g,
+        | CAST(ANY_VALUE(st.mean_b) AS BIGINT) AS mean_b,
+        | CAST(ANY_VALUE(st.lum_mean) AS BIGINT) AS lum_mean,
+        | CAST(SUM(CASE WHEN lm.l > st.lum_mean AND lm.k >= 32
+        |          THEN 1::BIGINT << CAST(lm.k - 32 AS INT) ELSE 0 END)
+        |   AS BIGINT) AS ahash_hi,
+        | CAST(SUM(CASE WHEN lm.l > st.lum_mean AND lm.k < 32
+        |          THEN 1::BIGINT << CAST(lm.k AS INT) ELSE 0 END)
+        |   AS BIGINT) AS ahash_lo
+        |FROM lm JOIN st ON st.doc_id = lm.doc_id
+        |GROUP BY lm.doc_id""".stripMargin,
     "mm_resize_stub" ->
       """SELECT doc_id,
         | CAST(strlen(text) % 64 + 1 AS INT) AS width,

@@ -345,4 +345,63 @@ class IndexPersistenceSpec extends SparkTestBase {
     assert(subdirs.length > 5, s"fixture too small: ${subdirs.length} buckets")
     assert(df.count() > 0)
   }
+
+  test("serve stream survives a restart: the replayed batch is skipped (no " +
+      "duplicates, answers pinned despite an index append in between), the " +
+      "new batch serves off the maintained index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-index").toString
+    val out = Files.createTempDirectory("graft-serve").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val vecs = graft.Tables(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+    val (cent, _) = SimilarityQueries.sharedStages(spark, sfDir)
+    Similarity.saveIndex(dir, cent,
+      Similarity.ivfAssign(vecs.filter(col("vec_id") < 300), cent))
+    def qRows(lo: Long, hi: Long) = vecs
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    val batchA = qRows(0, 5).as[(Long, Seq[Double])].collect()
+    val batchB = qRows(5, 10).as[(Long, Seq[Double])].collect()
+    def drive(ck: String, feed: Array[(Long, Seq[Double])]*): Unit = {
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Double])]
+      val q = Similarity.searchIndexStream(
+          stream.toDF().toDF("query_id", "va"), vecs, dir, k = 3)(
+          graft.streaming.StreamingResultSink.idempotent(out))
+        .option("checkpointLocation", ck)
+        .start()
+      try feed.foreach { b =>
+        stream.addData(b.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+    }
+    def keys(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // phase 1: serve batch A, then the process "dies" (stream stopped,
+    // instance discarded)
+    drive(s"$ckpt/c1", batchA)
+    val servedA = keys(Similarity.searchIndex(qRows(0, 5), vecs, dir, 3)).toSet
+    // maintenance between the crash and the restart: the index grows
+    Similarity.appendToIndex(vecs.filter(col("vec_id") >= 300), dir)
+    // phase 2 (restart): at-least-once replays batch A under its old
+    // batch id, then batch B arrives. A fresh checkpoint reproduces the
+    // replay ids deterministically (batch 0 again).
+    drive(s"$ckpt/c2", batchA, batchB)
+    val servedB = keys(Similarity.searchIndex(qRows(5, 10), vecs, dir, 3)).toSet
+    val got = graft.streaming.StreamingResultSink.readServed(spark, out)
+    val gotKeys = keys(got)
+    // no duplicates: the replay was skipped, so every (query, rank) slot
+    // appears exactly once across both phases
+    assert(gotKeys.length == gotKeys.distinct.length,
+      s"replay duplicated results: ${gotKeys.length} rows")
+    val gotA = gotKeys.filter(_._1 < 5).toSet
+    val gotB = gotKeys.filter(_._1 >= 5).toSet
+    // answers pinned: batch A still carries the PRE-append neighbors it
+    // was originally served (re-searching now could differ — the skip,
+    // not luck, guarantees this), and batch B reflects the appended index
+    assert(gotA == servedA, "replayed batch A drifted from its original serve")
+    assert(gotB == servedB, "batch B does not match the maintained index")
+  }
 }

@@ -37,4 +37,89 @@ class MediaBatchSpec extends SparkTestBase {
     assert(a == b)
     assert(a.values.forall(_.length == 4))
   }
+
+  // ---- REAL PPM decode path (no stub): exact pixel-math assertions ----
+
+  test("decodePpm: hand-computed 8x8 image — channel means, lum mean, " +
+      "and every hash bit are exact") {
+    // left half solid (200,100,50), right half solid (10,20,30)
+    val px = new Array[Byte](8 * 8 * 3)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val p = (y * 8 + x) * 3
+      val (r, g, b) = if (x < 4) (200, 100, 50) else (10, 20, 30)
+      px(p) = r.toByte; px(p + 1) = g.toByte; px(p + 2) = b.toByte
+    }
+    val f = ppmFeatures(7L, encodePpm(PpmImage(8, 8, 255, px)))
+    assert((f.width, f.height) == (8, 8))
+    assert(f.mean_r == (200 + 10) / 2 && f.mean_g == 60 && f.mean_b == 40)
+    // lum: left (400+500+50)/8 = 118, right (20+100+30)/8 = 18; mean 68
+    assert(f.lum_mean == 68)
+    // bits set exactly on the left half: cols 0..3 of every row
+    val expect = (0 until 64).filter(k => k % 8 < 4)
+      .foldLeft(0L)((acc, k) => acc | (1L << k))
+    assert(((f.ahash_hi << 32) | f.ahash_lo) == expect)
+  }
+
+  test("decodePpm: dimensions come from the bytes (parser, not metadata), " +
+      "comments and multi-digit dims parse; malformed payloads fail loudly") {
+    val px = Array.fill[Byte](16 * 2 * 3)(100.toByte)
+    val withComment =
+      ("P6\n# a netpbm comment\n16 2\n255\n").getBytes("US-ASCII") ++ px
+    val img = decodePpm(withComment)
+    assert(img.width == 16 && img.height == 2 && img.pixels.length == 96)
+    intercept[IllegalArgumentException](decodePpm("P5\n8 8\n255\n".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      decodePpm("P6\n8 8\n255\n".getBytes("US-ASCII"))) // truncated raster
+    intercept[IllegalArgumentException](
+      decodePpm("P6\n8 8\n70000\n".getBytes("US-ASCII"))) // 2-byte maxval
+  }
+
+  test("averageHash block-means a 16x16 image (4 pixels/block), equal to " +
+      "the 8x8 image of its block averages") {
+    val rnd = new scala.util.Random(42)
+    val big = new Array[Byte](16 * 16 * 3)
+    rnd.nextBytes(big)
+    val bigHash = averageHash(PpmImage(16, 16, 255, big))
+    // reference: shrink by hand with the same integer-lum-then-mean order
+    def lum(p: Int) = (2 * (big(p) & 0xff) + 5 * (big(p + 1) & 0xff) +
+      (big(p + 2) & 0xff)) / 8
+    val blocks = Array.tabulate(64) { k =>
+      val (by, bx) = (k / 8, k % 8)
+      val s = (for (dy <- 0 until 2; dx <- 0 until 2)
+        yield lum((((by * 2 + dy) * 16) + (bx * 2 + dx)) * 3).toLong).sum
+      s / 4
+    }
+    val mean = blocks.sum / 64
+    var hi = 0L; var lo = 0L
+    for (k <- 0 until 64 if blocks(k) > mean)
+      if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+    assert(bigHash == ((hi, lo)))
+  }
+
+  test("decodePpmBatched on the fixture: near-dup payloads (same text bytes) " +
+      "collide on the full hash; decode equals the single-row path") {
+    import spark.implicits._
+    val m = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("""encode(concat('P6\n8 8\n255\n',
+          | substr(repeat(text, cast(192 div octet_length(text) as int) + 1),
+          |        1, 192)), 'UTF-8')""".stripMargin).as("payload"),
+        lit("image/ppm").as("media_type"))
+      .as[MediaRow]
+    val feats = decodePpmBatched(m, batchSize = 32).collect()
+    assert(feats.length == 500)
+    // distributed result equals the driver-side single-payload decode
+    val local = m.collect().map(r => ppmFeatures(r.doc_id, r.payload))
+      .map(f => f.doc_id -> f).toMap
+    feats.foreach(f => assert(f == local(f.doc_id)))
+    // identical text → identical image → identical hash (the mm dedup tier)
+    val byText = graft.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hashOf = feats.map(f => f.doc_id -> ((f.ahash_hi, f.ahash_lo))).toMap
+    byText.groupBy(_._2).values.filter(_.size > 1).foreach { grp =>
+      val hs = grp.keys.map(hashOf).toSet
+      assert(hs.size == 1, s"byte-identical payloads hashed differently: $grp")
+    }
+  }
 }
