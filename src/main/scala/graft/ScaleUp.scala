@@ -12,16 +12,16 @@ import org.apache.spark.sql.functions._
   * so the blow-up doesn't manufacture adversarial duplicate structure
   * that no real corpus has at scale:
   *  - `documents.text` gets a per-copy letter substitution
-  *    (`translate`: vowel rotation × consonant rotation = 25 distinct
-  *    transforms, pairwise-distinct for factor ≤ 25) — token/char
-  *    counts and lengths are preserved, but shingles, hashes and
-  *    minhash signatures decorrelate, so dedup candidate counts scale
-  *    like a real corpus instead of like N identical crawls. Beyond
-  *    factor 25 copies i and i+25 repeat content verbatim — widen the
-  *    rotation alphabets before using larger factors. (The recorded
-  *    SCALING_r08 artifacts predate the consonant axis: their
-  *    factor-10 corpus had each text exactly twice, as PERF.md's
-  *    caveats note.)
+  *    (`translate`: 5 vowel rotations × 20 consonant rotations = 100
+  *    distinct transforms, pairwise-distinct for factor ≤ 100) —
+  *    token/char counts and lengths are preserved, but shingles,
+  *    hashes and minhash signatures decorrelate, so dedup candidate
+  *    counts scale like a real corpus instead of like N identical
+  *    crawls. Beyond factor 100 copies i and i+100 repeat content
+  *    verbatim — widen the rotation alphabets before using larger
+  *    factors. (The recorded SCALING_r08 artifacts predate the
+  *    consonant axis: their factor-10 corpus had each text exactly
+  *    twice, as PERF.md's caveats note.)
   *  - `embeddings.embedding` gets a small deterministic per-(copy, dim)
   *    perturbation — breaks exact-duplicate geometry, keeps the
   *    cluster structure the IVF/k-means paths bucket on.
@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   private val vowels = "aeiou"
-  private val consonants = "bcdfg"
+  private val consonants = "bcdfghjklmnpqrstvwxz"
 
   def main(args: Array[String]): Unit = {
     val Array(src, dest, factorS) = args.take(3)
@@ -71,10 +71,12 @@ object ScaleUp {
     }
 
     // per-copy substitution: vowel rotation (i mod 5) × consonant
-    // rotation (i div 5 mod 5) — identity at i=0, pairwise-distinct
-    // through i=24
-    def rot(alpha: String, i: Int): String =
-      (alpha + alpha).substring(i % 5, i % 5 + 5)
+    // rotation (i div 5 mod 20) — identity at i=0, pairwise-distinct
+    // through i=99 (5 × 20 rotation combos), covering the 100× runs
+    def rot(alpha: String, i: Int): String = {
+      val k = i % alpha.length
+      (alpha + alpha).substring(k, k + alpha.length)
+    }
 
     write(shift(read("documents"), Seq("doc_id")) { (d, i) =>
       if (i == 0) d
