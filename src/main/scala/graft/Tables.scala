@@ -107,5 +107,15 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // Broadcast policy (round-9 lesson): the STATIC threshold works on
+    // Catalyst's plan-time ESTIMATES, which for aggregate-over-explode
+    // shapes (token/shingle frequency tables) track the parquet scan
+    // size, not the true output — at 100× a corpus-sized min-owner
+    // table estimated under a generous 64 MB static bar was broadcast
+    // and OOM'd the driver. So: conservative static bar (misestimates
+    // cost at most 16 MB), generous ADAPTIVE bar — AQE re-plans with
+    // ACTUAL post-shuffle sizes, so every genuinely-small table still
+    // gets its broadcast join, measured rather than guessed.
+    .config("spark.sql.autoBroadcastJoinThreshold", (16L * 1024 * 1024).toString)
+    .config("spark.sql.adaptive.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
 }

@@ -471,12 +471,15 @@ object CoreQueries {
       val byKey = Tables(s, dir, "part")
         .groupBy("p_size").agg(count(lit(1)).as("cnt"))
       // rank = 1 + exclusive prefix-sum of group counts; dense rank =
-      // the group's ordinal. Both ride Ids.cumulativeSum (distributed
-      // running sums — no unpartitioned window even over the key table,
-      // so the shape holds for arbitrarily high-cardinality keys).
-      val ranks = Ids.cumulativeSum(
-          Ids.cumulativeSum(byKey, Seq(col("p_size")), col("cnt"), "rsum"),
-          Seq(col("p_size")), lit(1L), "dr")
+      // the group's ordinal. Both ride ONE Ids.cumulativeSums pass
+      // (distributed running sums — no unpartitioned window even over
+      // the key table, so the shape holds for arbitrarily
+      // high-cardinality keys). One pass, not nested cumulativeSum
+      // calls: each call's repartitionByRange adds a sampling job that
+      // re-executes the unpersisted plan beneath it, which at r8
+      // tripled this query's wall time (PERF.md round-9 pin).
+      val ranks = Ids.cumulativeSums(byKey, Seq(col("p_size")),
+          Seq((col("cnt"), "rsum"), (lit(1L), "dr")))
         .withColumn("r", (col("rsum") - col("cnt") + 1L).cast("long"))
         .select("p_size", "r", "dr")
       Tables(s, dir, "part")

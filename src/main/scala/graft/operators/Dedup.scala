@@ -88,9 +88,13 @@ object Dedup {
     * callers pass e.g. (3, 8) for jaccard ≥ 3/5. Cost is O(candidates). */
   def verifyJaccard(cand: DataFrame, shingles: DataFrame,
       num: Int = 3, den: Int = 8): DataFrame =
+    // shingle sets are one WIDE row per doc — corpus-sized; merge hints
+    // forbid the broadcast a plan-time misestimate might pick
     cand
-      .join(shingles.select(col("doc_id").as("a_id"), col("shs").as("sa")), Seq("a_id"))
-      .join(shingles.select(col("doc_id").as("b_id"), col("shs").as("sb")), Seq("b_id"))
+      .join(shingles.select(col("doc_id").as("a_id"), col("shs").as("sa"))
+        .hint("merge"), Seq("a_id"))
+      .join(shingles.select(col("doc_id").as("b_id"), col("shs").as("sb"))
+        .hint("merge"), Seq("b_id"))
       .filter(lit(den) * size(array_intersect(col("sa"), col("sb"))) >=
         lit(num) * (size(col("sa")) + size(col("sb"))))
       .select("a_id", "b_id")
@@ -105,9 +109,12 @@ object Dedup {
     val sh = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("sh")
-    val rareSh = sh.join(rare, "sh")
+    // rare is one row per distinct low-df shingle — corpus-sized, as is
+    // the self-joined candidate table; merge hints forbid misestimated
+    // broadcasts (round-9 100x lesson)
+    val rareSh = sh.join(rare.hint("merge"), "sh")
     val cand = rareSh.select(col("doc_id").as("a_id"), col("sh"))
-      .join(rareSh.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
+      .join(rareSh.select(col("doc_id").as("b_id"), col("sh")).hint("merge"), Seq("sh"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     verifyJaccard(cand, sets, num, den)
@@ -128,14 +135,19 @@ object Dedup {
     val sh = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("sh")
-    val rareSh = sh.join(rare, "sh")
+    // rare is one row per distinct low-df shingle — corpus-sized, as is
+    // the self-joined candidate table; merge hints forbid misestimated
+    // broadcasts (round-9 100x lesson)
+    val rareSh = sh.join(rare.hint("merge"), "sh")
     val cand = rareSh.select(col("doc_id").as("a_id"), col("sh"))
-      .join(rareSh.select(col("doc_id").as("b_id"), col("sh")), Seq("sh"))
+      .join(rareSh.select(col("doc_id").as("b_id"), col("sh")).hint("merge"), Seq("sh"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     cand
-      .join(sets.select(col("doc_id").as("a_id"), col("shs").as("sa")), Seq("a_id"))
-      .join(sets.select(col("doc_id").as("b_id"), col("shs").as("sb")), Seq("b_id"))
+      .join(sets.select(col("doc_id").as("a_id"), col("shs").as("sa"))
+        .hint("merge"), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("shs").as("sb"))
+        .hint("merge"), Seq("b_id"))
       .filter(lit(den) * size(array_intersect(col("sa"), col("sb"))) >=
         lit(num) * least(size(col("sa")), size(col("sb"))))
       .select(col("a_id"), col("b_id"),

@@ -105,7 +105,7 @@ object Similarity {
   /** `(c_label, c, cnorm2)` frame from driver-local centroids. cnorm2
     * uses the same sequential left fold as the SQL aggregate()/
     * list_aggregate the oracles use — bit-identical across engines. */
-  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def centroidFrame(spark: org.apache.spark.sql.SparkSession,
       c: Array[(Long, Array[Double])]): DataFrame = {
     import scala.jdk.CollectionConverters._
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -66,12 +66,48 @@ object SimilarityQueries {
         case None =>
           // cent persists BEFORE assign is built so the assignment's own
           // materialization reads the cached centroids, not a re-planned
-          // aggregate
-          val cent = Similarity.meanCentroids(
-            Tables(s, dir, "embeddings")
-              .select(col("label"),
-                expr("transform(embedding, x -> cast(x as double))").as("v")))
-            .persist()
+          // aggregate.
+          //
+          // ADAPTIVE k (round-9 100× lesson): every in-bucket stage —
+          // dedup_semantic's pair generation above all — costs
+          // Σ bucket², so a FIXED centroid count makes the engine
+          // super-linear the moment buckets grow with the corpus
+          // (measured: 8 s → 182 s on 10×→100×, exponent 1.4). The
+          // quantizer therefore holds MEAN BUCKET SIZE constant: below
+          // 10×targetBucket vectors the 10 label-mean centroids are
+          // exact-oracle territory (all driver fixtures); above it, k
+          // scales as n/targetBucket (k-means‖ seed + deterministic
+          // Lloyd rounds), making in-bucket pair cost O(n·targetBucket)
+          // — linear — at any corpus size.
+          val targetBucket = 2000L
+          val emb = Tables(s, dir, "embeddings")
+          val n = emb.count()
+          val cent = (if (n <= 10 * targetBucket)
+            Similarity.meanCentroids(emb.select(col("label"),
+              expr("transform(embedding, x -> cast(x as double))").as("v")))
+          else {
+            // train on a bounded DETERMINISTIC sample (~256 vectors per
+            // centroid, the FAISS training convention): quantizer
+            // training cost is then independent of corpus size — only
+            // the single full-corpus assign pass below scales with n.
+            // (First cut trained seed+Lloyd on the full corpus: 889 s
+            // at 100× — the trainer itself was the new bottleneck.)
+            val k = math.min(4096L, n / targetBucket).toInt
+            val keepPerM = math.min(1000000L,
+              math.max(1L, 256L * k * 1000000L / n))
+            val sample = vecs(s, dir)
+              .filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < keepPerM)
+              .persist()
+            val seeds = sample
+              .orderBy(xxhash64(col("vec_id"), lit(1)), col("vec_id"))
+              .limit(k).select("vec_id", "v").collect().zipWithIndex
+              .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }
+            val trained = Similarity.trainCoarseQuantizer(sample, k,
+              maxIter = 3, tol = 1e-3,
+              init = Some(Similarity.centroidFrame(s, seeds)))
+            sample.unpersist(blocking = false)
+            trained
+          }).persist()
           (cent, Similarity.ivfAssign(vecs(s, dir), cent).persist())
       }
     } { case (cent, assign) =>

@@ -35,17 +35,21 @@ object TextQueries {
     val bg = docs.select(col("doc_id"),
       explode(TextAnalysis.wordBigrams(col("text"))).as("bigram"))
     val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    // c2/uni are per-distinct-bigram/-unigram — vocabulary-sized tables
+    // that grow with the corpus; merge hints forbid the broadcast a
+    // plan-time misestimate might pick (see text_ngram_novelty)
     val scored = bg
-      .join(c2, "bigram")
+      .join(c2.hint("merge"), "bigram")
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
-      .join(uni, "w1")
+      .join(uni.hint("merge"), "w1")
       .crossJoin(broadcast(vsz))
       .select(col("doc_id"), expr(
         "cast(floor(-ln((c2 + 1) / cast(c1 + vsz as double)) * 1e6 + 0.5d) as bigint)")
         .as("qnll"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("qnll").as("qnll_sum"))
-    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+    // scored is one row per doc — corpus-sized on both sides
+    docs.select(col("doc_id")).join(scored.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("qnll_sum"), lit(0L)).as("qnll_sum"),
@@ -131,7 +135,8 @@ object TextQueries {
     // corpus size.
     "text_langid_eval" -> { (s, dir) =>
       queries("text_langid")(s, dir).select("doc_id", "pred_lang")
-        .join(Tables(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+        .join(Tables(s, dir, "documents").select("doc_id", "lang")
+          .hint("merge"), "doc_id")
         .groupBy("lang", "pred_lang")
         .agg(count(lit(1)).as("n"))
     },
@@ -218,7 +223,9 @@ object TextQueries {
         .filter(col("w").isin("join", "scan", "window", "merge", "query"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      tf.join(dfreq, "w").join(dl, "doc_id").crossJoin(broadcast(corp))
+      // dfreq is 5 rows (fixed query-term set) — broadcastable; dl is
+      // one row per doc — corpus-sized, pinned to a shuffle join
+      tf.join(dfreq, "w").join(dl.hint("merge"), "doc_id").crossJoin(broadcast(corp))
         .select(col("doc_id"), expr(
           """cast(floor(
             |  ln(1.0d + (n_docs - df + 0.5d) / (df + 0.5d)) *
@@ -244,7 +251,8 @@ object TextQueries {
       val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dfreq, "w").crossJoin(broadcast(n))
+      // dfreq is vocabulary-sized — never broadcast
+      val scored = tf.join(dfreq.hint("merge"), "w").crossJoin(broadcast(n))
         .withColumn("score_q", expr(
           "cast(floor(tf * ln(cast(n_docs as double) / df) * 1e6 + 0.5d) as bigint)"))
       val w = org.apache.spark.sql.expressions.Window
@@ -277,7 +285,10 @@ object TextQueries {
         .select(col("doc_id"),
           explode(array_distinct(TextAnalysis.wordNgrams(col("text"), 5))).as("s"))
       val first = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
-      sh.join(first, "s")
+      // first has one row per DISTINCT 5-gram — corpus-sized, never
+      // broadcastable (the 100× run OOM'd the driver when the plan-time
+      // estimate said otherwise); pin the shuffle join
+      sh.join(first.hint("merge"), "s")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -297,7 +308,8 @@ object TextQueries {
         .groupBy("tok").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("tok"))
-      tf.join(df, "tok")
+      // df is vocabulary-sized (grows with the corpus) — never broadcast
+      tf.join(df.hint("merge"), "tok")
         .withColumn("score", col("tf").cast(DoubleType) / col("df"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -314,7 +326,8 @@ object TextQueries {
         .select(col("doc_id"), explode(expr(
           "filter(array_distinct(split(lower(text), '\\\\s+')), x -> length(x) > 0)")).as("tok"))
       val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      toks.join(dfreq, "tok")
+      // dfreq is vocabulary-sized — same merge pin as text_tfidf_top_term
+      toks.join(dfreq.hint("merge"), "tok")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_toks"), sum("df").as("df_sum"))
         .select(col("doc_id"), col("n_toks"), col("df_sum"),

@@ -361,6 +361,7 @@ class PlanSpec extends SparkTestBase {
     val conf = spark.conf
     val keys = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
@@ -368,6 +369,10 @@ class PlanSpec extends SparkTestBase {
     val saved = keys.map(k => k -> conf.getOption(k)).toMap
     try {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the session sets a RUNTIME broadcast bar too (GraftSession) —
+      // disable it as well, or AQE converts this join to broadcast
+      // from accurate sizes and no skew split ever happens
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
       conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
       conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
