@@ -547,6 +547,38 @@ object AdvancedQueries {
         // all-NULL row where SQL's GROUP BY yields none
         .where(col("n_even") > 0 && col("n_odd") > 0)
     },
+    // Population Stability Index — the standard model-monitoring drift
+    // score between a reference and a current cohort (here: even- vs
+    // odd-week events, like stat_ks_drift), per fixed-width value
+    // bucket: term = (p_ref − p_cur)·ln(p_ref/p_cur) with Laplace +1
+    // smoothing so empty buckets stay defined. The bucket grid is the
+    // DISTINCT buckets observed (grid size B joins into both
+    // denominators). Integer discipline: the single double expression
+    // consumes only exact BIGINTs in a fixed op order and quantizes to
+    // nano-units per bucket BEFORE any cross-bucket use, so rows are
+    // bit-identical on both engines. Shape: one bucket-keyed aggregate
+    // over the event scan + a broadcast of the two scalar totals —
+    // the same one-shuffle plan at any corpus size (bucket count is
+    // fixed by the value range, not the row count).
+    "stat_psi_drift" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select((expr("ts div 604800000000000") % 2 === 0).as("ref"),
+          expr("cast(floor(value / 25.0d) as bigint)").as("bucket"))
+      val byB = e.groupBy("bucket").agg(
+        sum(when(col("ref"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("ref"), 1L).otherwise(0L)).as("cb"))
+      val tot = byB.agg(sum("ca").as("na"), sum("cb").as("nb"),
+        count(lit(1)).as("n_buckets"))
+      byB.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("ca"), col("cb"),
+          expr("""cast(floor(
+                |  (cast(ca + 1 as double) / cast(na + n_buckets as double)
+                |   - cast(cb + 1 as double) / cast(nb + n_buckets as double))
+                |  * ln(cast(ca + 1 as double) * cast(nb + n_buckets as double)
+                |       / (cast(cb + 1 as double) * cast(na + n_buckets as double)))
+                |  * 1e9 + 0.5d) as bigint)""".stripMargin).as("term_nano"))
+    },
     // Per-group sketching: one Misra–Gries buffer PER USER inside a
     // hash aggregate — O(k) state per group on any per-group item
     // cardinality. The fixture's ≤ 6 distinct event types per user sit
@@ -1229,6 +1261,26 @@ object AdvancedQueries {
         |SELECT week, CAST(nw AS BIGINT) AS n_events,
         | CAST(SUM(term_micro) AS BIGINT) AS chi2_micro
         |FROM terms GROUP BY 1, 2""".stripMargin,
+    "stat_psi_drift" ->
+      """WITH e AS (
+        | SELECT (epoch_ns(ts) // 604800000000000) % 2 = 0 AS ref,
+        |  CAST(FLOOR("value" / 25.0) AS BIGINT) AS bucket
+        | FROM events WHERE "value" IS NOT NULL),
+        |b AS (
+        | SELECT bucket,
+        |  SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS ca,
+        |  SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS cb
+        | FROM e GROUP BY 1),
+        |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb,
+        |             COUNT(*) AS n_buckets FROM b)
+        |SELECT bucket, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+        | CAST(FLOOR(
+        |  (CAST(ca + 1 AS DOUBLE) / CAST(na + n_buckets AS DOUBLE)
+        |   - CAST(cb + 1 AS DOUBLE) / CAST(nb + n_buckets AS DOUBLE))
+        |  * LN(CAST(ca + 1 AS DOUBLE) * CAST(nb + n_buckets AS DOUBLE)
+        |       / (CAST(cb + 1 AS DOUBLE) * CAST(na + n_buckets AS DOUBLE)))
+        |  * 1e9 + 0.5) AS BIGINT) AS term_nano
+        |FROM b, t""".stripMargin,
     "stat_ks_drift" ->
       """WITH e AS (
         | SELECT (epoch_ns(ts) // 604800000000000) % 2 = 0 AS even, value

@@ -370,6 +370,41 @@ object GraphQueries {
           expr("inter * 1000000 div (deg_a + deg_b - inter)").as("jacc_micro"))
         .orderBy(col("jacc_micro").desc, col("a"), col("b"))
         .limit(20)
+    },
+
+    // Modularity of the nation partition over the weighted trade graph —
+    // the community-quality score a curation pipeline computes to decide
+    // whether a clustering (here: the natural nation communities; in
+    // production: LPA/CC output) explains the link structure.
+    // Q = Σ_c [intra_c/W − (D_c/W)²] with W = total DIRECTED weight
+    // (2m), intra_c = directed weight inside community c, D_c = weighted
+    // out-degree mass of c. Per-community contribution rows in integer
+    // micro-units: every input to the one double expression is an exact
+    // BIGINT (intra·W − D_c², both ≤ W² ≈ 2^42 at sf0.1), so the
+    // quantized contribution is bit-identical on both engines; at 10⁹+
+    // edges widen the products to DECIMAL(38,0) as vec_whiten does.
+    // Shape: the shared persisted edge stage joined twice to the
+    // node→nation map (a DIMENSION-sized broadcast: |customer|+|supplier|
+    // rows), one community-keyed aggregate — no new corpus shuffle.
+    "graph_modularity" -> { (s, dir) =>
+      val e = tradeEdges(s, dir)
+      val nc = Tables(s, dir, "customer")
+        .select((col("c_custkey") * 2).as("node"), col("c_nationkey").as("comm"))
+        .unionAll(Tables(s, dir, "supplier")
+          .select((col("s_suppkey") * 2 + 1).as("node"),
+            col("s_nationkey").as("comm")))
+      val tot = e.agg(sum("w").as("w_total"))
+      e.join(broadcast(nc.select(col("node").as("src"), col("comm").as("sc"))), "src")
+        .join(broadcast(nc.select(col("node").as("dst"), col("comm").as("dc"))), "dst")
+        .groupBy(col("sc").as("community"))
+        .agg(sum("w").as("d_c"),
+          sum(when(col("sc") === col("dc"), col("w")).otherwise(0L)).as("intra_w"))
+        .crossJoin(broadcast(tot))
+        .select(col("community"), col("d_c"), col("intra_w"), col("w_total"),
+          expr("""cast(floor(cast(intra_w * w_total - d_c * d_c as double)
+                |  / (cast(w_total as double) * cast(w_total as double))
+                |  * 1e6 + 0.5d) as bigint)""".stripMargin)
+            .as("q_contrib_micro"))
     })
 
   private val edgeCtes =
@@ -592,5 +627,26 @@ object GraphQueries {
         | CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
         | CAST(inter * 1000000 // (da.d + db.d - inter) AS BIGINT) AS jacc_micro
         |FROM common JOIN deg da ON da.node = a JOIN deg db ON db.node = b
-        |ORDER BY jacc_micro DESC, a, b LIMIT 20""".stripMargin)
+        |ORDER BY jacc_micro DESC, a, b LIMIT 20""".stripMargin,
+    "graph_modularity" ->
+      s"""WITH $edgeCtes,
+        |nc AS (
+        | SELECT c_custkey * 2 AS node, c_nationkey AS comm FROM customer
+        | UNION ALL
+        | SELECT s_suppkey * 2 + 1 AS node, s_nationkey AS comm FROM supplier),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total FROM edges),
+        |per AS (
+        | SELECT ns.comm AS community,
+        |  CAST(SUM(e.w) AS BIGINT) AS d_c,
+        |  CAST(SUM(CASE WHEN ns.comm = nd.comm THEN e.w ELSE 0 END)
+        |       AS BIGINT) AS intra_w
+        | FROM edges e
+        | JOIN nc ns ON ns.node = e.src
+        | JOIN nc nd ON nd.node = e.dst
+        | GROUP BY 1)
+        |SELECT community, d_c, intra_w, w_total,
+        | CAST(FLOOR(CAST(intra_w * w_total - d_c * d_c AS DOUBLE)
+        |   / (CAST(w_total AS DOUBLE) * CAST(w_total AS DOUBLE))
+        |   * 1e6 + 0.5) AS BIGINT) AS q_contrib_micro
+        |FROM per, tot""".stripMargin)
 }

@@ -196,6 +196,24 @@ object SimilarityQueries {
     // inputs. At 100 TB the corpus is bucketed by centroid once, and
     // queries probe only their nearest bucket(s) (sim_ann_ivf).
     "ivf_assign" -> { (s, dir) => sharedStages(s, dir)._2 },
+    // Bucket-balance report over the served assignment — the index
+    // health metric behind the round-9 adaptive-k fix: every in-bucket
+    // stage costs Σ bucket², so ops watches per-bucket share and the
+    // max/even-share ratio and retrains (more centroids / capped
+    // assignment) when a bucket runs hot. One metadata-sized aggregate
+    // off the persisted shared stage; integer micro-unit shares.
+    "vec_ivf_balance" -> { (s, dir) =>
+      val assign = sharedStages(s, dir)._2
+      val per = assign.groupBy("centroid").agg(count(lit(1)).as("n_vecs"))
+      val tot = per.agg(sum("n_vecs").as("n_total"),
+        count(lit(1)).as("n_buckets"))
+      per.crossJoin(broadcast(tot))
+        .select(col("centroid"), col("n_vecs"),
+          expr("n_vecs * 1000000 div n_total").as("share_micro"),
+          // this bucket's size vs the perfectly-even bucket, in micro
+          // units: >1e6 = hot. Integer division keeps the row exact.
+          expr("n_vecs * n_buckets * 1000000 div n_total").as("hot_micro"))
+    },
     // CAPACITY-BOUNDED IVF assignment — the hot-bucket mitigation a
     // production index runs: a skewed corpus can pile most vectors
     // into few buckets, making every probe of those buckets pay the
@@ -243,6 +261,20 @@ object SimilarityQueries {
     // argmin assign → in-bucket cosine pairs → recursive-CTE CC).
     "dedup_semantic" -> { (s, dir) =>
       Dedup.semanticClustersAssigned(vecs(s, dir), sharedStages(s, dir)._2, tau = 0.3)
+    },
+    // Multi-probe SemDeDup: pair candidates share ANY of each vector's 2
+    // nearest centroids instead of exactly the nearest — the deployable
+    // form of the measured recall dial (RecallProbe: 0.23 → 0.62 of
+    // true cosine≥0.3 pairs on the 10× corpus for ~2× candidate cost;
+    // PERF.md round-9). Reuses the shared persisted centroid stage; the
+    // probe-2 assignment is one broadcast-argmin pass; duplicate pairs
+    // from doubly-shared buckets are redundant CC edges (harmless).
+    // Same output contract as dedup_semantic.
+    "dedup_semantic_probe2" -> { (s, dir) =>
+      val assign2 = Similarity
+        .ivfAssignN(vecs(s, dir), sharedStages(s, dir)._1, nprobe = 2)
+        .select("vec_id", "centroid")
+      Dedup.semanticClustersAssigned(vecs(s, dir), assign2, tau = 0.3)
     },
     // IVF search: probe only the query's centroid bucket, exact top-3
     // within it. Oracle: the full IVF pipeline (rounded centroids →
@@ -582,6 +614,23 @@ object SimilarityQueries {
       | FROM v, cent2) t WHERE rn = 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "vec_ivf_balance" ->
+      s"""WITH $centroidCtes,
+        |assign AS (
+        | SELECT vec_id, c_label AS centroid FROM (
+        |  SELECT vec_id, c_label,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id
+        |     ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
+        |  FROM v, cent2) t WHERE rn = 1),
+        |per AS (
+        | SELECT centroid, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        | FROM assign GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+        |             CAST(COUNT(*) AS BIGINT) AS n_buckets FROM per)
+        |SELECT centroid, n_vecs,
+        | CAST(n_vecs * 1000000 // n_total AS BIGINT) AS share_micro,
+        | CAST(n_vecs * n_buckets * 1000000 // n_total AS BIGINT) AS hot_micro
+        |FROM per, t""".stripMargin,
     "sim_topk_bruteforce" ->
       """SELECT query_id, neighbor_id, rnk FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -645,6 +694,40 @@ object SimilarityQueries {
         |  FROM v, cent2) t WHERE rn = 1),
         |pairs AS (
         | SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        | FROM assign a JOIN assign b ON a.centroid = b.centroid
+        | JOIN v va ON va.vec_id = a.vec_id
+        | JOIN v vb ON vb.vec_id = b.vec_id
+        | WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(va.v, vb.v) >= 0.3),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        | SELECT vec_id, vec_id FROM embeddings
+        | UNION
+        | SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+        |SELECT id AS vec_id, MIN(r) AS cluster_id, (id = MIN(r)) AS keep
+        |FROM reach GROUP BY id""".stripMargin,
+    "dedup_semantic_probe2" ->
+      """WITH RECURSIVE m AS (
+        | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (
+        |  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS dim,
+        |   CAST(unnest(embedding) AS DOUBLE) AS val
+        |  FROM embeddings) t GROUP BY 1, 2),
+        |cent AS (
+        | SELECT label AS c_label, list(m ORDER BY dim) AS c FROM m GROUP BY label),
+        |cent2 AS (
+        | SELECT c_label, c,
+        |  list_aggregate(list_transform(c, x -> x * x), 'sum') AS cnorm2
+        | FROM cent),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assign AS (
+        | SELECT vec_id, c_label AS centroid FROM (
+        |  SELECT vec_id, c_label,
+        |   ROW_NUMBER() OVER (PARTITION BY vec_id
+        |     ORDER BY cnorm2 - 2 * list_dot_product(v, c), c_label) AS rn
+        |  FROM v, cent2) t WHERE rn <= 2),
+        |pairs AS (
+        | SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         | FROM assign a JOIN assign b ON a.centroid = b.centroid
         | JOIN v va ON va.vec_id = a.vec_id
         | JOIN v vb ON vb.vec_id = b.vec_id
