@@ -158,6 +158,61 @@ object StreamingOps {
         col("n_novel"))
   }
 
+  /** PSI monitor — the CONTINUOUS-feature twin of [[driftMonitor]]'s
+    * categorical χ²: Population Stability Index of each closed window's
+    * `value` distribution (fixed-width buckets) against a driver-known
+    * baseline histogram, the pair a production feature-drift alarm
+    * runs side by side (χ² for categoricals, PSI for numerics — the
+    * batch forms are `stat_chi2_drift` / `stat_psi_drift`).
+    *
+    * Same two-chained-stateful-aggregation shape as [[driftMonitor]]:
+    * per-(window, bucket) counts → one map row per window; the PSI fold
+    * iterates the BASELINE's bucket grid with Laplace +1 smoothing
+    * ((gc+1)/(na+B) vs (o+1)/(nw+B), B = grid size) so an empty current
+    * bucket contributes its full divergence term instead of vanishing.
+    * Buckets observed outside the baseline grid have no reference
+    * probability; they are surfaced in `n_novel`, not mixed in. Each
+    * term is floor-quantized to nano-units from an identical IEEE
+    * expression before the integer fold — order-free, stream ≡ batch
+    * bit-identical. State: O(grid) per open window. */
+  def psiMonitor(events: DataFrame, baseline: Seq[(Long, Long)],
+      bucketWidth: Double = 25.0, windowLen: String = "1 hour"): DataFrame = {
+    require(baseline.nonEmpty && baseline.forall(_._2 > 0),
+      "baseline must be non-empty with positive bucket counts")
+    require(baseline.map(_._1).distinct.size == baseline.size,
+      "baseline has duplicate buckets — merge their counts first")
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val na = baseline.map(_._2).sum
+    val nb = baseline.size
+    val bm = map(baseline.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    withEventTime(events)
+      .where(col("value").isNotNull)
+      .withWatermark("event_time", "10 minutes")
+      .withColumn("bucket",
+        floor(col("value") / lit(bucketWidth)).cast("long"))
+      .groupBy(window(col("event_time"), windowLen), col("bucket"))
+      .agg(count(lit(1)).as("o"))
+      .groupBy(window(window_time(col("window")), windowLen))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("o"))))
+        .as("om"))
+      .select(col("window.start").as("win_start"), col("om"),
+        aggregate(map_keys(bm), lit(0L), (acc, b) =>
+          acc + coalesce(element_at(col("om"), b), lit(0L))).as("n_events"),
+        size(array_except(map_keys(col("om")), map_keys(bm))).as("n_novel"))
+      .where(col("n_events") > 0)
+      .select(col("win_start"), col("n_events"),
+        aggregate(map_keys(bm), lit(0L), (acc, b) => {
+          val o = coalesce(element_at(col("om"), b), lit(0L))
+          val gc = element_at(bm, b)
+          val pa = (gc + lit(1L)).cast("double") / lit((na + nb).toDouble)
+          val pb = (o + lit(1L)).cast("double") /
+            (col("n_events") + lit(nb.toLong)).cast("double")
+          acc + floor((pa - pb) * log(pa / pb) * lit(1e9) + lit(0.5d))
+            .cast("long")
+        }).as("psi_nano"),
+        col("n_novel"))
+  }
+
   /** Built-in session windows (30-minute gap) — one row per closed
     * session per user. */
   def sessionWindows(events: DataFrame): DataFrame =

@@ -55,6 +55,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("psiMonitor: numeric-feature drift, stream equals batch, novel " +
+      "buckets surfaced not mixed into the statistic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sel = events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+    // baseline = the corpus's own bucket histogram, minus the TOP bucket
+    // so the novel-bucket path is exercised
+    val hist = sel.where(col("value").isNotNull)
+      .groupBy(floor(col("value") / 25.0d).cast("long").as("bucket"))
+      .count().collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val baseline = hist.init.toSeq
+    val all = sel.as[Event].collect().sortBy(_.ts)
+    val sentinel = Event(-1L, all.last.ts + 86400L * 1000000000L, 0L, "x", 0d)
+    val stream = MemoryStream[Event]
+    val q = psiMonitor(stream.toDF(), baseline)
+      .writeStream.format("memory").queryName("psi")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = all.splitAt(all.length / 2)
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq :+ sentinel); q.processAllAvailable()
+      def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getTimestamp(0) ->
+          (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+      val got = toMap(spark.table("psi"))
+      val expect = toMap(psiMonitor(sel, baseline))
+      assert(got == expect, "stream != batch")
+      assert(got.nonEmpty)
+      // the dropped top bucket appears in some window → novel flagged
+      assert(got.values.exists(_._3 > 0), "novel bucket never surfaced")
+    } finally q.stop()
+  }
+
   test("driftMonitor: two chained stateful aggregations, stream equals " +
       "batch, novel types surfaced not mixed into the statistic") {
     import spark.implicits._
