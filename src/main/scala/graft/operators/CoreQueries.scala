@@ -487,6 +487,26 @@ object CoreQueries {
         .select(col("p_partkey"), col("r"), col("dr"))
     },
 
+    // GLOBAL cumulative distribution (CUME_DIST over the whole table)
+    // without a single-task window — the win_rank_dense treatment for
+    // the remaining global order statistic: per-value counts, ONE
+    // cumulativeSums pass for the running sum (the grand total rides
+    // the metadata-sized offsets table), then a shuffle join back on
+    // the value. The value table is distinct-price-sized — corpus-
+    // sized in general, hence the merge hint, not a broadcast. Output
+    // in integer micro-units (cum·1e6 div n) so the compare is exact.
+    "win_cume_dist_global" -> { (s, dir) =>
+      val byV = Tables(s, dir, "part")
+        .groupBy("p_retailprice").agg(count(lit(1)).as("cnt"))
+      val cum = Ids.cumulativeSum(byV, Seq(col("p_retailprice")), col("cnt"),
+        "cum", totalName = Some("n"))
+      Tables(s, dir, "part")
+        .join(cum.select(col("p_retailprice"), col("cum"), col("n"))
+          .hint("merge"), "p_retailprice")
+        .select(col("p_partkey"),
+          expr("cum * 1000000 div n").as("cd_micro"))
+    },
+
     // ---- sorts / limits -------------------------------------------------
     "sort_limit_topn" -> { (s, dir) =>
       Tables(s, dir, "customer")
@@ -857,6 +877,17 @@ object CoreQueries {
       """SELECT p_partkey, RANK() OVER (ORDER BY p_size) AS r,
         | DENSE_RANK() OVER (ORDER BY p_size) AS dr
         |FROM part""".stripMargin,
+    "win_cume_dist_global" ->
+      """WITH k AS (
+        | SELECT p_retailprice, COUNT(*) AS c FROM part GROUP BY 1),
+        |c AS (
+        | SELECT p_retailprice,
+        |  SUM(c) OVER (ORDER BY p_retailprice) AS cum,
+        |  SUM(c) OVER () AS n
+        | FROM k)
+        |SELECT p_partkey,
+        | CAST(cum * 1000000 // n AS BIGINT) AS cd_micro
+        |FROM part JOIN c USING (p_retailprice)""".stripMargin,
     "sort_limit_topn" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,

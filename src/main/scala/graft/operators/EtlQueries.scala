@@ -45,6 +45,31 @@ object EtlQueries {
     // custkey, never a collect). One scan per table + one join; every
     // violation class is an integer count, so a red contract is a
     // diffable artifact rather than an exception trace.
+    // Exact join-cardinality profile BEFORE running the join — the
+    // shuffle-sizing / skew-detection diagnostic: |A ⋈ B on k| =
+    // Σ_k cntA(k)·cntB(k), computable from the two per-key histograms
+    // (each one aggregate; the histogram join is key-cardinality-sized
+    // on both sides, hence merge-hinted, never broadcast). Emits the
+    // numbers an operator sizes spark.sql.shuffle.partitions and the
+    // salting decision from: matching key count, exact output rows,
+    // the hottest key and its fan-out, and the hot key's share of the
+    // whole join in micro-units (the skew ratio that decides between a
+    // plain shuffle join and join_salted_skew's treatment). The argmax
+    // is ONE max(struct) aggregate — no sort, no window.
+    "etl_join_cardinality" -> { (s, dir) =>
+      val ca = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+      val cb = Tables(s, dir, "orders")
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+      ca.join(cb.hint("merge"), "k")
+        .select(col("k"), (col("ca") * col("cb")).as("fanout"))
+        .agg(count(lit(1)).as("n_join_keys"),
+          sum("fanout").as("est_rows"),
+          max(struct(col("fanout"), col("k"))).as("hot"))
+        .select(col("n_join_keys"), col("est_rows"),
+          col("hot.k").as("hot_key"), col("hot.fanout").as("hot_fanout"),
+          expr("hot.fanout * 1000000 div est_rows").as("hot_share_micro"))
+    },
     "etl_contract_check" -> { (s, dir) =>
       val o = Tables(s, dir, "orders")
       val c = Tables(s, dir, "customer").select(col("c_custkey"))
@@ -512,6 +537,23 @@ object EtlQueries {
 
   val oracles: Map[String, String] = Map(
     "p1_projection" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "etl_join_cardinality" ->
+      """WITH a AS (
+        | SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY 1),
+        |b AS (
+        | SELECT o_orderkey AS k, COUNT(*) AS cb FROM orders GROUP BY 1),
+        |f AS (
+        | SELECT a.k, CAST(ca * cb AS BIGINT) AS fanout
+        | FROM a JOIN b ON a.k = b.k),
+        |hot AS (
+        | SELECT k AS hot_key, fanout AS hot_fanout FROM f
+        | ORDER BY fanout DESC, k DESC LIMIT 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_join_keys,
+        | CAST(SUM(fanout) AS BIGINT) AS est_rows,
+        | hot_key, hot_fanout,
+        | CAST(hot_fanout * 1000000 // SUM(fanout) AS BIGINT)
+        |   AS hot_share_micro
+        |FROM f, hot GROUP BY hot_key, hot_fanout""".stripMargin,
     "etl_contract_check" ->
       """WITH checks AS (
         | SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
