@@ -45,6 +45,35 @@ object EtlQueries {
     // custkey, never a collect). One scan per table + one join; every
     // violation class is an integer count, so a red contract is a
     // diffable artifact rather than an exception trace.
+    // CUSUM changepoint score per week — the classic "did the level of
+    // this metric shift?" monitor, the sequential cousin of the drift
+    // suite's distribution tests: S_w = max(0, S_{w-1} + dev_w)
+    // rewritten as the window-free identity S_w = P_w − min_{j≤w} P_j
+    // (P = prefix sum of deviations), so BOTH recurrences ride the
+    // distributed scaffolds — Ids.cumulativeSum for P and the new
+    // Ids.cumulativeMin for the running minimum — with no unpartitioned
+    // window even though weeks accumulate forever. Integer discipline:
+    // values quantize to cents (exact at the fixture's 2 decimals),
+    // deviation = s_w − n_w·(S_tot div N_tot) in exact BIGINTs. A
+    // large cusum = sustained upward level shift since the running-min
+    // week.
+    "ev_changepoint_cusum" -> { (s, dir) =>
+      val w = Tables(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(expr("ts div 604800000000000").as("week"),
+          expr("cast(floor(value * 100 + 0.5d) as bigint)").as("cents"))
+        .groupBy("week")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      val tot = w.agg(sum("n_events").as("nt"), sum("sum_cents").as("st"))
+      val dev = w.crossJoin(broadcast(tot))
+        .withColumn("dev", col("sum_cents") - col("n_events") *
+          expr("st div nt"))
+        .select("week", "n_events", "sum_cents", "dev")
+      val p = Ids.cumulativeSum(dev, Seq(col("week")), col("dev"), "pp")
+      Ids.cumulativeMin(p, Seq(col("week")), col("pp"), "pmin")
+        .select(col("week"), col("n_events"), col("sum_cents"),
+          (col("pp") - col("pmin")).as("cusum"))
+    },
     // Exact join-cardinality profile BEFORE running the join — the
     // shuffle-sizing / skew-detection diagnostic: |A ⋈ B on k| =
     // Σ_k cntA(k)·cntB(k), computable from the two per-key histograms
@@ -537,6 +566,21 @@ object EtlQueries {
 
   val oracles: Map[String, String] = Map(
     "p1_projection" -> "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    "ev_changepoint_cusum" ->
+      """WITH e AS (
+        | SELECT epoch_ns(ts) // 604800000000000 AS week,
+        |  CAST(FLOOR("value" * 100 + 0.5) AS BIGINT) AS cents
+        | FROM events WHERE "value" IS NOT NULL),
+        |w AS (
+        | SELECT week, COUNT(*) AS n, SUM(cents) AS s FROM e GROUP BY 1),
+        |t AS (SELECT SUM(n) AS nt, SUM(s) AS st FROM w),
+        |d AS (SELECT week, n, s, s - n * (st // nt) AS dev FROM w, t),
+        |p AS (
+        | SELECT week, n, s, SUM(dev) OVER (ORDER BY week) AS pp FROM d)
+        |SELECT week, CAST(n AS BIGINT) AS n_events,
+        | CAST(s AS BIGINT) AS sum_cents,
+        | CAST(pp - MIN(pp) OVER (ORDER BY week) AS BIGINT) AS cusum
+        |FROM p""".stripMargin,
     "etl_join_cardinality" ->
       """WITH a AS (
         | SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY 1),

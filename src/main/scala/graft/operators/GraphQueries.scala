@@ -372,6 +372,38 @@ object GraphQueries {
         .limit(20)
     },
 
+    // HITS hubs & authorities on the BIPARTITE trade graph — the
+    // natural fit: customers only point at suppliers, so customers are
+    // pure hubs and suppliers pure authorities (the source-quality /
+    // content-quality split a crawl-curation pipeline scores). Two
+    // unrolled rounds in integer fixed-point: start every hub at 1e6;
+    // each round is one equi-join + one aggregate per direction, and
+    // the L1 normalization is `score_raw·1e6 div Σraw` (BIGINT floor
+    // division — deterministic, no float reduction). Overflow envelope:
+    // raw·1e6 ≤ 1e12·1e6 at sf0.1; at 10⁹-edge scale widen the
+    // normalization products to DECIMAL(38,0) (the vec_whiten pattern).
+    // Same per-round plan shape as graph_pagerank — shuffles keyed on
+    // the graph keys, no collect.
+    "graph_hits" -> { (s, dir) =>
+      val e = tradeEdges(s, dir).where(col("src") % 2 === 0)
+        .select("src", "dst", "w")
+      val a1raw = e.groupBy("dst")
+        .agg((sum("w") * lit(1000000L)).as("araw"))
+      val a1 = a1raw.crossJoin(broadcast(a1raw.agg(sum("araw").as("at"))))
+        .select(col("dst"), expr("araw * 1000000 div at").as("a"))
+      val h1raw = e.join(a1, "dst").groupBy("src")
+        .agg(sum(expr("a * w")).as("hraw"))
+      val h1 = h1raw.crossJoin(broadcast(h1raw.agg(sum("hraw").as("ht"))))
+        .select(col("src"), expr("hraw * 1000000 div ht").as("h"))
+      val a2raw = e.join(h1, "src").groupBy("dst")
+        .agg(sum(expr("h * w")).as("araw2"))
+      val a2 = a2raw.crossJoin(broadcast(a2raw.agg(sum("araw2").as("at2"))))
+        .select(col("dst"), expr("araw2 * 1000000 div at2").as("a2"))
+      h1.select(col("src").as("node"), col("h").as("score_micro"),
+          lit("hub").as("kind"))
+        .unionAll(a2.select(col("dst"), col("a2"), lit("authority")))
+    },
+
     // Modularity of the nation partition over the weighted trade graph —
     // the community-quality score a curation pipeline computes to decide
     // whether a clustering (here: the natural nation communities; in
@@ -628,6 +660,27 @@ object GraphQueries {
         | CAST(inter * 1000000 // (da.d + db.d - inter) AS BIGINT) AS jacc_micro
         |FROM common JOIN deg da ON da.node = a JOIN deg db ON db.node = b
         |ORDER BY jacc_micro DESC, a, b LIMIT 20""".stripMargin,
+    "graph_hits" ->
+      s"""WITH $edgeCtes,
+        |de AS (SELECT src, dst, w FROM edges WHERE src % 2 = 0),
+        |a1raw AS (
+        | SELECT dst, SUM(w) * 1000000 AS araw FROM de GROUP BY 1),
+        |a1t AS (SELECT SUM(araw) AS at FROM a1raw),
+        |a1 AS (SELECT dst, araw * 1000000 // at AS a FROM a1raw, a1t),
+        |h1raw AS (
+        | SELECT de.src, SUM(a1.a * de.w) AS hraw
+        | FROM de JOIN a1 ON a1.dst = de.dst GROUP BY 1),
+        |h1t AS (SELECT SUM(hraw) AS ht FROM h1raw),
+        |h1 AS (SELECT src, hraw * 1000000 // ht AS h FROM h1raw, h1t),
+        |a2raw AS (
+        | SELECT de.dst, SUM(h1.h * de.w) AS araw2
+        | FROM de JOIN h1 ON h1.src = de.src GROUP BY 1),
+        |a2t AS (SELECT SUM(araw2) AS at2 FROM a2raw),
+        |a2 AS (SELECT dst, araw2 * 1000000 // at2 AS a2 FROM a2raw, a2t)
+        |SELECT src AS node, CAST(h AS BIGINT) AS score_micro,
+        | 'hub' AS kind FROM h1
+        |UNION ALL
+        |SELECT dst, CAST(a2 AS BIGINT), 'authority' FROM a2""".stripMargin,
     "graph_modularity" ->
       s"""WITH $edgeCtes,
         |nc AS (

@@ -134,6 +134,39 @@ object Ids {
     * the metadata-sized offsets table). Output: input columns plus
     * `tileName` (1-based, LongType). `orderBy` must be a total order
     * for a deterministic assignment. */
+  /** Distributed running MIN of `value` in `orderBy` order — the same
+    * scaffold as [[cumulativeSums]] with (min, +∞) replacing (sum, 0):
+    * range-repartition, per-partition running min, per-partition
+    * TOTAL mins (one row each — metadata) prefix-min'd on the
+    * whitelisted constant-keyed window and broadcast back, final value
+    * = least(local running min, prior partitions' min). The primitive
+    * behind high-watermark/drawdown analytics and CUSUM changepoint
+    * scores (S = P − runningMin(P)); a running MAX is
+    * `-cumulativeMin(-x)`. NULL values are ignored (a row carries the
+    * previous running min; a leading all-NULL prefix yields NULL). */
+  def cumulativeMin(df: DataFrame, orderBy: Seq[Column], value: Column,
+      minName: String = "cummin", numPartitions: Int = 0): DataFrame = {
+    val np =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df.repartitionByRange(np, orderBy: _*)
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_v", value.cast("long"))
+    val wLocal = Window.partitionBy("_pid").orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("_localmin", min("_v").over(wLocal))
+    // one row per shuffle partition — same whitelisted constant-keyed
+    // window as cumulativeSums' offsets table (see that comment)
+    val woPid = Window.partitionBy(pmod(col("_pid"), lit(1))).orderBy("_pid")
+    val offsets = ranged.groupBy("_pid").agg(min("_v").as("_pmin"))
+      .withColumn("_priormin",
+        min("_pmin").over(woPid.rowsBetween(Window.unboundedPreceding, -1)))
+      .select("_pid", "_priormin")
+    local.join(broadcast(offsets), "_pid")
+      .withColumn(minName, least(col("_localmin"), col("_priormin")))
+      .drop("_pid", "_v", "_localmin", "_priormin")
+  }
+
   def ntileExact(df: DataFrame, orderBy: Seq[Column], tiles: Int,
       tileName: String = "tile"): DataFrame = {
     require(tiles >= 1, s"tiles must be >= 1, got $tiles")

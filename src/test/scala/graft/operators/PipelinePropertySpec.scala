@@ -55,6 +55,29 @@ class PipelinePropertySpec extends SparkTestBase {
     }
   }
 
+  test("Ids.cumulativeMin ≡ driver-side running min on random values, " +
+      "negatives and nulls included, across partition boundaries") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 500).map { i =>
+        (i.toLong,
+          if (rnd.nextInt(10) == 0) None
+          else Some(rnd.nextInt(2000).toLong - 1000L))
+      }
+      val df = rows.toDF("id", "v").repartition(7)
+      val got = Ids.cumulativeMin(df, Seq(col("id")), col("v"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      val expect = rows.scanLeft((Long.MinValue, Option.empty[Long])) {
+        case ((_, acc), (id, v)) =>
+          (id, (acc.toSeq ++ v.toSeq).reduceOption(_ min _))
+      }.drop(1).toMap
+      assert(got == expect, s"seed $seed")
+    }
+  }
+
   test("RewriteWindowTopK ≡ window form on random keys/order/k/conjuncts") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
