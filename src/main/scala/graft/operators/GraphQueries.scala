@@ -387,16 +387,21 @@ object GraphQueries {
     "graph_hits" -> { (s, dir) =>
       val e = tradeEdges(s, dir).where(col("src") % 2 === 0)
         .select("src", "dst", "w")
+      // each normalization references its raw table twice (Σ total +
+      // the join) — without materialization the recomputes COMPOUND
+      // across the three levels (~2³ edge joins; measured 5.5 s warm).
+      // localCheckpoint each round's score table (node-sized, tiny),
+      // the same treatment as graph_kcore's peel rounds.
       val a1raw = e.groupBy("dst")
-        .agg((sum("w") * lit(1000000L)).as("araw"))
+        .agg((sum("w") * lit(1000000L)).as("araw")).localCheckpoint()
       val a1 = a1raw.crossJoin(broadcast(a1raw.agg(sum("araw").as("at"))))
         .select(col("dst"), expr("araw * 1000000 div at").as("a"))
       val h1raw = e.join(a1, "dst").groupBy("src")
-        .agg(sum(expr("a * w")).as("hraw"))
+        .agg(sum(expr("a * w")).as("hraw")).localCheckpoint()
       val h1 = h1raw.crossJoin(broadcast(h1raw.agg(sum("hraw").as("ht"))))
         .select(col("src"), expr("hraw * 1000000 div ht").as("h"))
       val a2raw = e.join(h1, "src").groupBy("dst")
-        .agg(sum(expr("h * w")).as("araw2"))
+        .agg(sum(expr("h * w")).as("araw2")).localCheckpoint()
       val a2 = a2raw.crossJoin(broadcast(a2raw.agg(sum("araw2").as("at2"))))
         .select(col("dst"), expr("araw2 * 1000000 div at2").as("a2"))
       h1.select(col("src").as("node"), col("h").as("score_micro"),
