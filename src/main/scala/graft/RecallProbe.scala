@@ -10,9 +10,10 @@ import graft.operators.Recall
   * corpus so the numbers reflect decorrelated content, not the tiny
   * fixture whose construction makes recall 1.0 trivially.
   *
-  * Strata: documents with doc_id % mod == 0, embeddings with
-  * vec_id % mod == 0 (mod from args(0), default chosen so a 10× sf0.1
-  * corpus lands ≈ 2–3k rows, inside Recall.maxStratum).
+  * Strata: documents with doc_id % docMod == 0 (docMod from args(0)),
+  * embeddings with vec_id % vecMod == 0 (vecMod from args(1)); defaults
+  * chosen so a 10× sf0.1 corpus lands ≈ 2–3k rows per stratum, inside
+  * Recall.maxStratum.
   *
   * Prints ONE JSON line:
   * {"lsh":{n_docs,n_truth,n_cand,n_hit,recall},"ivf":{...}} — recorded

@@ -47,9 +47,11 @@ object EtlQueries {
     // diffable artifact rather than an exception trace.
     // CUSUM changepoint score per week — the classic "did the level of
     // this metric shift?" monitor, the sequential cousin of the drift
-    // suite's distribution tests: S_w = max(0, S_{w-1} + dev_w)
-    // rewritten as the window-free identity S_w = P_w − min_{j≤w} P_j
-    // (P = prefix sum of deviations), so BOTH recurrences ride the
+    // suite's distribution tests: S_w = max(0, S_{w-1} + dev_w) with
+    // S_0 = 0, rewritten as the window-free identity
+    // S_w = P_w − min(0, min_{j≤w} P_j) (P = prefix sum of deviations;
+    // the 0 term is the virtual P_0 that makes week 1 score max(0,
+    // dev_1), not 0), so BOTH recurrences ride the
     // distributed scaffolds — Ids.cumulativeSum for P and the new
     // Ids.cumulativeMin for the running minimum — with no unpartitioned
     // window even though weeks accumulate forever. Integer discipline:
@@ -72,7 +74,7 @@ object EtlQueries {
       val p = Ids.cumulativeSum(dev, Seq(col("week")), col("dev"), "pp")
       Ids.cumulativeMin(p, Seq(col("week")), col("pp"), "pmin")
         .select(col("week"), col("n_events"), col("sum_cents"),
-          (col("pp") - col("pmin")).as("cusum"))
+          (col("pp") - least(col("pmin"), lit(0L))).as("cusum"))
     },
     // Exact join-cardinality profile BEFORE running the join — the
     // shuffle-sizing / skew-detection diagnostic: |A ⋈ B on k| =
@@ -579,7 +581,7 @@ object EtlQueries {
         | SELECT week, n, s, SUM(dev) OVER (ORDER BY week) AS pp FROM d)
         |SELECT week, CAST(n AS BIGINT) AS n_events,
         | CAST(s AS BIGINT) AS sum_cents,
-        | CAST(pp - MIN(pp) OVER (ORDER BY week) AS BIGINT) AS cusum
+        | CAST(pp - LEAST(MIN(pp) OVER (ORDER BY week), 0) AS BIGINT) AS cusum
         |FROM p""".stripMargin,
     "etl_join_cardinality" ->
       """WITH a AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Run-to-CONVERGENCE graph iteration — the production form of the
@@ -9,14 +9,22 @@ import org.apache.spark.sql.functions._
   * window or collect), but the round count comes from a convergence
   * probe instead of an unrolled constant, the
   * [[Dedup.connectedComponents]] pattern:
-  *  - each round's output is `localCheckpoint(false)` (lazy) and the
-  *    probe aggregate is the action that materializes it — ONE Spark
-  *    job per round, and round n+1 reads round n's checkpointed blocks
-  *    instead of re-deriving the whole lineage chain;
-  *  - the probe is a node-table-sized aggregate (edge count for
-  *    peeling, changed-label count for LPA, L1 rank delta for
-  *    PageRank) — cheap at any graph size because the iterated state
-  *    is node-sized, ≪ edges;
+  *  - each round's output is checkpointed and ONE action materializes
+  *    it — one Spark job per round, round n+1 reading round n's
+  *    checkpointed blocks instead of re-deriving the whole lineage
+  *    chain;
+  *  - the probe metric (changed-label count for LPA, L1 rank delta for
+  *    PageRank) is FUSED into that same job via `observe()` (round 10):
+  *    the previous state is LEFT-joined into the round plan and the
+  *    delta aggregates in a `CollectMetrics` accumulator — no separate
+  *    probe traversal, no post-join aggregate exchange, no second
+  *    collect; `sum` ignoring NULLs makes the left join's delta
+  *    bit-identical to the old inner-join probe while the state keeps
+  *    every step-output row exactly as before. k-core's probe is the
+  *    bare edge count itself — already the minimal materializing
+  *    action, nothing to fuse;
+  *  - either way the probe is node-table-sized — cheap at any graph
+  *    size because the iterated state is node-sized, ≪ edges;
   *  - `maxRounds` caps runaway iteration: synchronous LPA can
   *    oscillate forever on bipartite structure, and integer PageRank
   *    provably never reaches delta == 0 in general (floor division
@@ -79,10 +87,20 @@ object GraphIterate {
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
-      val next = step(labels).localCheckpoint(false)
-      val changed = next
-        .join(labels.select(col("node"), col("community").as("prev")), "node")
-        .filter(col("community") =!= col("prev")).count()
+      val obs = Observation()
+      val next = step(labels)
+        .join(labels.select(col("node"), col("community").as("prev")),
+          Seq("node"), "left")
+        .observe(obs, sum(when(col("community") =!= col("prev"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select("node", "community")
+        // EAGER: the checkpoint's own action is the round's one job and
+        // the observation completes with it (a lazy checkpoint + count
+        // LOSES the metric — the count's query no longer contains the
+        // CollectMetrics node, it reads the materialized RDD)
+        .localCheckpoint(true)
+      val changed = obs.get.get("changed")
+        .collect { case l: java.lang.Long => l.longValue() }.getOrElse(0L)
       done = changed == 0
       labels = next; rounds += 1
     }
@@ -124,11 +142,15 @@ object GraphIterate {
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
-      val next = step(ranks).localCheckpoint(false)
-      val delta = next
-        .join(ranks.select(col("node"), col("r_q").as("prev")), "node")
-        .agg(sum(abs(col("r_q") - col("prev"))).as("d"))
-        .first().getLong(0)
+      val obs = Observation()
+      val next = step(ranks)
+        .join(ranks.select(col("node"), col("r_q").as("prev")),
+          Seq("node"), "left")
+        .observe(obs, sum(abs(col("r_q") - col("prev"))).as("delta"))
+        .select("node", "r_q")
+        .localCheckpoint(true) // eager: see labelPropFixpoint's comment
+      val delta = obs.get.get("delta")
+        .collect { case l: java.lang.Long => l.longValue() }.getOrElse(0L)
       done = delta <= epsMicro
       ranks = next; rounds += 1
     }

@@ -125,15 +125,6 @@ object Ids {
       idx.flatMap(i => Seq(s"_w$i", s"_local$i", s"_off$i")): _*)
   }
 
-  /** Exact `NTILE(tiles)` in `orderBy` order, distributed: the tile of
-    * each row is a closed-form function of its [[cumulativeSum]]
-    * ordinal and the row total (SQL-standard sizing — the first
-    * `n mod tiles` tiles get the extra row), so the result is
-    * bit-identical to `ntile(t).over(Window.orderBy(...))` with no
-    * single-task window and no second scan of `df` (the total rides
-    * the metadata-sized offsets table). Output: input columns plus
-    * `tileName` (1-based, LongType). `orderBy` must be a total order
-    * for a deterministic assignment. */
   /** Distributed running MIN of `value` in `orderBy` order — the same
     * scaffold as [[cumulativeSums]] with (min, +∞) replacing (sum, 0):
     * range-repartition, per-partition running min, per-partition
@@ -167,6 +158,15 @@ object Ids {
       .drop("_pid", "_v", "_localmin", "_priormin")
   }
 
+  /** Exact `NTILE(tiles)` in `orderBy` order, distributed: the tile of
+    * each row is a closed-form function of its [[cumulativeSum]]
+    * ordinal and the row total (SQL-standard sizing — the first
+    * `n mod tiles` tiles get the extra row), so the result is
+    * bit-identical to `ntile(t).over(Window.orderBy(...))` with no
+    * single-task window and no second scan of `df` (the total rides
+    * the metadata-sized offsets table). Output: input columns plus
+    * `tileName` (1-based, LongType). `orderBy` must be a total order
+    * for a deterministic assignment. */
   def ntileExact(df: DataFrame, orderBy: Seq[Column], tiles: Int,
       tileName: String = "tile"): DataFrame = {
     require(tiles >= 1, s"tiles must be >= 1, got $tiles")

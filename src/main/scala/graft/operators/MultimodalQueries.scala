@@ -150,6 +150,43 @@ object MultimodalQueries {
         .as[MediaBatchProcessor.MediaRow]
       MediaBatchProcessor.decodePpmBatched(media).toDF()
     },
+    // REAL WAV decode (round 10): each document's text deterministically
+    // modulates a 2-channel 16-bit PCM signal (per frame k, channel c:
+    // u = (byte[(2k+c) mod n] · 517) mod 2¹⁶, sign-decoded as two's
+    // complement — the ·517 spreads ASCII codes across the full signed
+    // range so negative samples and the sign logic are genuinely
+    // exercised); the payload is a complete RIFF container from the
+    // canonical writer (binary little-endian header fields are not SQL-
+    // literal-able the way PPM's ASCII header was), and the kernel
+    // re-derives EVERY output — channel count, rate, bit depth, frame
+    // count, per-channel sum/peak/energy — from the container bytes via
+    // the chunk-walking parser. Narrow mapPartitions, no shuffle.
+    "mm_wav_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = bytes.length
+          val samples = new Array[Int](64 * 2)
+          var k = 0
+          while (k < 64) {
+            var c = 0
+            while (c < 2) {
+              val code = bytes((2 * k + c) % n) & 0xff
+              val u = (code * 517) % 65536
+              samples(k * 2 + c) = if (u >= 32768) u - 65536 else u
+              c += 1
+            }
+            k += 1
+          }
+          MediaBatchProcessor.MediaRow(id,
+            MediaBatchProcessor.encodeWav(MediaBatchProcessor.WavAudio(
+              numChannels = 2, sampleRate = 8000, bitsPerSample = 16,
+              samples)), "audio/wav")
+        }
+      MediaBatchProcessor.decodeWavBatched(media).toDF()
+    },
     "mm_resize_stub" -> { (s, dir) =>
       withMedia(Tables(s, dir, "documents"))
         .filter(col("meta.media_type") === "image/png")
@@ -286,6 +323,31 @@ object MultimodalQueries {
         |   AS BIGINT) AS ahash_lo
         |FROM lm JOIN st ON st.doc_id = lm.doc_id
         |GROUP BY lm.doc_id""".stripMargin,
+    // the oracle rebuilds the PCM signal straight from text (ASCII
+    // fixture ⇒ unicode(char) ≡ payload byte) and aggregates the same
+    // exact integers the kernel computes from the decoded container
+    "mm_wav_decode" ->
+      """WITH sm AS (
+        | SELECT doc_id, k, c,
+        |  (unicode(substr(text, CAST((2*k + c) % n AS INT) + 1, 1)) * 517)
+        |    % 65536 AS u
+        | FROM (SELECT doc_id, text, strlen(text) AS n,
+        |        unnest(range(0, 64)) AS k FROM documents) t,
+        |      (SELECT unnest(range(0, 2)) AS c) cc),
+        |sg AS (SELECT doc_id, c,
+        |        CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s FROM sm)
+        |SELECT doc_id,
+        | CAST(2 AS INT) AS n_channels,
+        | CAST(8000 AS INT) AS sample_rate,
+        | CAST(16 AS INT) AS bits_per_sample,
+        | CAST(64 AS BIGINT) AS n_frames,
+        | CAST(SUM(CASE WHEN c = 0 THEN s ELSE 0 END) AS BIGINT) AS sum_ch0,
+        | CAST(SUM(CASE WHEN c = 1 THEN s ELSE 0 END) AS BIGINT) AS sum_ch1,
+        | CAST(MAX(CASE WHEN c = 0 THEN abs(s) ELSE 0 END) AS BIGINT) AS peak_ch0,
+        | CAST(MAX(CASE WHEN c = 1 THEN abs(s) ELSE 0 END) AS BIGINT) AS peak_ch1,
+        | CAST(SUM(CASE WHEN c = 0 THEN s * s ELSE 0 END) AS BIGINT) AS energy_ch0,
+        | CAST(SUM(CASE WHEN c = 1 THEN s * s ELSE 0 END) AS BIGINT) AS energy_ch1
+        |FROM sg GROUP BY doc_id""".stripMargin,
     "mm_resize_stub" ->
       """SELECT doc_id,
         | CAST(strlen(text) % 64 + 1 AS INT) AS width,

@@ -242,6 +242,101 @@ object Similarity {
     frame(cent)
   }
 
+  /** Mean bucket size the adaptive coarse quantizer holds constant.
+    * Every in-bucket ANN/dedup stage costs Σ bucket² per centroid, so a
+    * FIXED centroid count goes super-linear the moment buckets grow
+    * with the corpus (round-9 100× run: dedup_semantic 8 s → 182 s,
+    * exponent 1.4, before the fix). Holding bucket SIZE at this target
+    * makes in-bucket pair cost O(n·targetBucket) — linear — at any
+    * corpus size. */
+  val DefaultTargetBucket = 2000L
+
+  /** Hard cap on the adaptive centroid count — bounds the broadcast
+    * centroid table and the per-vector assign cost (k distance
+    * evaluations). At the cap, buckets grow again; raise it together
+    * with executor memory if corpora beyond cap×targetBucket vectors
+    * are in play. */
+  val AdaptiveKCap = 4096
+
+  /** Corpus-size ceiling of the ORACLE-EXACT regime: at or below this
+    * many vectors, [[SimilarityQueries.sharedStages]] uses the 10
+    * label-mean centroids that every ANN DuckDB oracle
+    * (`ivf_assign`, `sim_ann_ivf*`, `dedup_semantic*`,
+    * `vec_ivf_balance`, …) hard-codes; above it the engine trains
+    * adaptive-k centroids and those oracles are NO LONGER VALID — a
+    * bigger fixture must regenerate its oracle expectations, not reuse
+    * the label-mean SQL. Equal to 10 × [[DefaultTargetBucket]]. */
+  val OracleExactMaxVectors: Long = 10 * DefaultTargetBucket
+
+  /** The adaptive centroid count for an `n`-vector corpus:
+    * `clamp(n / targetBucket, 1, AdaptiveKCap)`. */
+  def adaptiveK(n: Long, targetBucket: Long = DefaultTargetBucket): Int =
+    math.max(1L, math.min(AdaptiveKCap.toLong, n / targetBucket)).toInt
+
+  /** Train the coarse quantizer at the ADAPTIVE centroid count — the
+    * round-9 100× scale fix hoisted into the library path, so an index
+    * built without an explicit k cannot recreate the super-linear
+    * fixed-k bug. k = [[adaptiveK]](n); training runs on a bounded
+    * DETERMINISTIC sample of ~256 vectors per centroid (the FAISS
+    * training convention, selected by an xxhash64 keep-filter on
+    * `vec_id`), so the trainer's cost is independent of corpus size —
+    * only the caller's one full-corpus [[ivfAssign]] pass scales with
+    * n. Seeds are the k hash-ordered sample vectors (deterministic,
+    * decorrelated from id order); `knownN` skips the count scan when
+    * the caller already knows the corpus size. Input `(vec_id, v)`;
+    * output is [[trainCoarseQuantizer]]'s `(c_label, c, cnorm2)`. */
+  def trainAdaptiveQuantizer(vectors: DataFrame,
+      targetBucket: Long = DefaultTargetBucket, maxIter: Int = 3,
+      tol: Double = 1e-3, knownN: Option[Long] = None): DataFrame = {
+    require(targetBucket >= 1, s"targetBucket must be >= 1, got $targetBucket")
+    val n = knownN.getOrElse(vectors.count())
+    require(n > 0, "cannot train a quantizer over an empty corpus")
+    val k = adaptiveK(n, targetBucket)
+    // keep ≈ 256·k of n vectors: per-million keep rate, exact integers
+    val keepPerM = math.min(1000000L,
+      math.max(1L, 256L * k * 1000000L / n))
+    val sample = vectors
+      .filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < keepPerM)
+      .persist()
+    try {
+      val seeds = sample
+        .orderBy(xxhash64(col("vec_id"), lit(1)), col("vec_id"))
+        .limit(k).select("vec_id", "v").collect().zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }
+      require(seeds.length == k,
+        s"adaptive k=$k exceeds the training sample (${seeds.length} " +
+          "vectors) — corpus smaller than reported n?")
+      trainCoarseQuantizer(sample, k, maxIter, tol,
+        init = Some(centroidFrame(vectors.sparkSession, seeds)))
+    } finally sample.unpersist(blocking = false)
+  }
+
+  /** Train-and-save in one call — the path a user builds a persisted
+    * index with. With no `k`, the quantizer is ADAPTIVE
+    * ([[trainAdaptiveQuantizer]]): centroid count scales with the
+    * corpus so buckets hold [[DefaultTargetBucket]] mean size at any n
+    * — the safe default. An explicit `k` overrides (full-corpus
+    * [[trainCoarseQuantizer]], the pre-round-10 behavior) for callers
+    * that know their serving layout. `pqBlocks` additionally saves a
+    * product-quantization codebook. Returns [[indexStats]] of the
+    * written index so the builder sees bucket skew immediately. */
+  def buildIndex(vectors: DataFrame, path: String, k: Option[Int] = None,
+      targetBucket: Long = DefaultTargetBucket, maxIter: Int = 3,
+      tol: Double = 1e-3, pqBlocks: Option[Int] = None): IndexStats = {
+    val cent = (k match {
+      case Some(kk) => trainCoarseQuantizer(vectors, kk, maxIter, tol)
+      case None => trainAdaptiveQuantizer(vectors, targetBucket, maxIter, tol)
+    }).persist()
+    try {
+      val pq = pqBlocks.map { blocks =>
+        val dim = cent.select(size(col("c"))).head().getInt(0)
+        pqCodebook(cent, blocks, dim)
+      }
+      saveIndex(path, cent, ivfAssign(vectors, cent), pq)
+    } finally cent.unpersist(blocking = false)
+    indexStats(vectors.sparkSession, path)
+  }
+
   /** Multi-probe IVF assignment: each vector's `nprobe` nearest
     * centroids with their probe rank. Queries probe several adjacent
     * buckets to recover the recall lost at bucket boundaries, at a
@@ -922,11 +1017,17 @@ object Similarity {
     *     deterministic, vs a brute-force ground truth over the live
     *     corpus (both sides tombstone-filtered via [[loadIndex]]).
     *  2. if recall ≥ `recallTarget`: report, touch nothing.
-    *  3. else: [[compactIndex]], then retrain the quantizer WARM —
-    *     [[trainCoarseQuantizer]] seeded from the saved centroids (k
-    *     and dim preserved; drift adaptation, not from-scratch) — and
+    *  3. else: [[compactIndex]], then retrain the quantizer and
     *     rewrite centroids + assignment (+ PQ codebook when present,
-    *     rebuilt at its saved block count) via [[saveIndex]].
+    *     rebuilt at its saved block count) via [[saveIndex]]. Two
+    *     retrain regimes: when the live corpus has OUTGROWN the saved
+    *     centroid count ([[adaptiveK]](nLive) > saved k — the
+    *     append-path route back to the super-linear fixed-k bug the
+    *     round-9 100× run caught), retrain at the adaptive k via
+    *     [[trainAdaptiveQuantizer]] so mean bucket size returns to
+    *     `targetBucket`; otherwise retrain WARM —
+    *     [[trainCoarseQuantizer]] seeded from the saved centroids (k
+    *     and dim preserved; drift adaptation, not from-scratch).
     *
     * Cost: the measurement is one bucket probe + one brute-force pass
     * of a broadcast-sized sample; the retrain is `maxIter` corpus
@@ -939,7 +1040,8 @@ object Similarity {
     * unfiltered table. `queries` as `(query_id, va)`. */
   def maintainIndex(queries: DataFrame, corpus: DataFrame, path: String,
       k: Int, recallTarget: Double, sampleSize: Int = 16,
-      maxIter: Int = 4, tol: Double = 0.0): MaintenanceReport = {
+      maxIter: Int = 4, tol: Double = 0.0,
+      targetBucket: Long = DefaultTargetBucket): MaintenanceReport = {
     require(recallTarget > 0 && recallTarget <= 1,
       s"recallTarget must be in (0,1], got $recallTarget")
     val spark = queries.sparkSession
@@ -978,9 +1080,17 @@ object Similarity {
       val lc = liveCorpus()
       val saved = spark.read.parquet(s"$path/centroids.parquet")
       val kCent = saved.count().toInt
-      val warm = saved.select("c_label", "c")
-      val cent = trainCoarseQuantizer(lc, kCent, maxIter, tol,
-        init = Some(warm))
+      val nLive = lc.count()
+      val kTarget = adaptiveK(nLive, targetBucket)
+      val cent =
+        if (kTarget > kCent)
+          // the corpus outgrew the saved quantizer — grow k back to the
+          // adaptive bucket-size contract (bounded-sample training)
+          trainAdaptiveQuantizer(lc, targetBucket, maxIter, tol,
+            knownN = Some(nLive))
+        else
+          trainCoarseQuantizer(lc, kCent, maxIter, tol,
+            init = Some(saved.select("c_label", "c")))
       val savedAssign = spark.read.parquet(s"$path/assignment.parquet").schema
       val assign = ivfAssign(lc, cent)
         .select(col("vec_id").cast(savedAssign("vec_id").dataType),

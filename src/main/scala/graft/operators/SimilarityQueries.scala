@@ -72,42 +72,24 @@ object SimilarityQueries {
           // dedup_semantic's pair generation above all — costs
           // Σ bucket², so a FIXED centroid count makes the engine
           // super-linear the moment buckets grow with the corpus
-          // (measured: 8 s → 182 s on 10×→100×, exponent 1.4). The
-          // quantizer therefore holds MEAN BUCKET SIZE constant: below
-          // 10×targetBucket vectors the 10 label-mean centroids are
-          // exact-oracle territory (all driver fixtures); above it, k
-          // scales as n/targetBucket (k-means‖ seed + deterministic
-          // Lloyd rounds), making in-bucket pair cost O(n·targetBucket)
-          // — linear — at any corpus size.
-          val targetBucket = 2000L
+          // (measured: 8 s → 182 s on 10×→100×, exponent 1.4). At or
+          // below Similarity.OracleExactMaxVectors the 10 label-mean
+          // centroids are exact-oracle territory (all driver
+          // fixtures); above it the quantizer holds MEAN BUCKET SIZE
+          // constant via Similarity.trainAdaptiveQuantizer (k =
+          // n/targetBucket, bounded 256·k training sample), making
+          // in-bucket pair cost O(n·targetBucket) — linear — at any
+          // corpus size. Round 10 hoisted the adaptive trainer into
+          // the library index lifecycle (buildIndex/maintainIndex);
+          // this stage delegates to the same code.
           val emb = Tables(s, dir, "embeddings")
           val n = emb.count()
-          val cent = (if (n <= 10 * targetBucket)
+          val cent = (if (n <= Similarity.OracleExactMaxVectors)
             Similarity.meanCentroids(emb.select(col("label"),
               expr("transform(embedding, x -> cast(x as double))").as("v")))
-          else {
-            // train on a bounded DETERMINISTIC sample (~256 vectors per
-            // centroid, the FAISS training convention): quantizer
-            // training cost is then independent of corpus size — only
-            // the single full-corpus assign pass below scales with n.
-            // (First cut trained seed+Lloyd on the full corpus: 889 s
-            // at 100× — the trainer itself was the new bottleneck.)
-            val k = math.min(4096L, n / targetBucket).toInt
-            val keepPerM = math.min(1000000L,
-              math.max(1L, 256L * k * 1000000L / n))
-            val sample = vecs(s, dir)
-              .filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < keepPerM)
-              .persist()
-            val seeds = sample
-              .orderBy(xxhash64(col("vec_id"), lit(1)), col("vec_id"))
-              .limit(k).select("vec_id", "v").collect().zipWithIndex
-              .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }
-            val trained = Similarity.trainCoarseQuantizer(sample, k,
-              maxIter = 3, tol = 1e-3,
-              init = Some(Similarity.centroidFrame(s, seeds)))
-            sample.unpersist(blocking = false)
-            trained
-          }).persist()
+          else
+            Similarity.trainAdaptiveQuantizer(vecs(s, dir),
+              maxIter = 3, tol = 1e-3, knownN = Some(n))).persist()
           (cent, Similarity.ivfAssign(vecs(s, dir), cent).persist())
       }
     } { case (cent, assign) =>
@@ -589,7 +571,19 @@ object SimilarityQueries {
   /** The quantizer-contract CTE stack shared by every oracle that
     * derives the mean-centroid table: ONE home for the rounding
     * precision, list ordering and norm fold, so the oracles cannot
-    * drift apart on what "the centroids" are. */
+    * drift apart on what "the centroids" are.
+    *
+    * VALIDITY BOUND: these CTEs encode the LABEL-MEAN centroids, which
+    * the engine only uses at or below
+    * [[Similarity.OracleExactMaxVectors]] (= 20 000) embeddings. Above
+    * that, [[sharedStages]] switches to adaptive-k trained centroids
+    * (the round-9 100× scale fix) and every oracle built on this stack
+    * (`ivf_assign*`, `sim_ann_ivf*`, `sim_ann_[ivf]pq`,
+    * `vec_pq_assign`, `vec_ivf_balance`, `dedup_semantic*`) goes
+    * hash-red wholesale. A fixture larger than the bound needs its
+    * expectations regenerated from the engine, not this SQL —
+    * `AdaptiveQuantizerSpec` pins the regime boundary from both
+    * sides. */
   private val centroidCtes: String =
     """m AS (
       | SELECT label, dim, ROUND(AVG(val), 4) AS m FROM (

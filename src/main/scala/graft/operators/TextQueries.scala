@@ -76,6 +76,24 @@ object TextQueries {
         size(expr("regexp_extract_all(lower(text), '[0-9]+', 0)")).cast("long")
           .as("n_digit_runs"))
     },
+    // REAL BPE (round 10): iterative pair-merge TRAINING — the actual
+    // byte-pair-encoding algorithm, not the class-run heuristic above.
+    // 8 bounded rounds of pair-count → argmax → merge over the word-
+    // frequency table (vocab-sized after one corpus scan; see Bpe's
+    // scaladoc for the 100 TB shape), oracle-checked with deterministic
+    // merge order against the same loop unrolled to DuckDB CTEs.
+    "text_bpe_train" -> { (s, dir) =>
+      import s.implicits._
+      Bpe.train(Tables(s, dir, "documents")).toDF()
+    },
+    // ... and ENCODING with the learned merge table: every word
+    // occurrence re-encoded through the rank-ordered merge chain
+    // (narrow replaces), then per-doc token accounting — the number a
+    // token-budget planner actually consumes.
+    "text_bpe_encode" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Bpe.encodeStats(docs, Bpe.train(docs))
+    },
     "text_quality" -> { (s, dir) =>
       val q = TextAnalysis.qualityCounts(col("text"))
       Tables(s, dir, "documents").select(
@@ -430,6 +448,8 @@ object TextQueries {
         | CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha_runs,
         | CAST(len(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_digit_runs
         |FROM documents""".stripMargin,
+    "text_bpe_train" -> Bpe.trainOracle(),
+    "text_bpe_encode" -> Bpe.encodeOracle(),
     "text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q,
         | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,

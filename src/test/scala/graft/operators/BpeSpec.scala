@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Algorithmic contract of the real BPE trainer/encoder on constructed
+  * corpora where the expected merges are hand-derivable; fixture-level
+  * equality is the driver's oracle gate (`text_bpe_train/encode`). */
+class BpeSpec extends SparkTestBase {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  test("repeated-pair merge is greedy left-to-right (aaaa → [aa][aa], " +
+      "not [aa][a][a])") {
+    val d = docs("aaaa aaa")
+    val m = Bpe.train(d, rounds = 1)
+    // adjacent (a,a) pairs: 3 in aaaa + 2 in aaa
+    assert(m == Seq(Bpe.Merge(1, "a", "a", 5)))
+    val st = Bpe.encodeStats(d, m).collect()(0)
+    assert(st.getLong(1) == 2, "n_words")
+    assert(st.getLong(2) == 7, "n_chars")
+    // aaaa → ‹aa›‹aa› (2 tokens), aaa → ‹aa›‹a› (2 tokens)
+    assert(st.getLong(3) == 4, s"n_tokens = ${st.getLong(3)}")
+  }
+
+  test("ties break to the lexicographically greatest pair — the " +
+      "documented determinism contract") {
+    val m = Bpe.train(docs("ab cd"), rounds = 1)
+    assert(m.head.pair_left == "c" && m.head.pair_right == "d")
+  }
+
+  test("merges chain: a later merge consumes an earlier merge's token") {
+    val m = Bpe.train(docs("abc abc abc ab"), rounds = 2)
+    assert(m(0) == Bpe.Merge(1, "a", "b", 4))
+    assert(m(1) == Bpe.Merge(2, "ab", "c", 3))
+    val st = Bpe.encodeStats(docs("abc abc abc ab"), m).collect()(0)
+    // three fully-fused ‹abc› + one ‹ab› = 4 tokens over 4 words
+    assert(st.getLong(1) == 4 && st.getLong(3) == 4)
+  }
+
+  test("training stops early when the vocabulary runs out of pairs, " +
+      "and frequency weighting counts occurrences, not distinct words") {
+    assert(Bpe.train(docs("a b a b a"), rounds = 3).isEmpty)
+    // 'xy' occurs 3 times across docs, 'zz' twice → (x,y) wins despite
+    // (z,z) being lexicographically greater
+    val m = Bpe.train(docs("xy xy zz", "xy zz"), rounds = 1)
+    assert(m == Seq(Bpe.Merge(1, "x", "y", 3)))
+  }
+
+  test("fixture sanity: 8 deterministic merges, every merged pair's " +
+      "count non-increasing in rank order ties aside") {
+    val m = Bpe.train(graft.Tables(spark, sfDir, "documents"))
+    assert(m.length == 8)
+    assert(m.map(_.merge_rank) == (1L to 8L))
+    // counts can only grow if a merge CREATES a more frequent adjacency,
+    // which single-merge rounds cannot: each round's max is <= previous
+    assert(m.sliding(2).forall(p => p(1).pair_count <= p(0).pair_count))
+  }
+}

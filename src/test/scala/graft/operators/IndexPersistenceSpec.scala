@@ -213,6 +213,68 @@ class IndexPersistenceSpec extends SparkTestBase {
     assert(readded.count() == vecs.count())
   }
 
+  /** 24 000 vectors in 12 well-separated clusters (dim 8) — the same
+    * above-threshold corpus shape as `AdaptiveQuantizerSpec`, but as a
+    * `(vec_id, v)` frame for the library index lifecycle. */
+  private def corpus24k = spark.range(24000)
+    .select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 7), j ->
+             |  (id % 12) * 10.0d + ((id * 31 + j * 7) % 5) * 0.01d
+             |  + if(j = cast(id % 12 as int) % 8, 3.0d, 0.0d))"""
+        .stripMargin).as("v"))
+
+  test("buildIndex with NO k argument defaults to the adaptive quantizer: " +
+      "a 24k-vector index trains k = n/2000 with bounded bucket skew") {
+    // the round-9 100× lesson applied to the path users build persisted
+    // indexes with: a default-built index must be structurally unable
+    // to recreate the super-linear fixed-k bug
+    val dir = Files.createTempDirectory("graft-index").toString
+    val stats = Similarity.buildIndex(corpus24k, dir)
+    assert(stats.nVectors == 24000L)
+    assert(stats.nCentroids == 12L,
+      s"expected adaptive k = 24000/2000 = 12, got ${stats.nCentroids}")
+    // the AdaptiveQuantizerSpec contract: every bucket within 3× of the
+    // even share, or the quantizer degenerated into a hot bucket
+    assert(stats.imbalance <= 3.0,
+      s"hottest bucket is ${stats.imbalance}x the even share")
+    // and the artifact serves: every probe returns its full top-k
+    val q = corpus24k.filter(col("vec_id") % 4000 === 1)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    val hits = Similarity.searchIndex(q, corpus24k, dir, k = 3)
+      .groupBy("query_id").count().collect()
+    assert(hits.length == 6 && hits.forall(_.getLong(1) == 3L))
+  }
+
+  test("maintainIndex grows the quantizer to the adaptive k when the " +
+      "corpus has outgrown the saved centroid count") {
+    // an index built under-provisioned (k=4 over 24k vectors — mean
+    // bucket 6000, 3× the target) must come out of a retrain at the
+    // adaptive k = 12, not frozen at its stale k — otherwise appends
+    // re-create the fixed-k super-linear bug one maintenance cycle at
+    // a time
+    val dir = Files.createTempDirectory("graft-index").toString
+    val vecs = corpus24k
+    val small = Similarity.trainCoarseQuantizer(vecs, k = 4, maxIter = 1,
+      tol = 0.0)
+    // scrambled assignment forces the recall dip → retrain path (the
+    // established trigger from the drift test above)
+    val scrambled = Similarity.ivfAssign(vecs, small)
+      .selectExpr("vec_id",
+        "cast((centroid + 1 + vec_id % 3) % 4 as bigint) AS centroid")
+    Similarity.saveIndex(dir, small, scrambled)
+    val q = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("va"))
+    val report = Similarity.maintainIndex(q, vecs, dir, k = 3,
+      recallTarget = 0.9, sampleSize = 8, maxIter = 2)
+    assert(report.retrained, "outgrown index was not retrained")
+    val after = Similarity.indexStats(spark, dir)
+    assert(after.nCentroids == 12L,
+      s"retrain kept the stale k: ${after.nCentroids} centroids, " +
+        "expected adaptive 12")
+    assert(after.imbalance <= 3.0,
+      s"post-growth skew unbounded: ${after.imbalance}")
+  }
+
   test("maintainIndex: healthy index untouched; drifted index retrains " +
       "warm and recovers recall") {
     val dir = Files.createTempDirectory("graft-index").toString
