@@ -455,7 +455,8 @@ object AdvancedQueries {
     // or zero variance) emit zero rows on both engines.
     "stat_autocorr" -> { (s, dir) =>
       val daily = Tables(s, dir, "events")
-        .groupBy(expr("ts div 86400000000000").as("day"))
+        .withColumn("day", expr("ts div 86400000000000"))
+        .groupBy("day")
         .agg(count(lit(1)).as("x"))
       daily.alias("a").join(daily.alias("b"),
           col("a.day") + 1 === col("b.day"))
@@ -766,7 +767,11 @@ object AdvancedQueries {
         .join(bp, col("l_partkey") === col("p_partkey"))
       val avgq = li13.groupBy(col("l_partkey").as("ap"))
         .agg(avg(col("l_quantity")).as("avg_qty"))
-      li13.join(broadcast(avgq), col("l_partkey") === col("ap"))
+      // avgq is one row per brand partkey — linear in sf (a brand is
+      // ~1/25 of parts), so the correlated-avg join is merge-pinned,
+      // never broadcast on an estimate (round-9 100x lesson); both
+      // sides already key on partkey so the exchanges line up
+      li13.join(avgq.hint("merge"), col("l_partkey") === col("ap"))
         .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
         .agg((sum(money(col("l_extendedprice"))).cast(DoubleType) / lit(7.0))
           .as("avg_yearly"))

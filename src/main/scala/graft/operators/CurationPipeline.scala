@@ -108,13 +108,15 @@ object CurationPipeline {
     // 1. exact dedup: keep the minimum-id representative of each hash
     val keep = Dedup.exact(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
-    val deduped = docs.join(keep, idCol)
+    // keep/quality are one row per surviving doc — corpus-sized;
+    // merge-pinned so no misestimate can broadcast them (round-9 100x)
+    val deduped = docs.join(keep.hint("merge"), idCol)
 
     // 2. quality gate (signals recomputed per doc — narrow)
     val quality = Curation.qualityFilter(deduped, idCol, textCol,
         minChars = minChars, minTokens = minTokens)
       .select(col("doc_id").as(idCol))
-    val gated = deduped.join(quality, idCol)
+    val gated = deduped.join(quality.hint("merge"), idCol)
 
     // 3. decontamination at the chosen strictness
     val dirty = dirtyIds(gated, benchmark, idCol, textCol, decontamK,

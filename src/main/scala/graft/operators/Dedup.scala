@@ -70,8 +70,10 @@ object Dedup {
       Bridge.expression(xxhash64(col("fh")))))
     fresh.select(col(idCol).as("doc_id"), md5(col(textCol)).as("fh"))
       .filter(mightExist) // narrow prune, no shuffle yet
-      .join(knownHashed.select(col("kh").as("fh")).distinct(), Seq("fh"),
-        "left_semi") // exact verify: FPs drop out here
+      // the known-hash set is corpus-sized — merge-pinned so the exact
+      // verify can never become a driver broadcast on a misestimate
+      .join(knownHashed.select(col("kh").as("fh")).distinct().hint("merge"),
+        Seq("fh"), "left_semi") // exact verify: FPs drop out here
       .select(col("doc_id"), col("fh").as("content_hash"))
   }
 
@@ -200,7 +202,10 @@ object Dedup {
     val sets = shingleSets(docs, idCol, textCol, n)
     val banded = capBuckets(bandedMinhash(sets, numHashes, bands),
       Seq("band", "sigh"), bucketCap)
-    val cand = banded.alias("x").join(banded.alias("y"), Seq("band", "sigh"))
+    // the banded self-join sides are corpus×bands rows — merge-pinned
+    // so no size misestimate can broadcast them (round-9 100x lesson)
+    val cand = banded.alias("x")
+      .join(banded.hint("merge").alias("y"), Seq("band", "sigh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
@@ -226,7 +231,9 @@ object Dedup {
         .select(col("doc_id"), col("simhash"),
           col("bk.band").as("band"), col("bk.bits").as("bits")),
       Seq("band", "bits"), bucketCap)
-    banded.alias("x").join(banded.alias("y"), Seq("band", "bits"))
+    // merge-pinned: corpus×4-band rows, never broadcastable (see
+    // minhashLshPairs)
+    banded.alias("x").join(banded.hint("merge").alias("y"), Seq("band", "bits"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))

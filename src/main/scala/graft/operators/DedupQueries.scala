@@ -77,7 +77,9 @@ object DedupQueries {
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("h"))
       val counts = d.groupBy("h").agg(count(lit(1)).as("dup_count"))
-      d.join(counts, "h")
+      // counts is one row per distinct content hash — corpus-sized;
+      // merge-pinned (round-9 100x lesson)
+      d.join(counts.hint("merge"), "h")
         .select(col("doc_id"), col("dup_count"),
           expr("1000000 div dup_count").as("weight_ppm"))
     },

@@ -272,7 +272,9 @@ object EtlQueries {
       val bounds = ev.agg(min("minute").as("lo"), max("minute").as("hi"))
       val minutes = bounds
         .select(explode(expr("sequence(lo, hi)")).as("minute"))
-      minutes.join(counts, Seq("minute"), "left")
+      // per-minute counts grow with the stream's time span — merge-
+      // pinned rather than broadcast (a year is ~526k minutes)
+      minutes.join(counts.hint("merge"), Seq("minute"), "left")
         .select(col("minute"), coalesce(col("cnt"), lit(0L)).as("n"))
     },
     // Gap filling: a dense per-user hour spine (sequence over each
@@ -311,7 +313,8 @@ object EtlQueries {
         .select(col("user_id"), expr("ts div 604800000000000").as("week"))
         .distinct()
       val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
-      uw.join(cohort, "user_id")
+      // per-user tables are user-count-sized (linear) — merge-pinned
+      uw.join(cohort.hint("merge"), "user_id")
         .groupBy(col("cohort_week"),
           (col("week") - col("cohort_week")).as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
@@ -408,14 +411,18 @@ object EtlQueries {
         .select(col("user_id"), col("event_type"), col("ts"))
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts").as("t_view"))
-      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      // per-user stage tables are user-count-sized (linear in corpus)
+      // — every user-keyed join is merge-pinned (round-9 100x lesson)
+      val c = ev.filter(col("event_type") === "click")
+        .join(v.hint("merge"), "user_id")
         .filter(col("ts") >= col("t_view"))
         .groupBy("user_id").agg(min("ts").as("t_click"))
-      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c.hint("merge"), "user_id")
         .filter(col("ts") >= col("t_click"))
         .groupBy("user_id").agg(min("ts").as("t_purchase"))
-      v.join(c, Seq("user_id"), "left")
-        .join(p, Seq("user_id"), "left")
+      v.join(c.hint("merge"), Seq("user_id"), "left")
+        .join(p.hint("merge"), Seq("user_id"), "left")
         .select(col("user_id"),
           expr("t_view div 1000").as("view_us"),
           expr("t_click div 1000").as("click_us"),

@@ -68,7 +68,9 @@ object HybridQueries {
     val tf = ctoks.join(broadcast(qw.select("w").distinct()), "w")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    val part = tf.join(dfreq, "w").join(dl, "doc_id")
+    // dfreq (per query-hit term) and dl (per corpus doc) are corpus-
+    // scaling tables — merge-pinned (round-9 100x lesson)
+    val part = tf.join(dfreq.hint("merge"), "w").join(dl.hint("merge"), "doc_id")
       .crossJoin(broadcast(corp))
       .join(broadcast(qw), "w")
       .select(col("query_id"), col("doc_id"), expr(

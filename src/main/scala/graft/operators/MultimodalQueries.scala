@@ -109,7 +109,9 @@ object MultimodalQueries {
       val bands = sig.select(col("doc_id"),
         posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
           .as(Seq("bi", "bv")))
-      val cand = bands.as("x").join(bands.as("y"),
+      // corpus×4 banded rows per side — merge-pinned like the LSH
+      // self-joins (round-9 100x lesson)
+      val cand = bands.as("x").join(bands.hint("merge").as("y"),
           col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

@@ -243,7 +243,8 @@ object TextQueries {
       val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
       // dfreq is 5 rows (fixed query-term set) — broadcastable; dl is
       // one row per doc — corpus-sized, pinned to a shuffle join
-      tf.join(dfreq, "w").join(dl.hint("merge"), "doc_id").crossJoin(broadcast(corp))
+      tf.join(dfreq.hint("merge"), "w").join(dl.hint("merge"), "doc_id")
+        .crossJoin(broadcast(corp))
         .select(col("doc_id"), expr(
           """cast(floor(
             |  ln(1.0d + (n_docs - df + 0.5d) / (df + 0.5d)) *

@@ -491,6 +491,194 @@ class PlanSpec extends SparkTestBase {
       "no longer sees the constant-key window idiom it was built for")
   }
 
+  test("sweep: no BroadcastHashJoin builds a corpus-derived aggregate/" +
+      "explode side across ALL registered query plans") {
+    // THE round-9 100x OOM guard, made structural: text_ngram_novelty
+    // died at 100x because Catalyst's plan-time size ESTIMATE of an
+    // aggregate over an exploded corpus undershot reality and the
+    // planner broadcast a corpus-sized table to the driver. The fix was
+    // hand-placed `.hint("merge")` pins -- which one forgotten hint on a
+    // future corpus-sized join silently reintroduces: at fixture scale
+    // the un-pinned join plans as a BROADCAST (everything is tiny), so
+    // this sweep catches the deletion immediately even though the OOM
+    // itself only fires at 100x. Rule: no broadcast build side may
+    // contain an Aggregate or Generate whose input descends from a
+    // corpus parquet scan, unless the stage is provably metadata-sized:
+    //  - scalar aggregates (empty grouping -- 1 row);
+    //  - grouping keyed ONLY on bounded-cardinality columns: `_pid`
+    //    (<= shuffle partitions; Ids.cumulative* offset tables), `label`
+    //    (10 classes), `dim`/`pos` (embedding dims <= 64), `centroid`/
+    //    `c_label` (<= Similarity.AdaptiveKCap by the adaptive-quantizer
+    //    contract), `week`/`day`/`hour`/`bucket` (calendar/config
+    //    bounded);
+    //  - a LIMIT <= 1000 above the aggregate;
+    //  - a Generate re-bounded by an excused aggregate above it;
+    //  - InMemoryTableScan subtrees (the persisted shared stages are
+    //    author-curated: bounded centroids; the corpus-sized assignment
+    //    is only ever equi-joined, never broadcast -- BucketingSpec and
+    //    the ANN plan tests pin that separately).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, GenerateExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec, CollectLimitExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val corpusFiles = Set("lineitem", "orders", "events", "documents",
+      "embeddings", "customer", "supplier", "part", "partsupp")
+    // Bounded-cardinality grouping keys -- each justified:
+    //   _pid                 <= shuffle partitions (Ids offset tables)
+    //   label                10 fixture classes
+    //   dim/pos              embedding dims <= 64
+    //   centroid/c_label     <= Similarity.AdaptiveKCap (quantizer contract)
+    //   week/day/hour        calendar-bounded over any time window
+    //   bucket/tile          config-bounded bucketing
+    //   event_type/digit/even enum domains (5 types / 9 digits / bool)
+    //   source/domain        curation-mix config lists, not corpus rows
+    //   c_nationkey          FK into the 25-row nation table
+    //   p_size/p_retailprice TPC-H part attribute domains (50 sizes /
+    //                        ~100k price points) -- value domains, not rows
+    //   query_id             the serve batch (vec_id < 10 by contract)
+    val boundedCols = Set("_pid", "label", "dim", "pos", "centroid",
+      "c_label", "week", "day", "hour", "bucket", "tile",
+      "event_type", "digit", "even", "source", "domain", "c_nationkey",
+      "p_size", "p_retailprice", "query_id")
+    // Deliberate non-structural exceptions, each bounded by construction
+    // in a way a plan walk cannot prove:
+    //   cur_pipeline_packed  the decontamination drop-id set (distinct
+    //                        train ids colliding with the broadcast
+    //                        benchmark) -- bounded by the MB-sized
+    //                        benchmark suite's collision fanout, by the
+    //                        same argument as Curation.decontaminate's
+    //                        own broadcast(bench) design
+    val exceptions = Map(
+      "cur_pipeline_packed" -> "decontamination drop set")
+    // traversal that unwraps AQE and stops at cached stages
+    def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case _: InMemoryTableScanExec => Nil
+      case other => other.children
+    }
+    def collectNC[A](p: SparkPlan)(f: PartialFunction[SparkPlan, A]): Seq[A] = {
+      val out = scala.collection.mutable.ArrayBuffer[A]()
+      def go(q: SparkPlan): Unit = { f.lift(q).foreach(out += _); kids(q).foreach(go) }
+      go(p)
+      out.toSeq
+    }
+    // a corpus scan carrying a pushed `<id> < N` (N <= 1000) predicate
+    // is BATCH-bounded -- the repo's query-batch / benchmark-suite
+    // convention (vec_id < 10, doc_id < 50): the scan's output is a
+    // fixed small slice regardless of corpus size, so stages over it
+    // cannot be corpus-sized
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, LessThan, Literal}
+    def batchBounded(sc: FileSourceScanExec): Boolean =
+      sc.dataFilters.exists(_.collectFirst {
+        case LessThan(a: AttributeReference, Literal(v: Int, _))
+            if a.name.endsWith("_id") && v <= 1000 => ()
+        case LessThan(a: AttributeReference, Literal(v: Long, _))
+            if a.name.endsWith("_id") && v <= 1000L => ()
+      }.nonEmpty)
+    def reachesCorpus(p: SparkPlan): Boolean =
+      collectNC(p) {
+        case sc: FileSourceScanExec if !batchBounded(sc) &&
+          sc.relation.location.rootPaths.exists(rp =>
+            corpusFiles.exists(t => rp.toString.contains(s"/$t.parquet"))) => ()
+      }.nonEmpty
+    def limited(p: SparkPlan): Boolean =
+      collectNC(p) {
+        case g: GlobalLimitExec if g.limit <= 1000 => ()
+        case t: TakeOrderedAndProjectExec if t.limit <= 1000 => ()
+        case c: CollectLimitExec if c.limit <= 1000 => ()
+      }.nonEmpty
+    def contains(root: SparkPlan, node: SparkPlan): Boolean =
+      collectNC(root) { case x if x eq node => () }.nonEmpty
+    // the df-cap idiom: Filter(count >= CAP) above an aggregate bounds
+    // its output to <= corpus/CAP rows -- the deliberately-broadcast
+    // over-cap LSH bucket sets (see the "broadcast anti join" test)
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual}
+    def capLit(e: Any): Boolean = e match {
+      case Literal(v: Int, _) => v >= 100
+      case Literal(v: Long, _) => v >= 100L
+      case _ => false
+    }
+    def capFiltered(side: SparkPlan, a: SparkPlan): Boolean =
+      collectNC(side) {
+        case f: FilterExec if contains(f, a) && f.condition.collectFirst {
+          case GreaterThanOrEqual(_, l) if capLit(l) => ()
+          case GreaterThan(_, l) if capLit(l) => ()
+        }.nonEmpty => ()
+      }.nonEmpty
+    def risky(side: SparkPlan): Option[String] = {
+      val aggs = collectNC(side) { case a: BaseAggregateExec => a }
+      val limits = collectNC(side) {
+        case g: GlobalLimitExec if g.limit <= 1000 => g: SparkPlan
+        case t: TakeOrderedAndProjectExec if t.limit <= 1000 => t: SparkPlan
+        case c: CollectLimitExec if c.limit <= 1000 => c: SparkPlan
+      }
+      def aggExcused(a: BaseAggregateExec): Boolean =
+        a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.forall(
+            _.references.forall(r => boundedCols(r.name))) ||
+          limits.exists(l => contains(l, a)) ||
+          capFiltered(side, a) || !reachesCorpus(a)
+      // an inner aggregate is also excused when a BOUNDING aggregate
+      // above it caps the side's output (e.g. the Expand-distinct pass
+      // under a scalar count-distinct -- corpus-sized intermediate,
+      // metadata-sized build)
+      def excused(a: BaseAggregateExec): Boolean =
+        aggExcused(a) ||
+          aggs.exists(b => (b ne a) && aggExcused(b) && contains(b, a))
+      aggs.filterNot(excused).headOption
+        .map(a => s"corpus aggregate ${a.simpleString(80)}")
+        .orElse {
+          collectNC(side) { case g: GenerateExec if reachesCorpus(g) => g }
+            .filterNot(g => limits.exists(l => contains(l, g)) ||
+              // re-bounded by an excused aggregate above it, OR fed BY
+              // one (the explode's input is already metadata-sized --
+              // e.g. the literal percentile-array explode over a
+              // per-event-type count table)
+              aggs.exists(a => excused(a) && (contains(a, g) || contains(g, a))))
+            .headOption.map(g => s"exposed corpus explode ${g.simpleString(80)}")
+        }
+    }
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    var broadcastsSeen = 0
+    var excusedSeen = 0
+    for ((name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = q(spark, sfDir).queryExecution.executedPlan
+      val builds = collectNC(plan) {
+        case j: BroadcastHashJoinExec =>
+          if (j.buildSide == BuildLeft) j.left else j.right
+        case j: BroadcastNestedLoopJoinExec =>
+          if (j.buildSide == BuildLeft) j.left else j.right
+      }
+      broadcastsSeen += builds.size
+      builds.foreach { b =>
+        risky(b) match {
+          case Some(reason) if !exceptions.contains(name) =>
+            offenders += s"$name: broadcast build side holds $reason"
+          case _ =>
+            if (collectNC(b) { case a: BaseAggregateExec if reachesCorpus(a) => a }.nonEmpty)
+              excusedSeen += 1
+        }
+      }
+      // every exception must stay LIVE: if its flagged shape vanishes,
+      // the entry is stale and must be deleted (keeps the map honest)
+      ()
+    }
+    assert(offenders.isEmpty,
+      s"corpus-derived broadcast build sides found:\n${offenders.mkString("\n")}")
+    // liveness: the sweep must actually be seeing broadcasts AND
+    // exercising the whitelist arms (the _pid offset tables broadcast
+    // by design) -- if either drops to 0 the detector went blind
+    assert(broadcastsSeen > 0, "no broadcast joins detected anywhere -- " +
+      "AQE unwrap or join matching broke")
+    assert(excusedSeen > 0, "no whitelisted corpus-aggregate broadcast " +
+      "seen -- the excuse arms match nothing and the sweep is vacuous")
+  }
+
   test("ev_gap_fill: the user filter reaches the events scan") {
     val plan = planOf("ev_gap_fill")
     assert(plan.contains("LessThan(user_id,10"), s"filter not pushed:\n$plan")
