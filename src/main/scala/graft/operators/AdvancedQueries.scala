@@ -548,6 +548,53 @@ object AdvancedQueries {
         // all-NULL row where SQL's GROUP BY yields none
         .where(col("n_even") > 0 && col("n_odd") > 0)
     },
+    // Two-sample Mann–Whitney U (Wilcoxon rank-sum) drift test between
+    // the same even-/odd-week cohorts as stat_ks_drift — the rank-based
+    // location test that complements KS's max-ECDF-gap shape test.
+    // Distributed and EXACT, including midrank tie handling: group to
+    // distinct values (ca, cb per value), then the cohort-A and total
+    // running counts ride ONE range shuffle via Ids.cumulativeSums.
+    // Midranks stay integral by working in DOUBLED rank units: a value
+    // with t ties occupying ranks [lo, hi] contributes ca·(lo+hi) =
+    // ca·(2·cum_t − t + 1) to 2·R_A, so u2 = 2·U_A = Σca·(2cum_t−t+1)
+    // − na·(na+1) is a pure BIGINT (≤ 2n·na ~ 7e15 at 6e7 rows/cohort).
+    // The tie-correction Σ(t³−t) accumulates in DECIMAL(38,0) (t³ can
+    // pass 2^63 under heavy ties) and only the final z-score — one
+    // fixed-op-order double expression, quantized to micro — touches
+    // floats, so the statistic is bit-stable across engines. At 100×:
+    // the grouped table is distinct-value-sized and every stage is a
+    // hash agg or the range-partitioned prefix-sum scaffold — no global
+    // window, no driver collect (same plan family as stat_ks_drift).
+    "stat_mannwhitney" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select((expr("ts div 604800000000000") % 2 === 0).as("even"),
+          col("value"))
+      val byV = e.groupBy("value").agg(
+          sum(when(col("even"), 1L).otherwise(0L)).as("ca"),
+          sum(when(!col("even"), 1L).otherwise(0L)).as("cb"))
+        .withColumn("ct", col("ca") + col("cb"))
+      Ids.cumulativeSums(byV, Seq(col("value")),
+          Seq(col("ca") -> "cum_a", col("ct") -> "cum_t"),
+          totals = Map("cum_a" -> "na", "cum_t" -> "nn"))
+        .agg(max("na").as("na"), max("nn").as("nn"),
+          sum(col("ca") * (col("cum_t") * 2 - col("ct") + 1)).as("r2"),
+          sum((col("ct").cast("decimal(38,0)") * col("ct") * col("ct")
+            - col("ct"))).as("ties"))
+        .select(col("na").as("n_even"), (col("nn") - col("na")).as("n_odd"),
+          (col("r2") - col("na") * (col("na") + 1)).as("u2_even"),
+          col("ties").cast(DoubleType).as("tie_d"),
+          col("na"), col("nn"), col("r2"))
+        .where(col("n_even") > 0 && col("n_odd") > 0)
+        .select(col("n_even"), col("n_odd"), col("u2_even"), expr(
+          """cast(floor(
+            |  (cast(u2_even as double) - cast(n_even as double) * cast(n_odd as double))
+            |  / (2.0d * sqrt(
+            |      cast(n_even as double) * cast(n_odd as double) / 12.0d
+            |      * (cast(nn + 1 as double)
+            |         - tie_d / (cast(nn as double) * cast(nn - 1 as double)))))
+            |  * 1e6 + 0.5d) as bigint)""".stripMargin).as("z_micro"))
+    },
     // Population Stability Index — the standard model-monitoring drift
     // score between a reference and a current cohort (here: even- vs
     // odd-week events, like stat_ks_drift), per fixed-width value
@@ -1306,6 +1353,40 @@ object AdvancedQueries {
         |   // (CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)) AS BIGINT)
         |   AS ks_micro
         |FROM c, t GROUP BY na, nb HAVING na > 0 AND nb > 0""".stripMargin,
+    // doubled-rank-unit Mann–Whitney: identical integer recurrences to
+    // the Spark side; only the final z expression (same op order, same
+    // casts) touches doubles before the micro quantization
+    "stat_mannwhitney" ->
+      """WITH e AS (
+        | SELECT (epoch_ns(ts) // 604800000000000) % 2 = 0 AS even, value
+        | FROM events WHERE value IS NOT NULL),
+        |v AS (
+        | SELECT value,
+        |  SUM(CASE WHEN even THEN 1 ELSE 0 END) AS ca,
+        |  SUM(CASE WHEN NOT even THEN 1 ELSE 0 END) AS cb
+        | FROM e GROUP BY 1),
+        |v2 AS (SELECT value, ca, cb, ca + cb AS ct FROM v),
+        |c AS (
+        | SELECT ca, ct, SUM(ct) OVER (ORDER BY value) AS cum_t
+        | FROM v2),
+        |t AS (SELECT SUM(ca) AS na, SUM(ct) AS nn FROM v2),
+        |m AS (
+        | SELECT CAST(MAX(na) AS BIGINT) AS na, CAST(MAX(nn) AS BIGINT) AS nn,
+        |  CAST(SUM(ca * (cum_t * 2 - ct + 1)) AS BIGINT) AS r2,
+        |  CAST(SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS DOUBLE) AS tie_d
+        | FROM c, t)
+        |SELECT CAST(na AS BIGINT) AS n_even,
+        | CAST(nn - na AS BIGINT) AS n_odd,
+        | CAST(r2 - na * (na + 1) AS BIGINT) AS u2_even,
+        | CAST(FLOOR(
+        |   (CAST(r2 - na * (na + 1) AS DOUBLE)
+        |      - CAST(na AS DOUBLE) * CAST(nn - na AS DOUBLE))
+        |   / (2.0 * SQRT(
+        |       CAST(na AS DOUBLE) * CAST(nn - na AS DOUBLE) / 12.0
+        |       * (CAST(nn + 1 AS DOUBLE)
+        |          - tie_d / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))))
+        |   * 1e6 + 0.5) AS BIGINT) AS z_micro
+        |FROM m WHERE na > 0 AND nn - na > 0""".stripMargin,
     "stat_corr_exact" ->
       """WITH m AS (
         | SELECT CAST(COUNT(*) AS BIGINT) AS n,

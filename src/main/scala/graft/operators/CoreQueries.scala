@@ -264,6 +264,40 @@ object CoreQueries {
       val o = Tables(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
       c.join(o, Seq("c_custkey"), "left_semi").select("c_custkey", "c_name")
     },
+    // Bloom-style runtime pre-filter, spelled declaratively: before the
+    // fact side shuffles for a selective join, it is semi-joined against
+    // the BOUNDED set of occupied hash buckets (xxhash64 mod 65536) of
+    // the build side — a one-hash Bloom filter whose broadcast size is
+    // capped at 65536 rows NO MATTER how large the build side grows, so
+    // the pre-filter stays a broadcast at 100 TB even when the build
+    // side itself is far past any broadcast bar. False positives only
+    // let extra rows through to the exact equi-join that follows, so the
+    // result is bit-identical to the plain join (the oracle IS the plain
+    // join). At ~20% build selectivity the pre-filter drops most of the
+    // fact scan before the join shuffle — the manual, always-available
+    // form of Catalyst's InjectRuntimeFilter (PlanSpec pins the
+    // optimizer's own bloom variant separately).
+    "join_bloom_prefilter" -> { (s, dir) =>
+      val urgent = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      // occupied buckets of the build side: Aggregate keyed on `bucket`
+      // — bounded at 65536 rows by construction (mod), never corpus-sized
+      val buckets = urgent
+        .select(pmod(xxhash64(col("o_orderkey")), lit(65536L)).as("bucket"))
+        .distinct()
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"),
+          expr("cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5d) as bigint)")
+            .as("rev_cents"))
+        .withColumn("bucket", pmod(xxhash64(col("l_orderkey")), lit(65536L)))
+        .join(broadcast(buckets), Seq("bucket"), "left_semi")
+      // the exact join: orders side is corpus-sized — merge-pinned so a
+      // plan-time misestimate can never broadcast it (sweep-enforced)
+      li.join(urgent.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"), sum("rev_cents").as("rev_cents"))
+    },
     "join_anti" -> { (s, dir) =>
       // anti-join against a filtered side so the result is non-empty:
       // customers with no order after 1997-07-01.
@@ -762,6 +796,15 @@ object CoreQueries {
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    // the bucket pre-filter is a Spark-side plan optimization only — it
+    // passes a superset to the exact join, so the oracle is the plain join
+    "join_bloom_prefilter" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |  AS rev_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey

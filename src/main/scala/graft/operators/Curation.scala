@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions, Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -344,5 +344,60 @@ object Curation {
       // oracle's BIGINT floor-division truncates
       .withColumn("shard",
         expr(s"(cum_tokens - n_tokens) div $tokensPerShard"))
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al., 2023):
+    * score every raw document by how much more likely its hashed-n-gram
+    * features are under a TARGET (curated) distribution than under the
+    * RAW pool, w(doc) = Σ_tokens ln p̂_target(f) − ln p̂_raw(f) with
+    * add-one smoothing over the OCCUPIED hashed unigram features (the
+    * hash range `buckets` only bounds the table; smoothing over the
+    * mostly-empty range would bias every λ negative). Docs with
+    * w > 0 look more target-like than pool-like — the standard cheap
+    * proxy-free selector for "find me more data shaped like my curated
+    * set" at crawl scale.
+    *
+    * Shape at 100 TB: the feature vocabulary is HASH-BOUNDED at
+    * `buckets` rows (md5-bucket, the engine-portable hash), so both
+    * count tables and the per-feature log-ratio table stay broadcast-
+    * able at ANY corpus size; scoring is one broadcast equi-join on the
+    * bucket id + a per-doc integer sum (λ quantized to micro per
+    * FEATURE, so the doc reduction is order-free). Two corpus-scan
+    * aggregates + one broadcast join — no vocab-sized shuffle ever.
+    * The doc-level join back to ids is corpus-sized on both sides and
+    * merge-pinned. */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("tgt"),
+        explode(functions.split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("bucket",
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % buckets)
+    val counts = toks.groupBy("bucket").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    // smoothing mass = OCCUPIED buckets, not the hash range: +1 over
+    // `buckets` mostly-empty cells biases every λ negative (the target
+    // denominator inflates by the same absolute prior as the 10×-larger
+    // raw one), and the selector degenerates to "select nothing"
+    val tot = counts.agg(sum("cr").as("nr"), sum("ct").as("nt"),
+      count(lit(1)).as("nb"))
+    // λ per feature, micro-quantized: one fixed-op-order double expr
+    val lam = counts.crossJoin(broadcast(tot)).select(col("bucket"), expr(
+      """cast(floor(
+        |  (ln((ct + 1) / cast(nt + nb as double))
+        |   - ln((cr + 1) / cast(nr + nb as double)))
+        |  * 1e6 + 0.5d) as bigint)""".stripMargin).as("lam_micro"))
+    val scored = toks
+      .join(broadcast(lam), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("lam_micro").as("dsir_micro"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored.hint("merge"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("dsir_micro"), lit(0L)).as("dsir_micro"),
+        (coalesce(col("dsir_micro"), lit(0L)) > 0).cast("int").as("selected"))
   }
 }

@@ -254,6 +254,14 @@ object CurationQueries {
           .withColumn("domain", substring(col("source"), 4, 1)),
         "text", "domain")
         .select("doc_id", "domain", "b")
+    },
+    // DSIR importance selection: src0/src1 play the curated target set,
+    // the whole corpus is the raw pool; docs scoring target-like
+    // (dsir_micro > 0) are selected. See Curation.dsirScore for the
+    // hash-bounded-vocabulary scale argument.
+    "cur_dsir_select" -> { (s, dir) =>
+      Curation.dsirScore(Tables(s, dir, "documents"), "doc_id", "text",
+        col("source").isin("src0", "src1"))
     })
 
   /** the epoch-mix expansion as SQL (salted fractional-copy hash) —
@@ -568,5 +576,38 @@ object CurationQueries {
         |  ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000 AS b,
         |  c.n_d, m.n_max
         | FROM d JOIN c USING (domain) CROSS JOIN m) t
-        |WHERE b * b * n_max < 1000000 * n_d""".stripMargin)
+        |WHERE b * b * n_max < 1000000 * n_d""".stripMargin,
+    // same hashed-feature counts, smoothing, and per-feature micro
+    // quantization as Curation.dsirScore; docs with no tokens score 0
+    "cur_dsir_select" ->
+      """WITH toks AS (
+        | SELECT doc_id, tgt,
+        |  ('0x' || substr(md5(w), 1, 8))::BIGINT % 4096 AS bucket
+        | FROM (
+        |  SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+        |   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents) x
+        | WHERE strlen(w) > 0),
+        |counts AS (
+        | SELECT bucket, COUNT(*) AS cr,
+        |  SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+        | FROM toks GROUP BY 1),
+        |tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt, COUNT(*) AS nb FROM counts),
+        |lam AS (
+        | SELECT bucket,
+        |  CAST(FLOOR(
+        |    (ln((ct + 1) / CAST(nt + nb AS DOUBLE))
+        |     - ln((cr + 1) / CAST(nr + nb AS DOUBLE)))
+        |    * 1e6 + 0.5) AS BIGINT) AS lam_micro
+        | FROM counts, tot),
+        |scored AS (
+        | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |  CAST(SUM(lam_micro) AS BIGINT) AS dsir_micro
+        | FROM toks JOIN lam USING (bucket)
+        | GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | COALESCE(s.n_toks, 0) AS n_toks,
+        | COALESCE(s.dsir_micro, 0) AS dsir_micro,
+        | CAST(COALESCE(s.dsir_micro, 0) > 0 AS INT) AS selected
+        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin)
 }

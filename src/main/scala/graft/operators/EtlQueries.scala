@@ -120,6 +120,55 @@ object EtlQueries {
           col("null_pk") + col("null_fk") + col("neg_price") +
             col("bad_status") + col("dup_pk") + col("fk_orphans") === 0)
     },
+    // Referential-integrity audit over the fixture's whole FK graph —
+    // the multi-edge generalization of etl_contract_check's single
+    // orders→customer probe: one result row per FK edge with child
+    // cardinalities and orphan counts. Per edge: a scan-level aggregate
+    // (child totals) plus an anti-join reduced to a scalar count; the
+    // parent side is the RAW key scan (never a distinct — PKs are unique
+    // by the fixture contract, and an Aggregate over a dimension scan
+    // would trip the broadcast-build sweep for no semantic gain). Small
+    // dims broadcast; the one corpus-sized parent (orders, for the
+    // lineitem edge) is merge-pinned. At 100 TB each edge is one
+    // broadcast-anti or merge-anti pass — no edge ever materializes the
+    // join, only its counts.
+    "etl_fk_orphans" -> { (s, dir) =>
+      def edge(name: String, child: DataFrame, fk: String,
+          parent: DataFrame, pk: String, pinMerge: Boolean): DataFrame = {
+        val p0 = parent.select(col(pk).as("__pk"))
+        val p = if (pinMerge) p0.hint("merge") else broadcast(p0)
+        val base = child.select(col(fk).as("__fk"))
+        val stats = base.agg(count(lit(1)).as("n_child"),
+          countDistinct(col("__fk")).as("n_child_keys"))
+        val orph = base.where(col("__fk").isNotNull)
+          .join(p, col("__fk") === col("__pk"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        stats.crossJoin(broadcast(orph))
+          .select(lit(name).as("fk"), col("n_child"),
+            col("n_child_keys"), col("n_orphans"))
+      }
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val su = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      Seq(
+        edge("lineitem.l_orderkey->orders.o_orderkey", li, "l_orderkey",
+          o, "o_orderkey", pinMerge = true),
+        edge("lineitem.l_partkey->part.p_partkey", li, "l_partkey",
+          Tables(s, dir, "part"), "p_partkey", pinMerge = false),
+        edge("lineitem.l_suppkey->supplier.s_suppkey", li, "l_suppkey",
+          su, "s_suppkey", pinMerge = false),
+        edge("orders.o_custkey->customer.c_custkey", o, "o_custkey",
+          c, "c_custkey", pinMerge = false),
+        edge("customer.c_nationkey->nation.n_nationkey", c, "c_nationkey",
+          n, "n_nationkey", pinMerge = false),
+        edge("supplier.s_nationkey->nation.n_nationkey", su, "s_nationkey",
+          n, "n_nationkey", pinMerge = false),
+        edge("nation.n_regionkey->region.r_regionkey", n, "n_regionkey",
+          Tables(s, dir, "region"), "r_regionkey", pinMerge = false))
+        .reduce(_ union _)
+    },
     // Column profiling — the pre-copy audit an ETL tool runs before
     // sizing a migration: per-column null count, exact distinct count,
     // and min/max, in TWO scans of the table: the plain min/max/null
@@ -463,6 +512,46 @@ object EtlQueries {
             lit(9L) * (col("n") * col("qq") - col("sq") * col("sq")))
             .as("is_anomaly"))
     },
+    // A/B experiment readout: users hash-split into two variants by the
+    // engine-portable md5 bucket (content-keyed ⇒ assignment is stable
+    // across runs, engines and partitionings — the property an
+    // experimentation pipeline actually needs), then a Welch z on the
+    // per-variant value means. ONE scalar conditional aggregate over the
+    // scan (map-side combinable: n/Σ/Σ² per variant), all BIGINT until
+    // the single-row z expression (fixed op order, micro-quantized) —
+    // Σcents² ≤ ~6e17 at 100× sf0.1, inside BIGINT with 15× headroom.
+    // At 100 TB this is the cheapest possible shape: no join, no
+    // window, one partial-aggregated reduction.
+    "ev_ab_test" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(
+          (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2 === 0).as("is_a"),
+          expr("cast(floor(value * 100 + 0.5d) as bigint)").as("cents"))
+        .agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("nb"),
+          coalesce(sum(when(col("is_a"), col("cents"))), lit(0L)).as("sa"),
+          coalesce(sum(when(!col("is_a"), col("cents"))), lit(0L)).as("sb"),
+          coalesce(sum(when(col("is_a"), col("cents") * col("cents"))), lit(0L)).as("ssa"),
+          coalesce(sum(when(!col("is_a"), col("cents") * col("cents"))), lit(0L)).as("ssb"))
+        .where(col("na") > 1 && col("nb") > 1)
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          col("sa").as("sum_cents_a"), col("sb").as("sum_cents_b"),
+          expr(
+            """cast(floor(
+              |  (cast(sa as double) / cast(na as double)
+              |   - cast(sb as double) / cast(nb as double))
+              |  / sqrt(
+              |     ((cast(ssa as double)
+              |       - cast(sa as double) * cast(sa as double) / cast(na as double))
+              |       / cast(na - 1 as double)) / cast(na as double)
+              |   + ((cast(ssb as double)
+              |       - cast(sb as double) * cast(sb as double) / cast(nb as double))
+              |       / cast(nb - 1 as double)) / cast(nb as double))
+              |  * 1e6 + 0.5d) as bigint)""".stripMargin).as("z_micro"))
+    },
     // Changelog compaction (the CDC "merge latest" shape): one row per
     // user — their most recent event by (ts, event_id). A lexicographic
     // struct-max aggregation, NOT a per-key window sort: the max is
@@ -590,6 +679,25 @@ object EtlQueries {
         | CAST(s AS BIGINT) AS sum_cents,
         | CAST(pp - LEAST(MIN(pp) OVER (ORDER BY week), 0) AS BIGINT) AS cusum
         |FROM p""".stripMargin,
+    // one UNION ALL block per FK edge, generated from the same edge list
+    // shape as the Spark side; LEFT JOIN preserves child row counts
+    // because every parent key is a PK (unique)
+    "etl_fk_orphans" -> Seq(
+      ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation.n_regionkey->region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"))
+      .map { case (name, child, fk, parent, pk) =>
+        s"""SELECT '$name' AS fk,
+           | CAST(COUNT(*) AS BIGINT) AS n_child,
+           | CAST(COUNT(DISTINCT $fk) AS BIGINT) AS n_child_keys,
+           | CAST(COALESCE(SUM(CASE WHEN $fk IS NOT NULL AND $pk IS NULL
+           |   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+           |FROM $child LEFT JOIN $parent ON $fk = $pk""".stripMargin
+      }.mkString("", "\nUNION ALL\n", ""),
     "etl_join_cardinality" ->
       """WITH a AS (
         | SELECT l_orderkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY 1),
@@ -802,6 +910,35 @@ object EtlQueries {
         |FROM v
         |LEFT JOIN c ON v.user_id = c.user_id
         |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+    // same conditional-aggregate scalars and one-row Welch z expression
+    "ev_ab_test" ->
+      """WITH e AS (
+        | SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |          % 2 = 0 AS is_a,
+        |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        | FROM events WHERE value IS NOT NULL),
+        |m AS (
+        | SELECT
+        |  CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |  CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |  CAST(COALESCE(SUM(CASE WHEN is_a THEN cents END), 0) AS BIGINT) AS sa,
+        |  CAST(COALESCE(SUM(CASE WHEN NOT is_a THEN cents END), 0) AS BIGINT) AS sb,
+        |  CAST(COALESCE(SUM(CASE WHEN is_a THEN cents * cents END), 0) AS BIGINT) AS ssa,
+        |  CAST(COALESCE(SUM(CASE WHEN NOT is_a THEN cents * cents END), 0) AS BIGINT) AS ssb
+        | FROM e)
+        |SELECT na AS n_a, nb AS n_b, sa AS sum_cents_a, sb AS sum_cents_b,
+        | CAST(FLOOR(
+        |   (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |    - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |   / SQRT(
+        |      ((CAST(ssa AS DOUBLE)
+        |        - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+        |        / CAST(na - 1 AS DOUBLE)) / CAST(na AS DOUBLE)
+        |    + ((CAST(ssb AS DOUBLE)
+        |        - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |        / CAST(nb - 1 AS DOUBLE)) / CAST(nb AS DOUBLE))
+        |   * 1e6 + 0.5) AS BIGINT) AS z_micro
+        |FROM m WHERE na > 1 AND nb > 1""".stripMargin,
     "ev_anomaly_zscore" ->
       """WITH q AS (
         | SELECT event_id, user_id,

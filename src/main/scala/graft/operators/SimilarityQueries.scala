@@ -566,6 +566,29 @@ object SimilarityQueries {
         round(sqrt(expr(
           "aggregate(transform(embedding, x -> cast(x as double)), 0D, (a, x) -> a + x * x)")), 4)
           .as("l2_norm"))
+    },
+    // Johnson–Lindenstrauss random projection 64 → 16 dims with a
+    // DETERMINISTIC ±1 sign matrix derived arithmetically from (i, j) —
+    // the dimensionality reducer that runs BEFORE LSH/ANN when the
+    // embedding width itself is the cost driver. No stored matrix, no
+    // RNG state: s(i,j) is an integer expression both engines compute
+    // identically, and each input coordinate quantizes to micro BEFORE
+    // the ±1 dot product, so every output cell is an exact BIGINT.
+    // Plan shape: 16 independent `aggregate(sequence(0,63), …)` folds —
+    // pure per-row codegen'd higher-order functions, ZERO explode, zero
+    // shuffle, zero joins; the projection of 100 TB of vectors is one
+    // narrow map stage.
+    "vec_rand_proj" -> { (s, dir) =>
+      val proj = (0 until 16).map { j =>
+        expr(
+          s"""aggregate(sequence(0, 63), 0L, (acc, i) ->
+             |  acc + cast(floor(cast(element_at(embedding, i + 1) as double)
+             |                   * 1e6 + 0.5d) as bigint)
+             |        * (1 - 2 * (((cast(i as bigint) * 1103515245
+             |                      + ${j}L * 40503 + 12345) div 65536) % 2)))"""
+            .stripMargin).as(s"p$j")
+      }
+      Tables(s, dir, "embeddings").select(col("vec_id") +: proj: _*)
     })
 
   /** The quantizer-contract CTE stack shared by every oracle that
@@ -1257,5 +1280,15 @@ object SimilarityQueries {
         | ROUND(SQRT(list_aggregate(
         |   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 4)
         |  AS l2_norm
-        |FROM embeddings""".stripMargin)
+        |FROM embeddings""".stripMargin,
+    // 16 generated sign-fold columns — the SAME (i, j) sign arithmetic
+    // and per-coordinate micro quantization as the Spark side, emitted
+    // from one Scala loop so the two engines cannot drift
+    "vec_rand_proj" -> (0 until 16).map { j =>
+      s"""CAST(list_aggregate(
+         |  [CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+         |   * (1 - 2 * (((CAST(i AS BIGINT) * 1103515245
+         |                 + CAST($j AS BIGINT) * 40503 + 12345) // 65536) % 2))
+         |   for i in range(0, 64)], 'sum') AS BIGINT) AS p$j""".stripMargin
+    }.mkString("SELECT vec_id,\n", ",\n", "\nFROM embeddings"))
 }

@@ -181,6 +181,57 @@ object TextQueries {
     "text_chunk_dedup" -> { (s, dir) =>
       TextAnalysis.chunkDedup(Tables(s, dir, "documents"), "doc_id", "text")
     },
+    // Vocabulary-shape fit: Zipf slope + Gini concentration of the token
+    // frequency distribution — the two standard "is this corpus
+    // natural-language-shaped?" diagnostics (Zipf's law exponent ≈ −1;
+    // Gini → 1 as a few tokens dominate). Slope is least-squares on
+    // (ln rank, ln count) over the top-1000 tokens — a BOUNDED slice, so
+    // its rank window is LIMIT-capped (sweep-whitelisted) and its sums
+    // are driver-free; per-term ln values quantize to micro-ints BEFORE
+    // summing (order-free), and the final normal-equation combine runs
+    // in DECIMAL(38,0) on ONE row (n·Σxy overflows BIGINT at 1000 terms).
+    // Gini runs over the FULL vocab: the ascending ordinal i rides
+    // Ids.cumulativeSums' one range shuffle, Σi·c_i stays BIGINT
+    // (≤ V·S ~ 1.5e15 at 100×), and G = (2Σi·c − (V+1)S)/(V·S) is one
+    // final double division. At 100 TB: two vocab-sized hash aggregates,
+    // one bounded top-k, one range-partitioned prefix sum — no global
+    // window over unbounded input, no collect.
+    "text_zipf_fit" -> { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val top = vocab.orderBy(col("c").desc, col("w")).limit(1000)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("c").desc, col("w"))))
+        .select(
+          expr("cast(floor(ln(cast(rank as double)) * 1e6 + 0.5d) as bigint)")
+            .as("xq"),
+          expr("cast(floor(ln(cast(c as double)) * 1e6 + 0.5d) as bigint)")
+            .as("yq"))
+      val slope = top.agg(count(lit(1)).as("nf"),
+          sum("xq").as("sx"), sum("yq").as("sy"),
+          sum(col("xq").cast("decimal(38,0)") * col("yq")).as("sxy"),
+          sum(col("xq").cast("decimal(38,0)") * col("xq")).as("sxx"))
+        .select(expr(
+          """cast(floor(
+            |  cast(nf * sxy - cast(sx as decimal(38,0)) * sy as double)
+            |  / cast(nf * sxx - cast(sx as decimal(38,0)) * sx as double)
+            |  * 1e6 + 0.5d) as bigint)""".stripMargin)
+          .as("zipf_slope_micro"))
+      Ids.cumulativeSums(vocab, Seq(col("c"), col("w")),
+          Seq(lit(1L) -> "i", col("c") -> "cum_c"),
+          totals = Map("i" -> "vv", "cum_c" -> "ss"))
+        .agg(max("vv").as("n_vocab"), max("ss").as("n_tokens"),
+          sum(col("i") * col("c")).as("a2"))
+        .crossJoin(broadcast(slope))
+        .where(col("n_vocab") > 0)
+        .select(col("n_vocab"), col("n_tokens"), col("zipf_slope_micro"),
+          expr("""cast(floor(
+                |  cast(2 * a2 - (n_vocab + 1) * n_tokens as double)
+                |  / cast(n_vocab * n_tokens as double)
+                |  * 1e6 + 0.5d) as bigint)""".stripMargin).as("gini_micro"))
+    },
     // Top-20 word bigrams across the corpus (count desc, bigram asc) —
     // explode + one shuffle on the bigram.
     // Bigram language-model scoring — perplexity-style quality filtering
@@ -530,6 +581,42 @@ object TextQueries {
         |       for i in range(1, length(text) + 1)]),
         |    (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS h
         | FROM documents) t""".stripMargin,
+    // same micro-quantized (ln rank, ln count) fit and integer Gini
+    // recurrence; HUGEINT plays DECIMAL(38,0)'s role in the one-row
+    // normal-equation combine
+    "text_zipf_fit" ->
+      """WITH toks AS (
+        | SELECT t AS w FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents) x
+        | WHERE strlen(t) > 0),
+        |v AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+        |top_ AS (
+        | SELECT ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rank, c
+        | FROM v ORDER BY c DESC, w LIMIT 1000),
+        |q AS (
+        | SELECT CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS xq,
+        |        CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS yq
+        | FROM top_),
+        |sl AS (
+        | SELECT COUNT(*) AS nf, SUM(xq) AS sx, SUM(yq) AS sy,
+        |  SUM(CAST(xq AS HUGEINT) * yq) AS sxy,
+        |  SUM(CAST(xq AS HUGEINT) * xq) AS sxx
+        | FROM q),
+        |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, w) AS i FROM v),
+        |gi AS (
+        | SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(i * c) AS BIGINT) AS a2
+        | FROM r)
+        |SELECT n_vocab, n_tokens,
+        | CAST(FLOOR(CAST(nf * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |   / CAST(nf * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |   * 1e6 + 0.5) AS BIGINT) AS zipf_slope_micro,
+        | CAST(FLOOR(CAST(2 * a2 - (n_vocab + 1) * n_tokens AS DOUBLE)
+        |   / CAST(n_vocab * n_tokens AS DOUBLE)
+        |   * 1e6 + 0.5) AS BIGINT) AS gini_micro
+        |FROM gi, sl WHERE n_vocab > 0""".stripMargin,
     "text_rarity" ->
       """WITH toks AS (
         | SELECT DISTINCT doc_id, tok FROM (

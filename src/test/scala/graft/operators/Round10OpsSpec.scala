@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkEntry, SparkTestBase}
+
+/** Invariants for the round-10 operator additions beyond the oracle
+  * hash-match: semantic properties the DuckDB comparison can't express
+  * (bloom pre-filter transparency, rank-sum symmetry, sign-matrix
+  * balance, FK-graph shape). */
+class Round10OpsSpec extends SparkTestBase {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("join_bloom_prefilter: pre-filtered result ≡ the plain exact join " +
+      "(false positives are invisible)") {
+    val got = q("join_bloom_prefilter")
+      .orderBy("l_returnflag").collect().map(_.toSeq)
+    val li = graft.Tables(spark, sfDir, "lineitem")
+    val o = graft.Tables(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val plain = li
+      .select(col("l_orderkey"), col("l_returnflag"),
+        expr("cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5d) as bigint)")
+          .as("rev_cents"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"), sum("rev_cents").as("rev_cents"))
+      .orderBy("l_returnflag").collect().map(_.toSeq)
+    assert(got.toSeq == plain.toSeq)
+  }
+
+  test("join_bloom_prefilter: the bucket table is bounded at 65536 rows " +
+      "regardless of build-side size") {
+    val urgent = graft.Tables(spark, sfDir, "orders")
+      .select(pmod(xxhash64(col("o_orderkey")), lit(65536L)).as("bucket"))
+      .distinct()
+    assert(urgent.count() <= 65536L)
+  }
+
+  test("stat_mannwhitney: rank-sum symmetry — 2U_even + 2U_odd = 2·na·nb") {
+    val row = q("stat_mannwhitney").collect().head
+    val na = row.getAs[Long]("n_even")
+    val nb = row.getAs[Long]("n_odd")
+    val u2even = row.getAs[Long]("u2_even")
+    // recompute the odd cohort's doubled U by swapping the cohort flag
+    val e = graft.Tables(spark, sfDir, "events")
+      .where(col("value").isNotNull)
+      .select((expr("ts div 604800000000000") % 2 =!= 0).as("even"),
+        col("value"))
+    val byV = e.groupBy("value").agg(
+        sum(when(col("even"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("even"), 1L).otherwise(0L)).as("cb"))
+      .withColumn("ct", col("ca") + col("cb"))
+    val odd = Ids.cumulativeSums(byV, Seq(col("value")),
+        Seq(col("ca") -> "cum_a", col("ct") -> "cum_t"),
+        totals = Map("cum_a" -> "na", "cum_t" -> "nn"))
+      .agg(max("na").as("na"),
+        sum(col("ca") * (col("cum_t") * 2 - col("ct") + 1)).as("r2"))
+      .select((col("r2") - col("na") * (col("na") + 1)).as("u2"))
+      .collect().head.getAs[Long]("u2")
+    assert(u2even + odd == 2L * na * nb,
+      s"u2_even=$u2even u2_odd=$odd na=$na nb=$nb")
+  }
+
+  test("etl_fk_orphans: one row per FK edge, fixture graph is orphan-free, " +
+      "child totals match the raw scans") {
+    val rows = q("etl_fk_orphans").collect()
+    assert(rows.length == 7)
+    assert(rows.forall(_.getAs[Long]("n_orphans") == 0L),
+      "fixture FK graph should have no orphans")
+    val byName = rows.map(r => r.getAs[String]("fk") -> r).toMap
+    val li = graft.Tables(spark, sfDir, "lineitem").count()
+    assert(byName("lineitem.l_orderkey->orders.o_orderkey")
+      .getAs[Long]("n_child") == li)
+    assert(byName("nation.n_regionkey->region.r_regionkey")
+      .getAs[Long]("n_child") == 25L)
+  }
+
+  test("text_zipf_fit: slope is negative (frequency falls with rank), " +
+      "gini is a valid concentration in [0, 1e6]") {
+    val row = q("text_zipf_fit").collect().head
+    assert(row.getAs[Long]("zipf_slope_micro") < 0L)
+    val g = row.getAs[Long]("gini_micro")
+    assert(g >= 0L && g <= 1000000L)
+    assert(row.getAs[Long]("n_tokens") >= row.getAs[Long]("n_vocab"))
+  }
+
+  test("cur_dsir_select: target-likeness splits the corpus non-trivially " +
+      "and target-source docs score higher on average") {
+    val df = q("cur_dsir_select").cache()
+    try {
+      val sel = df.groupBy("selected").count().collect()
+        .map(r => r.getAs[Int]("selected") -> r.getAs[Long]("count")).toMap
+      assert(sel.getOrElse(1, 0L) > 0 && sel.getOrElse(0, 0L) > 0,
+        s"degenerate selector: $sel")
+      val byTgt = graft.Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source").isin("src0", "src1").as("tgt"))
+        .join(df, "doc_id")
+        .groupBy("tgt").agg(avg("dsir_micro").as("m"))
+        .collect().map(r => r.getAs[Boolean]("tgt") -> r.getAs[Double]("m")).toMap
+      assert(byTgt(true) > byTgt(false),
+        s"target docs should score higher: $byTgt")
+    } finally df.unpersist()
+  }
+
+  test("ev_ab_test: variant split is user-stable and exhaustive — per-user " +
+      "variant is constant, and n_a + n_b = all non-null-value events") {
+    val row = q("ev_ab_test").collect().head
+    val total = graft.Tables(spark, sfDir, "events")
+      .where(col("value").isNotNull).count()
+    assert(row.getAs[Long]("n_a") + row.getAs[Long]("n_b") == total)
+    // a user's rows all land in one variant (hash of user_id, not row)
+    val mixed = graft.Tables(spark, sfDir, "events")
+      .select(col("user_id"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 2 === 0).as("is_a"))
+      .groupBy("user_id").agg(countDistinct(col("is_a")).as("nv"))
+      .where(col("nv") > 1).count()
+    assert(mixed == 0L)
+  }
+
+  test("vec_rand_proj: deterministic, 16 signed-sum columns, and the sign " +
+      "matrix is balanced enough that projections are not degenerate") {
+    val df = q("vec_rand_proj")
+    assert(df.columns.toSeq == ("vec_id" +: (0 until 16).map(i => s"p$i")))
+    val a = df.orderBy("vec_id").limit(5).collect().map(_.toSeq)
+    val b = q("vec_rand_proj").orderBy("vec_id").limit(5).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "projection must be deterministic")
+    // each output dim must vary across vectors (a constant column would
+    // mean the sign row collapsed)
+    val distinctCounts = df.agg(
+      countDistinct(col("p0")).as("d0"), countDistinct(col("p7")).as("d7"),
+      countDistinct(col("p15")).as("d15")).collect().head
+    assert(distinctCounts.getAs[Long]("d0") > 1)
+    assert(distinctCounts.getAs[Long]("d7") > 1)
+    assert(distinctCounts.getAs[Long]("d15") > 1)
+  }
+}
