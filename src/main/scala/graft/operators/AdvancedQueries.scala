@@ -595,6 +595,77 @@ object AdvancedQueries {
             |         - tie_d / (cast(nn as double) * cast(nn - 1 as double)))))
             |  * 1e6 + 0.5d) as bigint)""".stripMargin).as("z_micro"))
     },
+    // Poisson bootstrap CI for the mean — the one-pass resampling
+    // technique that works at any corpus size (Chamandy et al., 2012;
+    // the streaming-friendly alternative to BLB): instead of drawing B
+    // resamples (impossible at 100 TB), each row contributes to replica
+    // b with a Poisson(1) weight derived DETERMINISTICALLY from
+    // md5(event_id, b), so the whole bootstrap is one narrow ×B explode
+    // + one B-key partial-aggregated shuffle — no resample pass, no
+    // row-count coordination, bit-stable across engines/runs/
+    // partitionings. The weight comes from a 2³²-range uniform u via
+    // fixed integer thresholds T_k = floor(CDF_Poisson(1)(k)·2³²)
+    // (tail capped at w=7: P(w>7|λ=1) ≈ 1e-7 — at most one capped cell
+    // per ~10⁷ (row,replica) pairs, and the SAME cap applies on both
+    // engines so results still hash-match). Replica means are
+    // micro-quantized by exact integral division BEFORE the normal-
+    // approx CI over the B means (one fixed-op-order double expression,
+    // the Welch-z discipline). B=64 keeps the replica table metadata-
+    // sized; the library would lift B or the hash to xxhash64 — md5 is
+    // the engine-portable oracle choice (ev_ab_test precedent).
+    // Envelope: Σw·cents ≤ 7·3.3e4·6e7 ≈ 1.4e13 per replica at 100×
+    // sf0.1 — BIGINT with 6e5× headroom; the ×1e6 micro scaling runs
+    // in DECIMAL(38,0).
+    "stat_bootstrap_ci" -> { (s, dir) =>
+      val rep = Tables(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_id"),
+          expr("cast(floor(value * 100 + 0.5d) as bigint)").as("cents"))
+        .select(col("event_id"), col("cents"),
+          explode(expr("sequence(0, 63)")).as("b"))
+        .select(col("b"), col("cents"),
+          expr("""cast(conv(substring(md5(concat(
+                |  cast(event_id as string), ':', cast(b as string))), 1, 8),
+                |  16, 10) as bigint)""".stripMargin).as("u"))
+        .withColumn("w",
+          when(col("u") < 1580030168L, 0L)
+            .when(col("u") < 3160060337L, 1L)
+            .when(col("u") < 3950075421L, 2L)
+            .when(col("u") < 4213413783L, 3L)
+            .when(col("u") < 4279248373L, 4L)
+            .when(col("u") < 4292415291L, 5L)
+            .when(col("u") < 4294609777L, 6L)
+            .otherwise(7L))
+        .groupBy("b").agg(
+          sum("w").as("nb"), sum(col("w") * col("cents")).as("sb"),
+          count(lit(1)).as("ns"), sum("cents").as("sc"))
+        .where(col("nb") > 0)
+        .select(col("ns"), col("sc"),
+          expr("cast((cast(sb as decimal(38,0)) * 1000000) div nb as bigint)")
+            .as("m"))
+      rep.agg(
+          count(lit(1)).as("cnt"), max("ns").as("n_rows"),
+          max("sc").as("sum_cents"), sum("m").as("sm"),
+          sum(col("m").cast(DecimalType(38, 0)) * col("m")).as("sm2"))
+        .select(col("n_rows"), col("sum_cents"),
+          expr("cast((cast(sum_cents as decimal(38,0)) * 1000000) div n_rows as bigint)")
+            .as("mean_micro"),
+          expr("cast(sm div cnt as bigint)").as("boot_mean_micro"),
+          expr("""cast(floor(
+                |  cast(sm as double) / cast(cnt as double)
+                |  - 1.959964d * sqrt(
+                |     (cast(sm2 as double)
+                |      - cast(sm as double) * cast(sm as double) / cast(cnt as double))
+                |     / cast(cnt - 1 as double))
+                |  + 0.5d) as bigint)""".stripMargin).as("ci_lo_micro"),
+          expr("""cast(floor(
+                |  cast(sm as double) / cast(cnt as double)
+                |  + 1.959964d * sqrt(
+                |     (cast(sm2 as double)
+                |      - cast(sm as double) * cast(sm as double) / cast(cnt as double))
+                |     / cast(cnt - 1 as double))
+                |  + 0.5d) as bigint)""".stripMargin).as("ci_hi_micro"))
+    },
     // Population Stability Index — the standard model-monitoring drift
     // score between a reference and a current cohort (here: even- vs
     // odd-week events, like stat_ks_drift), per fixed-width value
@@ -1387,6 +1458,61 @@ object AdvancedQueries {
         |          - tie_d / (CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))))
         |   * 1e6 + 0.5) AS BIGINT) AS z_micro
         |FROM m WHERE na > 0 AND nn - na > 0""".stripMargin,
+    // same fixed Poisson(1) thresholds over the md5 2^32 range, same
+    // integral micro division, same one-double-expression CI
+    "stat_bootstrap_ci" ->
+      """WITH base AS (
+        | SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        | FROM events WHERE value IS NOT NULL),
+        |ex AS (
+        | SELECT r.b, cents,
+        |  ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+        |                      || CAST(r.b AS VARCHAR)), 1, 8))::BIGINT AS u
+        | FROM base CROSS JOIN (SELECT unnest(range(64)) AS b) r),
+        |wt AS (
+        | SELECT b, cents,
+        |  CASE WHEN u < 1580030168 THEN 0
+        |       WHEN u < 3160060337 THEN 1
+        |       WHEN u < 3950075421 THEN 2
+        |       WHEN u < 4213413783 THEN 3
+        |       WHEN u < 4279248373 THEN 4
+        |       WHEN u < 4292415291 THEN 5
+        |       WHEN u < 4294609777 THEN 6
+        |       ELSE 7 END AS w
+        | FROM ex),
+        |rep AS (
+        | SELECT b, CAST(SUM(w) AS BIGINT) AS nb,
+        |  CAST(SUM(w * cents) AS BIGINT) AS sb,
+        |  CAST(COUNT(*) AS BIGINT) AS ns, CAST(SUM(cents) AS BIGINT) AS sc
+        | FROM wt GROUP BY b),
+        |m AS (
+        | SELECT ns, sc,
+        |  CAST((CAST(sb AS HUGEINT) * 1000000) // nb AS BIGINT) AS m
+        | FROM rep WHERE nb > 0),
+        |agg AS (
+        | SELECT CAST(COUNT(*) AS BIGINT) AS cnt, MAX(ns) AS n_rows,
+        |  MAX(sc) AS sum_cents, CAST(SUM(m) AS BIGINT) AS sm,
+        |  SUM(CAST(m AS HUGEINT) * m) AS sm2
+        | FROM m)
+        |SELECT n_rows, sum_cents,
+        | CAST((CAST(sum_cents AS HUGEINT) * 1000000) // n_rows AS BIGINT)
+        |   AS mean_micro,
+        | CAST(sm // cnt AS BIGINT) AS boot_mean_micro,
+        | CAST(FLOOR(
+        |   CAST(sm AS DOUBLE) / CAST(cnt AS DOUBLE)
+        |   - 1.959964 * SQRT(
+        |      (CAST(sm2 AS DOUBLE)
+        |       - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(cnt AS DOUBLE))
+        |      / CAST(cnt - 1 AS DOUBLE))
+        |   + 0.5) AS BIGINT) AS ci_lo_micro,
+        | CAST(FLOOR(
+        |   CAST(sm AS DOUBLE) / CAST(cnt AS DOUBLE)
+        |   + 1.959964 * SQRT(
+        |      (CAST(sm2 AS DOUBLE)
+        |       - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(cnt AS DOUBLE))
+        |      / CAST(cnt - 1 AS DOUBLE))
+        |   + 0.5) AS BIGINT) AS ci_hi_micro
+        |FROM agg""".stripMargin,
     "stat_corr_exact" ->
       """WITH m AS (
         | SELECT CAST(COUNT(*) AS BIGINT) AS n,

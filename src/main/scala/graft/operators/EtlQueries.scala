@@ -585,6 +585,59 @@ object EtlQueries {
           col("us").as("valid_from_us"), col("valid_to_us"),
           col("valid_to_us").isNull.as("is_current"))
     },
+    // Kaplan–Meier survival over user lifetimes — the retention curve a
+    // product/cohort analysis actually wants (ev_retention_cohorts'
+    // principled cousin): per-user lifetime = (last − first event) in
+    // whole HOURS, a user is an observed churn if their last event is
+    // > 14 days before the corpus max (else right-CENSORED — still
+    // active when the data ends; the distinction is the whole point of
+    // KM vs a naive churn histogram). The risk table is all exact
+    // integers: one user-keyed aggregate (the only corpus-scale
+    // shuffle), one bounded hour-keyed aggregate — distinct lifetime
+    // hours are capped by the corpus TIME SPAN, not its row count, so
+    // the KM table stays metadata-sized at 100 TB. The survival curve
+    // S(t) = Π_{s≤t}(1 − d_s/n_s) is a sequential product, computed as
+    // a deterministic LEFT FOLD over the hour-sorted array (one struct
+    // accumulator carries (at-risk, product); O(D²) fold work on a
+    // D ≤ span-hours array): IEEE mul/div in a pinned order, so the
+    // ppm-quantized curve is bit-identical to the oracle's recursive
+    // CTE doing the same fold. No window, no collect — the fold runs
+    // inside one single-row aggregate plan.
+    "ev_survival_km" -> { (s, dir) =>
+      val byU = Tables(s, dir, "events").groupBy("user_id")
+        .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+      val maxTs = byU.agg(max("last_ts").as("max_ts"))
+      val byT = byU.crossJoin(broadcast(maxTs))
+        .select(expr("(last_ts - first_ts) div 3600000000000").as("t_hour"),
+          (col("max_ts") - col("last_ts") >
+            lit(14L * 86400000000000L)).as("churned"))
+        .groupBy("t_hour").agg(
+          sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+          sum(when(!col("churned"), 1L).otherwise(0L)).as("c"))
+      byT.agg(
+          sort_array(collect_list(struct(col("t_hour"), col("d"), col("c"))))
+            .as("arr"),
+          sum(col("d") + col("c")).as("u"))
+        .select(posexplode(expr(
+          """transform(arr, (x, i) -> named_struct(
+            |  't_hour', x.t_hour,
+            |  'n_risk', u - aggregate(slice(arr, 1, i), 0L,
+            |              (acc, y) -> acc + y.d + y.c),
+            |  'n_churn', x.d,
+            |  'n_censor', x.c,
+            |  'survival_ppm', cast(floor(
+            |    aggregate(slice(arr, 1, i + 1),
+            |      named_struct('rem', u, 'p', cast(1.0 as double)),
+            |      (acc, y) -> named_struct(
+            |        'rem', acc.rem - y.d - y.c,
+            |        'p', acc.p * (1.0d - cast(y.d as double)
+            |                             / cast(acc.rem as double))),
+            |      acc -> acc.p) * 1e6 + 0.5d) as bigint)))"""
+            .stripMargin)).as(Seq("pos", "r")))
+        .select(col("r.t_hour").as("t_hour"), col("r.n_risk").as("n_risk"),
+          col("r.n_churn").as("n_churn"), col("r.n_censor").as("n_censor"),
+          col("r.survival_ppm").as("survival_ppm"))
+    },
     // Order-independent table checksums — the scalable way to validate a
     // copy (the reference's actual domain): one narrow map computing a
     // canonical per-row hash, one partial-aggregating sum, no sort, no
@@ -1018,6 +1071,38 @@ object EtlQueries {
         |  FROM events) e) t
         |WHERE prev IS NULL OR prev <> event_type
         |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".stripMargin,
+    // same integer risk table; the survival product is the SAME left
+    // fold in lifetime-hour order, as a recursive CTE (each step consumes the
+    // previous step's at-risk count and product — identical IEEE op
+    // order to the Spark-side array fold)
+    "ev_survival_km" ->
+      """WITH RECURSIVE u AS (
+        | SELECT user_id, MIN(epoch_ns(ts)) AS f, MAX(epoch_ns(ts)) AS l
+        | FROM events GROUP BY 1),
+        |mx AS (SELECT MAX(l) AS mt FROM u),
+        |bt AS (
+        | SELECT (l - f) // 3600000000000 AS t_hour,
+        |  CAST(SUM(CASE WHEN mt - l > 14 * 86400000000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS d,
+        |  CAST(SUM(CASE WHEN mt - l > 14 * 86400000000000 THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS c
+        | FROM u, mx GROUP BY 1),
+        |ord AS (
+        | SELECT t_hour, d, c, ROW_NUMBER() OVER (ORDER BY t_hour) AS rn
+        | FROM bt),
+        |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS u0 FROM bt),
+        |rec AS (
+        | SELECT o.rn, o.t_hour, o.d, o.c, t.u0 AS n_risk,
+        |  1.0 * (1.0 - CAST(o.d AS DOUBLE) / CAST(t.u0 AS DOUBLE)) AS p
+        | FROM ord o, tot t WHERE o.rn = 1
+        | UNION ALL
+        | SELECT o.rn, o.t_hour, o.d, o.c, r.n_risk - r.d - r.c AS n_risk,
+        |  r.p * (1.0 - CAST(o.d AS DOUBLE)
+        |               / CAST(r.n_risk - r.d - r.c AS DOUBLE)) AS p
+        | FROM ord o JOIN rec r ON o.rn = r.rn + 1)
+        |SELECT t_hour, n_risk, d AS n_churn, c AS n_censor,
+        | CAST(FLOOR(p * 1e6 + 0.5) AS BIGINT) AS survival_ppm
+        |FROM rec""".stripMargin,
     "ev_click_attribution" ->
       """SELECT p.user_id, p.purchase_id, c.click_id
         |FROM (SELECT user_id, event_id AS purchase_id,

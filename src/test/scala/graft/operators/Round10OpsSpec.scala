@@ -135,4 +135,59 @@ class Round10OpsSpec extends SparkTestBase {
     assert(distinctCounts.getAs[Long]("d7") > 1)
     assert(distinctCounts.getAs[Long]("d15") > 1)
   }
+
+  test("stat_bootstrap_ci: CI brackets both means, is non-degenerate, and " +
+      "the Poisson weights average ~1 (replica sizes track the sample)") {
+    val row = q("stat_bootstrap_ci").collect().head
+    val mean = row.getAs[Long]("mean_micro")
+    val boot = row.getAs[Long]("boot_mean_micro")
+    val lo = row.getAs[Long]("ci_lo_micro")
+    val hi = row.getAs[Long]("ci_hi_micro")
+    assert(lo < hi, "CI must have positive width")
+    assert(lo <= boot && boot <= hi, "bootstrap mean inside its own CI")
+    assert(lo <= mean && mean <= hi,
+      "sample mean inside the bootstrap CI on the fixture")
+    // E[w] = 1: every replica's Σw must be within 4·sd(≈√N) of N
+    val n = row.getAs[Long]("n_rows")
+    val tol = 4 * math.sqrt(n.toDouble)
+    val reps = graft.Tables(spark, sfDir, "events")
+      .where(col("value").isNotNull)
+      .select(col("event_id"), explode(expr("sequence(0, 63)")).as("b"))
+      .select(col("b"),
+        expr("""cast(conv(substring(md5(concat(
+              |  cast(event_id as string), ':', cast(b as string))), 1, 8),
+              |  16, 10) as bigint)""".stripMargin).as("u"))
+      .withColumn("w",
+        when(col("u") < 1580030168L, 0L).when(col("u") < 3160060337L, 1L)
+          .when(col("u") < 3950075421L, 2L).when(col("u") < 4213413783L, 3L)
+          .when(col("u") < 4279248373L, 4L).when(col("u") < 4292415291L, 5L)
+          .when(col("u") < 4294609777L, 6L).otherwise(7L))
+      .groupBy("b").agg(sum("w").as("nb"))
+      .agg(min("nb").as("mn"), max("nb").as("mx")).collect().head
+    assert(math.abs(reps.getAs[Long]("mn") - n) <= tol,
+      s"smallest replica ${reps.getAs[Long]("mn")} too far from n=$n")
+    assert(math.abs(reps.getAs[Long]("mx") - n) <= tol,
+      s"largest replica ${reps.getAs[Long]("mx")} too far from n=$n")
+  }
+
+  test("ev_survival_km: survival is monotone non-increasing from ≤ 1e6, " +
+      "n_risk strictly decreasing from the full cohort, counts conserve") {
+    val rows = q("ev_survival_km").orderBy("t_hour").collect()
+    assert(rows.length > 1)
+    val users = graft.Tables(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    assert(rows.head.getAs[Long]("n_risk") == users,
+      "everyone is at risk at the first lifetime point")
+    val surv = rows.map(_.getAs[Long]("survival_ppm"))
+    assert(surv.head <= 1000000L)
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a },
+      "KM curve must be non-increasing")
+    val risk = rows.map(_.getAs[Long]("n_risk"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => b < a },
+      "at-risk count strictly decreases at every table row")
+    // every user leaves the risk set exactly once: Σ(d+c) = cohort size
+    val leaves = rows.map(r =>
+      r.getAs[Long]("n_churn") + r.getAs[Long]("n_censor")).sum
+    assert(leaves == users)
+  }
 }
