@@ -999,6 +999,53 @@ object AdvancedQueries {
             col("exact_parts") * lit(0.05)).as("parts_within_5pct"),
           (abs(col("ao") - col("exact_orders")) <=
             col("exact_orders") * lit(0.05)).as("orders_within_5pct"))
+    },
+    // HyperLogLog with an ENGINE-PORTABLE register table —
+    // approx_count_distinct's auditable twin (that one is rows-only
+    // checkable because Spark's HLL++ internals aren't reproducible in
+    // SQL; THIS sketch is hash-exact against the oracle because every
+    // piece is integer arithmetic both engines own). m = 256 registers:
+    // register = top 8 bits of the md5-derived 2³²-range uniform,
+    // rho = leading-zero count of the low 24 bits + 1 (computed exactly
+    // as 25 − bit_length via `bin()` — no floats). The harmonic-mean
+    // denominator Σ2^−rho is kept EXACT by working in 2²⁵-scaled
+    // integer units (one shiftleft per register, empty registers
+    // contribute 2²⁵), so the raw estimate is one BIGINT integral
+    // division: numerator 1579617778090901504 = α₂₅₆·10⁶ · 256² · 2²⁵
+    // (α₂₅₆ = 0.7213/(1 + 1.079/256) ≈ 0.718327). Small-range linear
+    // counting (V > 0 and E ≤ 2.5m) is the standard correction, one
+    // fixed-op-order ln. Scale shape: one narrow hash map + one 256-key
+    // partial agg — the sketch state is 256 rows at ANY corpus size,
+    // and register tables from disjoint corpus shards merge by MAX
+    // (how a 100 TB count-distinct actually runs). 24-bit rho domain
+    // saturates around ~10⁸ distinct — past that the library would move
+    // to xxhash64; md5 is the engine-portable oracle choice.
+    "agg_hll_distinct" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val sk = ev
+        .select(expr("""cast(conv(substring(md5(cast(event_id as string)),
+              |  1, 8), 16, 10) as bigint)""".stripMargin).as("u"))
+        .selectExpr("u div 16777216 as reg", "u % 16777216 as w")
+        .selectExpr("reg",
+          "case when w = 0 then 25L else 25L - length(bin(w)) end as rho")
+        .groupBy("reg").agg(max("rho").as("rho"))
+        .agg(count(lit(1)).as("m_used"),
+          sum(expr("shiftleft(cast(1 as bigint), cast(25 - rho as int))"))
+            .as("s_used"),
+          max("rho").as("max_rho"))
+      sk.crossJoin(broadcast(
+          ev.agg(count_distinct(col("event_id")).as("exact_distinct"))))
+        .select(col("exact_distinct"), col("m_used"), col("max_rho"),
+          expr("""case when (256 - m_used) > 0
+                |  and (1579617778090901504L
+                |       div ((s_used + (256 - m_used) * 33554432) * 1000))
+                |      <= 640000
+                | then cast(floor(256.0d
+                |   * ln(256.0d / cast(256 - m_used as double))
+                |   * 1000.0d + 0.5d) as bigint)
+                | else 1579617778090901504L
+                |   div ((s_used + (256 - m_used) * 33554432) * 1000)
+                |end""".stripMargin).as("est_milli"))
     })
 
   private val asOfForwardOracle: String =
@@ -1013,6 +1060,36 @@ object AdvancedQueries {
       |  LIMIT 1) n ON TRUE""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical integer register pipeline (same md5 top-8/low-24 split,
+    // same bin()-based rho, same 2^25-scaled harmonic sum and integral
+    // division); only the linear-counting branch touches a double
+    "agg_hll_distinct" ->
+      """WITH h AS (
+        | SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS u
+        | FROM events),
+        |rw AS (SELECT u // 16777216 AS reg, u % 16777216 AS w FROM h),
+        |rr AS (SELECT reg,
+        |        CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END AS rho
+        |       FROM rw),
+        |regs AS (SELECT reg, MAX(rho) AS rho FROM rr GROUP BY reg),
+        |sk AS (
+        | SELECT CAST(COUNT(*) AS BIGINT) AS m_used,
+        |  CAST(SUM(1::BIGINT << (25 - rho)) AS BIGINT) AS s_used,
+        |  CAST(MAX(rho) AS BIGINT) AS max_rho
+        | FROM regs),
+        |ex AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT)
+        |         AS exact_distinct FROM events)
+        |SELECT exact_distinct, m_used, max_rho,
+        | CASE WHEN (256 - m_used) > 0
+        |       AND (1579617778090901504
+        |            // ((s_used + (256 - m_used) * 33554432) * 1000))
+        |           <= 640000
+        |  THEN CAST(FLOOR(256.0 * LN(256.0 / CAST(256 - m_used AS DOUBLE))
+        |                  * 1000.0 + 0.5) AS BIGINT)
+        |  ELSE 1579617778090901504
+        |    // ((s_used + (256 - m_used) * 33554432) * 1000)
+        | END AS est_milli
+        |FROM sk, ex""".stripMargin,
     "approx_distinct_parts" ->
       """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
         | COUNT(DISTINCT l_orderkey) AS exact_orders,

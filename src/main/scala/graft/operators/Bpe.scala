@@ -179,11 +179,11 @@ object Bpe {
     s"WITH ${trainCtes(rounds)}\n$union"
   }
 
-  /** Oracle for `text_bpe_encode`: train inline, then re-encode every
-    * word occurrence through the same R replaces and aggregate. */
-  def encodeOracle(rounds: Int = DefaultRounds): String = {
-    val sb = new StringBuilder(
-      s"WITH ${trainCtes(rounds)},\nd0 AS (\n${w0(withDoc = true)})")
+  /** The per-doc-word re-encode chain `d0 … d$rounds` (shared by
+    * [[encodeOracle]] and [[fertilityOracle]]), leading-comma form so
+    * it appends to [[trainCtes]]. */
+  private def docCtes(rounds: Int): String = {
+    val sb = new StringBuilder(s",\nd0 AS (\n${w0(withDoc = true)})")
     for (i <- 1 to rounds) {
       sb.append(s""",
         |d$i AS (SELECT doc_id, wlen,
@@ -191,12 +191,35 @@ object Bpe {
         |          '$L' || b.l || b.r || '$R') AS sym
         | FROM d${i - 1}, b$i b)""".stripMargin)
     }
-    sb.append(s"""
-      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+    sb.toString
+  }
+
+  private def perDocSelect(rounds: Int): String =
+    s"""SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
       | CAST(SUM(wlen) AS BIGINT) AS n_chars,
       | CAST(SUM(len(string_split(substr(sym, 2, length(sym) - 2), '$R$L')))
       |   AS BIGINT) AS n_tokens
-      |FROM d$rounds GROUP BY doc_id""".stripMargin)
-    sb.toString
-  }
+      |FROM d$rounds GROUP BY doc_id""".stripMargin
+
+  /** Oracle for `text_bpe_encode`: train inline, then re-encode every
+    * word occurrence through the same R replaces and aggregate. */
+  def encodeOracle(rounds: Int = DefaultRounds): String =
+    s"WITH ${trainCtes(rounds)}${docCtes(rounds)}\n${perDocSelect(rounds)}"
+
+  /** Oracle for `text_bpe_fertility`: the encode pipeline rolled up per
+    * language — tokens-per-word (fertility) and chars-per-token
+    * (compression), both exact integral ppm divisions. */
+  def fertilityOracle(rounds: Int = DefaultRounds): String =
+    s"""WITH ${trainCtes(rounds)}${docCtes(rounds)},
+      |enc AS (
+      | ${perDocSelect(rounds)})
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      | CAST(SUM(enc.n_words) AS BIGINT) AS n_words,
+      | CAST(SUM(enc.n_tokens) AS BIGINT) AS n_tokens,
+      | CAST((CAST(SUM(enc.n_tokens) AS HUGEINT) * 1000000)
+      |   // SUM(enc.n_words) AS BIGINT) AS fertility_ppm,
+      | CAST((CAST(SUM(enc.n_chars) AS HUGEINT) * 1000000)
+      |   // SUM(enc.n_tokens) AS BIGINT) AS compression_ppm
+      |FROM enc JOIN documents USING (doc_id)
+      |GROUP BY lang""".stripMargin
 }

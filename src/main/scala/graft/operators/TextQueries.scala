@@ -94,6 +94,29 @@ object TextQueries {
       val docs = Tables(s, dir, "documents")
       Bpe.encodeStats(docs, Bpe.train(docs))
     },
+    // Tokenizer FERTILITY by language — tokens-per-word, THE metric a
+    // tokenizer-prep step reads before committing a vocab (a language
+    // whose fertility is 2× pays 2× the sequence length for the same
+    // text; chars-per-token is the compression twin). Rolls the BPE
+    // encode stats up per language with exact integral ppm divisions —
+    // zero new corpus passes beyond the encode itself, one lang-keyed
+    // (≤ #languages rows) aggregate.
+    "text_bpe_fertility" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Bpe.encodeStats(docs, Bpe.train(docs))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_tokens").as("n_tokens"),
+          sum("n_chars").as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          expr("""cast((cast(n_tokens as decimal(38,0)) * 1000000)
+                |  div n_words as bigint)""".stripMargin).as("fertility_ppm"),
+          expr("""cast((cast(n_chars as decimal(38,0)) * 1000000)
+                |  div n_tokens as bigint)""".stripMargin)
+            .as("compression_ppm"))
+    },
     "text_quality" -> { (s, dir) =>
       val q = TextAnalysis.qualityCounts(col("text"))
       Tables(s, dir, "documents").select(
@@ -502,6 +525,7 @@ object TextQueries {
         |FROM documents""".stripMargin,
     "text_bpe_train" -> Bpe.trainOracle(),
     "text_bpe_encode" -> Bpe.encodeOracle(),
+    "text_bpe_fertility" -> Bpe.fertilityOracle(),
     "text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q,
         | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,

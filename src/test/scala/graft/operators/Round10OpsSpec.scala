@@ -190,4 +190,48 @@ class Round10OpsSpec extends SparkTestBase {
       r.getAs[Long]("n_churn") + r.getAs[Long]("n_censor")).sum
     assert(leaves == users)
   }
+
+  private def hllRegisters(df: org.apache.spark.sql.DataFrame) = df
+    .select(expr("""cast(conv(substring(md5(cast(event_id as string)),
+          |  1, 8), 16, 10) as bigint)""".stripMargin).as("u"))
+    .selectExpr("u div 16777216 as reg", "u % 16777216 as w")
+    .selectExpr("reg",
+      "case when w = 0 then 25L else 25L - length(bin(w)) end as rho")
+    .groupBy("reg").agg(max("rho").as("rho"))
+
+  test("agg_hll_distinct: estimate within the 3σ band of exact, and the " +
+      "register table MERGES by max across disjoint shards") {
+    val row = q("agg_hll_distinct").collect().head
+    val exact = row.getAs[Long]("exact_distinct")
+    val est = row.getAs[Long]("est_milli") / 1000.0
+    assert(row.getAs[Long]("m_used") <= 256L)
+    // σ = 1.04/√256 = 6.5%; 3σ = 19.5%
+    assert(math.abs(est / exact - 1.0) < 0.195,
+      s"HLL estimate $est vs exact $exact outside 3σ")
+    // mergeability — THE property that makes the sketch shardable at
+    // 100 TB: registers(all) == maxMerge(registers(even), registers(odd))
+    val ev = graft.Tables(spark, sfDir, "events")
+    val whole = hllRegisters(ev).orderBy("reg").collect().map(_.toSeq)
+    val merged = hllRegisters(ev.where(col("event_id") % 2 === 0))
+      .unionAll(hllRegisters(ev.where(col("event_id") % 2 =!= 0)))
+      .groupBy("reg").agg(max("rho").as("rho"))
+      .orderBy("reg").collect().map(_.toSeq)
+    assert(whole.toSeq == merged.toSeq)
+  }
+
+  test("text_bpe_fertility: per-lang rollup conserves the per-doc encode " +
+      "totals, and both ratios are ≥ 1 token/word resp. 1 char/token") {
+    val rows = q("text_bpe_fertility").collect()
+    assert(rows.length > 1)
+    val enc = q("text_bpe_encode").agg(
+      sum("n_words").as("w"), sum("n_tokens").as("t")).collect().head
+    assert(rows.map(_.getAs[Long]("n_words")).sum == enc.getAs[Long]("w"))
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == enc.getAs[Long]("t"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fertility_ppm") >= 1000000L,
+        "a word is at least one token")
+      assert(r.getAs[Long]("compression_ppm") >= 1000000L,
+        "a token is at least one char")
+    }
+  }
 }
