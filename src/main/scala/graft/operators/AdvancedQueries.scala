@@ -605,8 +605,9 @@ object AdvancedQueries {
     // row-count coordination, bit-stable across engines/runs/
     // partitionings. The weight comes from a 2³²-range uniform u via
     // fixed integer thresholds T_k = floor(CDF_Poisson(1)(k)·2³²)
-    // (tail capped at w=7: P(w>7|λ=1) ≈ 1e-7 — at most one capped cell
-    // per ~10⁷ (row,replica) pairs, and the SAME cap applies on both
+    // (tail capped at w=7: the cap only changes a weight when the true
+    // draw would be ≥ 8, P ≈ 1.0e-5 — one cell per ~10⁵ (row,replica)
+    // pairs, a bias ≪ the CI width, and the SAME cap applies on both
     // engines so results still hash-match). Replica means are
     // micro-quantized by exact integral division BEFORE the normal-
     // approx CI over the B means (one fixed-op-order double expression,
