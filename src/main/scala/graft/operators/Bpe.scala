@@ -181,15 +181,27 @@ object Bpe {
 
   /** The per-doc-word re-encode chain `d0 … d$rounds` (shared by
     * [[encodeOracle]] and [[fertilityOracle]]), leading-comma form so
-    * it appends to [[trainCtes]]. */
+    * it appends to [[trainCtes]].
+    *
+    * Exhaustion guard: each step LEFT-joins `b_i` (`ON TRUE` — b_i is
+    * at most one row by its LIMIT 1) and COALESCEs the replace back to
+    * the unchanged `sym`. If training fuses the whole vocabulary in
+    * fewer than `rounds` merges, `b_i` is EMPTY for the remaining
+    * rounds — a plain cross join would annihilate every doc row and
+    * the oracle would return 0 rows while [[encodeStats]] (which stops
+    * early and still emits per-doc stats) returns one row per doc.
+    * The LEFT JOIN makes the empty-`b_i` round a no-op on both sides.
+    * (`trainCtes`' own `w_i` keeps the cross join: an empty `b_i`
+    * empties `w_i` and every later `p/b`, which exactly matches the
+    * engine's early stop — no train rows for exhausted rounds.) */
   private def docCtes(rounds: Int): String = {
     val sb = new StringBuilder(s",\nd0 AS (\n${w0(withDoc = true)})")
     for (i <- 1 to rounds) {
       sb.append(s""",
         |d$i AS (SELECT doc_id, wlen,
-        |  replace(sym, '$L' || b.l || '$R$L' || b.r || '$R',
-        |          '$L' || b.l || b.r || '$R') AS sym
-        | FROM d${i - 1}, b$i b)""".stripMargin)
+        |  COALESCE(replace(sym, '$L' || b.l || '$R$L' || b.r || '$R',
+        |                   '$L' || b.l || b.r || '$R'), sym) AS sym
+        | FROM d${i - 1} LEFT JOIN b$i b ON TRUE)""".stripMargin)
     }
     sb.toString
   }

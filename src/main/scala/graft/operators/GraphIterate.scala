@@ -42,6 +42,27 @@ import org.apache.spark.sql.functions._
   * probe-driven rather than a round-count coincidence. */
 object GraphIterate {
 
+  /** Read an `observe()` metric that MUST be delivered as a Long.
+    * Distinguishes the two look-alike cases a silent `getOrElse(0L)`
+    * would conflate: a metric row whose sum is NULL (the aggregate ran
+    * over zero rows — legitimately "no change", converged) versus the
+    * metric being ABSENT or non-Long (a lost CollectMetrics node or a
+    * metric-type change across Spark versions), which must FAIL loudly —
+    * coercing it to 0 would silently declare immediate convergence and
+    * return a wrong fixpoint. */
+  private[operators] def requireLongMetric(
+      obs: org.apache.spark.sql.Observation, key: String): Long =
+    obs.get.get(key) match {
+      case Some(l: java.lang.Long) => l.longValue()
+      case Some(null) => 0L // sum over empty input — genuine convergence
+      case Some(other) => throw new IllegalStateException(
+        s"observe() metric '$key' delivered as ${other.getClass.getName} " +
+          s"($other), expected Long — the convergence probe cannot be trusted")
+      case None => throw new IllegalStateException(
+        s"observe() metric '$key' missing from ${obs.get.keySet} — the " +
+          "CollectMetrics node was lost; refusing to fake convergence")
+    }
+
   /** k-core: peel nodes with degree < k until no node drops (edge
     * count unchanged — edges strictly decrease while peeling, so an
     * unchanged count IS the fixpoint). Input `adj` must be symmetric
@@ -108,8 +129,7 @@ object GraphIterate {
         // LOSES the metric — the count's query no longer contains the
         // CollectMetrics node, it reads the materialized RDD)
         .localCheckpoint(true)
-      val changed = obs.get.get("changed")
-        .collect { case l: java.lang.Long => l.longValue() }.getOrElse(0L)
+      val changed = requireLongMetric(obs, "changed")
       done = changed == 0
       labels = next; rounds += 1
     }
@@ -161,8 +181,7 @@ object GraphIterate {
         .observe(obs, sum(abs(col("r_q") - col("prev"))).as("delta"))
         .select("node", "r_q")
         .localCheckpoint(true) // eager: see labelPropFixpoint's comment
-      val delta = obs.get.get("delta")
-        .collect { case l: java.lang.Long => l.longValue() }.getOrElse(0L)
+      val delta = requireLongMetric(obs, "delta")
       done = delta <= epsMicro
       ranks = next; rounds += 1
     }

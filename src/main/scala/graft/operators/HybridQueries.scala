@@ -68,9 +68,14 @@ object HybridQueries {
     val tf = ctoks.join(broadcast(qw.select("w").distinct()), "w")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-    // dfreq (per query-hit term) and dl (per corpus doc) are corpus-
-    // scaling tables — merge-pinned (round-9 100x lesson)
-    val part = tf.join(dfreq.hint("merge"), "w").join(dl.hint("merge"), "doc_id")
+    // dfreq has ONE ROW PER QUERY-BATCH TERM — bounded by the broadcast
+    // qw vocabulary (itself batch-bounded), NOT corpus-scaling: BROADCAST
+    // it. A sort-merge join keyed on `w` would funnel the corpus-sized
+    // tf table into |query vocab| shuffle partitions (the bounded-key
+    // skew funnel — same fix as text_bm25). dl is one row per corpus
+    // doc — genuinely corpus-scaling, merge-pinned on high-cardinality
+    // doc_id (round-9 100x lesson).
+    val part = tf.join(broadcast(dfreq), "w").join(dl.hint("merge"), "doc_id")
       .crossJoin(broadcast(corp))
       .join(broadcast(qw), "w")
       .select(col("query_id"), col("doc_id"), expr(

@@ -41,6 +41,34 @@ object MultimodalQueries {
       (expr("octet_length(payload)") % 48 + 1).cast(IntegerType).as("height"),
       lit(3).as("channels")))
 
+  /** `mm_wav_decode`'s payload builder: the document text
+    * deterministically modulates a 2-channel 16-bit PCM signal (per
+    * frame k, channel c: u = (byte[(2k+c) mod n] · 517) mod 2¹⁶,
+    * sign-decoded as two's complement), written through the canonical
+    * RIFF encoder. Empty-text guard: a 0-length doc modulates SILENCE
+    * (code 0) instead of throwing ArithmeticException on `% 0` inside
+    * the executor map; the oracle's `CASE WHEN n = 0` arm mirrors it. */
+  def textToWavRow(id: Long, t: String): MediaBatchProcessor.MediaRow = {
+    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = bytes.length
+    val samples = new Array[Int](64 * 2)
+    var k = 0
+    while (k < 64) {
+      var c = 0
+      while (c < 2) {
+        val code = if (n == 0) 0 else bytes((2 * k + c) % n) & 0xff
+        val u = (code * 517) % 65536
+        samples(k * 2 + c) = if (u >= 32768) u - 65536 else u
+        c += 1
+      }
+      k += 1
+    }
+    MediaBatchProcessor.MediaRow(id,
+      MediaBatchProcessor.encodeWav(MediaBatchProcessor.WavAudio(
+        numChannels = 2, sampleRate = 8000, bitsPerSample = 16,
+        samples)), "audio/wav")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary ingest + metadata extraction — the oracle-checkable slice
     // (byte length and media-type routing are exact integer/string logic).
@@ -167,26 +195,7 @@ object MultimodalQueries {
       import s.implicits._
       val media = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, t) =>
-          val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val n = bytes.length
-          val samples = new Array[Int](64 * 2)
-          var k = 0
-          while (k < 64) {
-            var c = 0
-            while (c < 2) {
-              val code = bytes((2 * k + c) % n) & 0xff
-              val u = (code * 517) % 65536
-              samples(k * 2 + c) = if (u >= 32768) u - 65536 else u
-              c += 1
-            }
-            k += 1
-          }
-          MediaBatchProcessor.MediaRow(id,
-            MediaBatchProcessor.encodeWav(MediaBatchProcessor.WavAudio(
-              numChannels = 2, sampleRate = 8000, bitsPerSample = 16,
-              samples)), "audio/wav")
-        }
+        .map { case (id, t) => textToWavRow(id, t) }
       MediaBatchProcessor.decodeWavBatched(media).toDF()
     },
     "mm_resize_stub" -> { (s, dir) =>
@@ -331,8 +340,10 @@ object MultimodalQueries {
     "mm_wav_decode" ->
       """WITH sm AS (
         | SELECT doc_id, k, c,
-        |  (unicode(substr(text, CAST((2*k + c) % n AS INT) + 1, 1)) * 517)
-        |    % 65536 AS u
+        |  (CASE WHEN n = 0 THEN 0
+        |        ELSE unicode(substr(text,
+        |               CAST((2*k + c) % greatest(n, 1) AS INT) + 1, 1))
+        |   END * 517) % 65536 AS u
         | FROM (SELECT doc_id, text, strlen(text) AS n,
         |        unnest(range(0, 64)) AS k FROM documents) t,
         |      (SELECT unnest(range(0, 2)) AS c) cc),

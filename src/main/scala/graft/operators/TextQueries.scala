@@ -315,9 +315,15 @@ object TextQueries {
         .filter(col("w").isin("join", "scan", "window", "merge", "query"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
-      // dfreq is 5 rows (fixed query-term set) — broadcastable; dl is
-      // one row per doc — corpus-sized, pinned to a shuffle join
-      tf.join(dfreq.hint("merge"), "w").join(dl.hint("merge"), "doc_id")
+      // dfreq is ≤5 rows BY CONSTRUCTION (grouped on a column filtered
+      // to a 5-literal IN list) — BROADCAST it: a sort-merge join keyed
+      // on `w` would funnel the corpus-sized tf table into ≤5 shuffle
+      // partitions (the round-9 skew lesson in reverse — bounded-key
+      // joins must broadcast, corpus-keyed joins must merge-pin). The
+      // PlanSpec broadcast sweep excuses this shape via its IN-list
+      // arm. dl is one row per doc — corpus-sized, pinned to a shuffle
+      // join on the high-cardinality doc_id.
+      tf.join(broadcast(dfreq), "w").join(dl.hint("merge"), "doc_id")
         .crossJoin(broadcast(corp))
         .select(col("doc_id"), expr(
           """cast(floor(

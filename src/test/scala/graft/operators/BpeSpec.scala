@@ -50,6 +50,30 @@ class BpeSpec extends SparkTestBase {
     assert(m == Seq(Bpe.Merge(1, "x", "y", 3)))
   }
 
+  test("early exhaustion: encodeStats still emits per-doc rows, and the " +
+      "encode/fertility oracles guard the same case with LEFT JOIN b_i") {
+    // vocabulary fuses in 1 merge (< rounds): the engine must not lose
+    // doc rows when later rounds are no-ops
+    val d = docs("ab ab", "ab")
+    val m = Bpe.train(d, rounds = 8)
+    assert(m.length == 1, s"expected exhaustion after 1 merge, got $m")
+    val st = Bpe.encodeStats(d, m).collect()
+    assert(st.length == 2, "one stats row per doc even past exhaustion")
+    // oracle twin: an empty b_i once annihilated every doc row via the
+    // cross join (0 rows vs the engine's one-per-doc). The d_i CTEs
+    // must LEFT JOIN b_i and COALESCE back to the unchanged sym; the
+    // training w_i CTEs deliberately KEEP the cross join (empty w_i ≡
+    // the engine's early stop — see docCtes scaladoc).
+    for (sql <- Seq(Bpe.encodeOracle(), Bpe.fertilityOracle())) {
+      for (i <- 1 to Bpe.DefaultRounds)
+        assert(sql.contains(s"LEFT JOIN b$i b ON TRUE"),
+          s"d$i lost its exhaustion guard")
+      assert(sql.contains("COALESCE(replace("), "re-encode not COALESCEd")
+    }
+    assert(!Bpe.trainOracle().contains("LEFT JOIN"),
+      "trainOracle must keep the annihilating cross join (≡ early stop)")
+  }
+
   test("fixture sanity: 8 deterministic merges, every merged pair's " +
       "count non-increasing in rank order ties aside") {
     val m = Bpe.train(graft.Tables(spark, sfDir, "documents"))

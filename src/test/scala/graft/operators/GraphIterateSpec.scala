@@ -60,6 +60,33 @@ class GraphIterateSpec extends SparkTestBase {
     assert(rounds == 25)
   }
 
+  test("requireLongMetric: absent metric FAILS loudly (never fakes " +
+      "convergence); null sum-over-empty reads as 0; Long passes through") {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{sum, when, lit}
+    import spark.implicits._
+    // delivered Long
+    val obs1 = Observation()
+    Seq(1L, 2L).toDF("x").observe(obs1, sum($"x").as("delta")).collect()
+    assert(GraphIterate.requireLongMetric(obs1, "delta") == 3L)
+    // a metric that EXISTS but under a different name = the lost-
+    // CollectMetrics regression: must throw, not read as converged
+    val ex = intercept[IllegalStateException](
+      GraphIterate.requireLongMetric(obs1, "changed"))
+    assert(ex.getMessage.contains("missing"))
+    // sum over zero matching rows delivers SQL NULL = genuine "no change"
+    val obs2 = Observation()
+    Seq(1L).toDF("x")
+      .observe(obs2, sum(when($"x" > 100L, 1L)).as("changed")).collect()
+    assert(GraphIterate.requireLongMetric(obs2, "changed") == 0L)
+    // a non-Long delivery (metric-type drift) must also throw
+    val obs3 = Observation()
+    Seq(1L).toDF("x").observe(obs3, sum(lit(0.5d)).as("changed")).collect()
+    val ex3 = intercept[IllegalStateException](
+      GraphIterate.requireLongMetric(obs3, "changed"))
+    assert(ex3.getMessage.contains("expected Long"))
+  }
+
   test("kCoreFixpoint on the co-purchase graph agrees with the fixed-round demo once both converge") {
     // the trade-data graph peels to ITS fixpoint in <= 3 rounds at this
     // sf, so the demo's 3 unrolled rounds already reach it — the

@@ -162,6 +162,18 @@ class MediaBatchSpec extends SparkTestBase {
     intercept[IllegalArgumentException](decodeWav(nonPcm))
   }
 
+  test("textToWavRow: an empty-text document modulates silence — no " +
+      "ArithmeticException from `% 0`, and the decode is all-zero") {
+    val row = MultimodalQueries.textToWavRow(7L, "")
+    val f = wavFeatures(row.doc_id, row.payload)
+    assert(f.n_frames == 64 && f.n_channels == 2)
+    assert(f.sum_ch0 == 0 && f.sum_ch1 == 0 && f.peak_ch0 == 0 &&
+      f.peak_ch1 == 0 && f.energy_ch0 == 0 && f.energy_ch1 == 0)
+    // and the oracle carries the matching arm
+    assert(MultimodalQueries.oracles("mm_wav_decode")
+      .contains("CASE WHEN n = 0 THEN 0"), "oracle lost the empty-text arm")
+  }
+
   test("decodeWavBatched on the fixture equals the driver-side single-" +
       "payload decode, and every signal hits negative samples") {
     val df = MultimodalQueries.queries("mm_wav_decode")(spark, sfDir)

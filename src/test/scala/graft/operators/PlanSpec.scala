@@ -610,6 +610,49 @@ class PlanSpec extends SparkTestBase {
           case GreaterThan(_, l) if capLit(l) => ()
         }.nonEmpty => ()
       }.nonEmpty
+    // IN-list arm: an aggregate grouped ONLY on columns each pinned by
+    // an `attr IN (<=100 literals)` filter somewhere in its own subtree
+    // has at most |list| output rows regardless of input size — the
+    // text_bm25 dfreq shape (5 fixed query terms). Bounded-key joins
+    // must BROADCAST (a merge join keyed on <=5 values funnels the
+    // corpus side into <=5 partitions), so this shape is deliberately
+    // broadcast and must be excused here.
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    def inListBounded(a: BaseAggregateExec): Boolean = {
+      val groupNames = a.groupingExpressions
+        .flatMap(_.references.map(_.name)).toSet
+      groupNames.nonEmpty && groupNames.forall { gn =>
+        collectNC(a) {
+          case f: FilterExec if f.condition.collectFirst {
+            case In(attr: AttributeReference, list)
+                if attr.name == gn && list.size <= 100 &&
+                  list.forall(_.foldable) => ()
+            case is: InSet if is.child.references.forall(_.name == gn) &&
+                is.hset.size <= 100 => ()
+          }.nonEmpty => ()
+        }.nonEmpty
+      }
+    }
+    // broadcast-domain arm: an aggregate grouped ONLY on the equi-join
+    // keys of a BroadcastHashJoin below it whose BUILD side never
+    // reaches a corpus scan — the join bounds the grouping-key domain
+    // to the (metadata-sized) build side's key set, so the aggregate
+    // output is bounded no matter how many input rows it sees. The
+    // HybridQueries dfreq shape: tf = corpus tokens semi-joined to the
+    // broadcast query-batch vocabulary, dfreq = per-term counts over tf.
+    def broadcastDomainBounded(a: BaseAggregateExec): Boolean = {
+      val groupNames = a.groupingExpressions
+        .flatMap(_.references.map(_.name)).toSet
+      groupNames.nonEmpty && collectNC(a) {
+        case j: BroadcastHashJoinExec
+            if {
+              val build = if (j.buildSide == BuildLeft) j.left else j.right
+              val keyNames = (j.leftKeys ++ j.rightKeys)
+                .flatMap(_.references.map(_.name)).toSet
+              groupNames.subsetOf(keyNames) && !reachesCorpus(build)
+            } => ()
+      }.nonEmpty
+    }
     def risky(side: SparkPlan): Option[String] = {
       val aggs = collectNC(side) { case a: BaseAggregateExec => a }
       val limits = collectNC(side) {
@@ -622,7 +665,8 @@ class PlanSpec extends SparkTestBase {
           a.groupingExpressions.forall(
             _.references.forall(r => boundedCols(r.name))) ||
           limits.exists(l => contains(l, a)) ||
-          capFiltered(side, a) || !reachesCorpus(a)
+          capFiltered(side, a) || inListBounded(a) ||
+          broadcastDomainBounded(a) || !reachesCorpus(a)
       // an inner aggregate is also excused when a BOUNDING aggregate
       // above it caps the side's output (e.g. the Expand-distinct pass
       // under a scalar count-distinct -- corpus-sized intermediate,
