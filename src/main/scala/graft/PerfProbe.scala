@@ -15,7 +15,7 @@ object PerfProbe {
     val k = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_K")
       .flatMap(_.toIntOption).getOrElse(3))
     val spark = GraftSession.configure(SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(GraftSession.masterFor(cpus))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()

@@ -100,7 +100,22 @@ object GraftSession {
     graft.operators.GraphQueries.releaseStages(spark)
   }
 
-  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+  /** Master URL shared by every entry point: `local[cpus]` by default,
+    * overridable via SPARK_GRAFT_MASTER — the supported override is
+    * `local-cluster[n,cores,memMB]`, which runs REAL separate executor
+    * JVMs (real closure/row serialization, broadcast lifecycle, and
+    * shuffle service) instead of local mode's single-JVM threads: the
+    * bug classes local mode structurally cannot catch. Requires
+    * SPARK_HOME (the executor launch command) and, because executor
+    * JVMs only inherit the distribution's jars, the library classes on
+    * the executor classpath via SPARK_GRAFT_EXECUTOR_CLASSPATH. */
+  def masterFor(cpus: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder = {
+    val withCp = sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH")
+      .fold(b)(cp => b.config("spark.executor.extraClassPath", cp))
+    withCp
     .config("spark.sql.session.timeZone", "UTC")
     // events.parquet carries timestamp[ns]; Spark's parquet reader rejects
     // nanos unless read as raw long (we bucket on integer epoch math).
@@ -118,4 +133,5 @@ object GraftSession {
     // gets its broadcast join, measured rather than guessed.
     .config("spark.sql.autoBroadcastJoinThreshold", (16L * 1024 * 1024).toString)
     .config("spark.sql.adaptive.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+  }
 }

@@ -15,7 +15,7 @@ object Verify {
         s"ignored: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(GraftSession.masterFor(cpus))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
