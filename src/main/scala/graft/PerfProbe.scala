@@ -16,7 +16,8 @@ object PerfProbe {
       .flatMap(_.toIntOption).getOrElse(3))
     val spark = GraftSession.configure(SparkSession.builder()
       .master(GraftSession.masterFor(cpus))
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        GraftSession.shufflePartitionsFor(cpus))
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

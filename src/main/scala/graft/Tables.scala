@@ -112,6 +112,22 @@ object GraftSession {
   def masterFor(cpus: String): String =
     sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
 
+  private val LocalCluster =
+    """local-cluster\[\s*(\d+)\s*,\s*(\d+)\s*,\s*\d+\s*\]""".r
+
+  /** Shuffle-partition count consistent with the EFFECTIVE master: when
+    * SPARK_GRAFT_MASTER overrides to `local-cluster[n,cores,memMB]`, the
+    * `cpus` argument no longer describes the execution resources, so the
+    * partition count is derived from the parsed spec (n×cores) instead —
+    * otherwise a stale SPARK_GRAFT_CPUS would silently skew partition
+    * sizing against the real total core count. Entry points must set
+    * `spark.sql.shuffle.partitions` from THIS, never from raw cpus. */
+  def shufflePartitionsFor(cpus: String): String =
+    sys.env.get("SPARK_GRAFT_MASTER").map(_.trim) match {
+      case Some(LocalCluster(n, cores)) => (n.toInt * cores.toInt).toString
+      case _ => cpus
+    }
+
   def configure(b: SparkSession.Builder): SparkSession.Builder = {
     val withCp = sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH")
       .fold(b)(cp => b.config("spark.executor.extraClassPath", cp))

@@ -618,54 +618,14 @@ object AdvancedQueries {
     // sf0.1 — BIGINT with 6e5× headroom; the ×1e6 micro scaling runs
     // in DECIMAL(38,0).
     "stat_bootstrap_ci" -> { (s, dir) =>
-      val rep = Tables(s, dir, "events")
-        .where(col("value").isNotNull)
-        .select(col("event_id"),
-          expr("cast(floor(value * 100 + 0.5d) as bigint)").as("cents"))
-        .select(col("event_id"), col("cents"),
-          explode(expr("sequence(0, 63)")).as("b"))
-        .select(col("b"), col("cents"),
-          expr("""cast(conv(substring(md5(concat(
-                |  cast(event_id as string), ':', cast(b as string))), 1, 8),
-                |  16, 10) as bigint)""".stripMargin).as("u"))
-        .withColumn("w",
-          when(col("u") < 1580030168L, 0L)
-            .when(col("u") < 3160060337L, 1L)
-            .when(col("u") < 3950075421L, 2L)
-            .when(col("u") < 4213413783L, 3L)
-            .when(col("u") < 4279248373L, 4L)
-            .when(col("u") < 4292415291L, 5L)
-            .when(col("u") < 4294609777L, 6L)
-            .otherwise(7L))
-        .groupBy("b").agg(
-          sum("w").as("nb"), sum(col("w") * col("cents")).as("sb"),
-          count(lit(1)).as("ns"), sum("cents").as("sc"))
-        .where(col("nb") > 0)
-        .select(col("ns"), col("sc"),
-          expr("cast((cast(sb as decimal(38,0)) * 1000000) div nb as bigint)")
-            .as("m"))
-      rep.agg(
-          count(lit(1)).as("cnt"), max("ns").as("n_rows"),
-          max("sc").as("sum_cents"), sum("m").as("sm"),
-          sum(col("m").cast(DecimalType(38, 0)) * col("m")).as("sm2"))
-        .select(col("n_rows"), col("sum_cents"),
-          expr("cast((cast(sum_cents as decimal(38,0)) * 1000000) div n_rows as bigint)")
-            .as("mean_micro"),
-          expr("cast(sm div cnt as bigint)").as("boot_mean_micro"),
-          expr("""cast(floor(
-                |  cast(sm as double) / cast(cnt as double)
-                |  - 1.959964d * sqrt(
-                |     (cast(sm2 as double)
-                |      - cast(sm as double) * cast(sm as double) / cast(cnt as double))
-                |     / cast(cnt - 1 as double))
-                |  + 0.5d) as bigint)""".stripMargin).as("ci_lo_micro"),
-          expr("""cast(floor(
-                |  cast(sm as double) / cast(cnt as double)
-                |  + 1.959964d * sqrt(
-                |     (cast(sm2 as double)
-                |      - cast(sm as double) * cast(sm as double) / cast(cnt as double))
-                |     / cast(cnt - 1 as double))
-                |  + 0.5d) as bigint)""".stripMargin).as("ci_hi_micro"))
+      // thin wrapper since round 12: cents quantization here, the
+      // bootstrap itself is the callable library entry point
+      Stats.bootstrapCi(
+        Tables(s, dir, "events")
+          .where(col("value").isNotNull)
+          .select(col("event_id"),
+            expr("cast(floor(value * 100 + 0.5d) as bigint)").as("cents")),
+        "event_id", "cents")
     },
     // Population Stability Index — the standard model-monitoring drift
     // score between a reference and a current cohort (here: even- vs
@@ -1022,31 +982,14 @@ object AdvancedQueries {
     // saturates around ~10⁸ distinct — past that the library would move
     // to xxhash64; md5 is the engine-portable oracle choice.
     "agg_hll_distinct" -> { (s, dir) =>
+      // thin wrapper since round 12: the sketch is the callable library
+      // entry point; the exact-count audit crossJoin stays query-side
       val ev = Tables(s, dir, "events")
-      val sk = ev
-        .select(expr("""cast(conv(substring(md5(cast(event_id as string)),
-              |  1, 8), 16, 10) as bigint)""".stripMargin).as("u"))
-        .selectExpr("u div 16777216 as reg", "u % 16777216 as w")
-        .selectExpr("reg",
-          "case when w = 0 then 25L else 25L - length(bin(w)) end as rho")
-        .groupBy("reg").agg(max("rho").as("rho"))
-        .agg(count(lit(1)).as("m_used"),
-          sum(expr("shiftleft(cast(1 as bigint), cast(25 - rho as int))"))
-            .as("s_used"),
-          max("rho").as("max_rho"))
-      sk.crossJoin(broadcast(
+      Stats.hllEstimate(ev, col("event_id"))
+        .crossJoin(broadcast(
           ev.agg(count_distinct(col("event_id")).as("exact_distinct"))))
         .select(col("exact_distinct"), col("m_used"), col("max_rho"),
-          expr("""case when (256 - m_used) > 0
-                |  and (1579617778090901504L
-                |       div ((s_used + (256 - m_used) * 33554432) * 1000))
-                |      <= 640000
-                | then cast(floor(256.0d
-                |   * ln(256.0d / cast(256 - m_used as double))
-                |   * 1000.0d + 0.5d) as bigint)
-                | else 1579617778090901504L
-                |   div ((s_used + (256 - m_used) * 33554432) * 1000)
-                |end""".stripMargin).as("est_milli"))
+          col("est_milli"))
     })
 
   private val asOfForwardOracle: String =

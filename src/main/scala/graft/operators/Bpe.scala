@@ -69,15 +69,111 @@ object Bpe {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
+  /** Vocabularies at or below this row count run the merge rounds on a
+    * DRIVER-LOCAL copy (round-12 job-count cut): after the one
+    * corpus-sized `wordFreq` scan the vocab is Heaps-law small — at
+    * sf0.1 it is ~10⁴ rows, and even a 100 TB corpus's distinct-word
+    * table is millions, not billions — so the distributed loop's
+    * 2R+1 driver round-trips (per-round aggregate job + checkpoint
+    * job) collapse to a CONSTANT few jobs (checkpoint + bounded
+    * collect — AQE counts each shuffle stage as its own job)
+    * regardless of R. Host-jitter amplification scales with job
+    * count (r10 pin: 23.3 s driver window vs 1.05 s floor for the
+    * same work), so fewer jobs is a variance fix, not just a latency
+    * fix. 200k (sym,freq) rows ≈ single-digit MB on the driver — the
+    * same Heaps-law bound the r11 audit already accepts for the vocab
+    * collect. Above the bound the distributed loop below is the
+    * unchanged scale path. */
+  val VocabLocalBound = 200000
+
   /** Train `rounds` BPE merges over the `text` column of `docs`.
     * Stops early if the vocabulary runs out of adjacent pairs (every
     * word fused to a single symbol). Returns merges in rank order —
-    * rank 1 is the first (most frequent) merge. */
+    * rank 1 is the first (most frequent) merge.
+    *
+    * Dispatch: one corpus scan builds + materializes the vocab; a
+    * Heaps-law-small vocab (≤ [[VocabLocalBound]]) trains driver-local
+    * with the IDENTICAL deterministic contract (BpeSpec proves
+    * local ≡ distributed on the fixture), larger vocabs run the
+    * distributed per-round loop. */
   def train(docs: DataFrame, rounds: Int = DefaultRounds): Seq[Merge] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var words = wordFreq(docs)
+    val words = wordFreq(docs)
       .select(bracketize(col("w")).as("sym"), col("freq"))
       .localCheckpoint()
+    // size probe without a separate count job: collect at most bound+1
+    // rows — fewer than bound+1 back means we hold the ENTIRE vocab
+    val sample = words.limit(VocabLocalBound + 1).collect()
+    if (sample.length <= VocabLocalBound)
+      trainLocal(sample.map(r => (r.getString(0), r.getLong(1))), rounds)
+    else trainDistributed(words, rounds)
+  }
+
+  /** split a bracketed symbol string into its symbols, driver-side —
+    * the exact twin of [[symsExpr]] (drop outer brackets, split on the
+    * `›‹` boundary; both brackets are single BMP chars so Java string
+    * indexing matches Spark's character semantics). */
+  private def splitSymsLocal(sym: String): Array[String] =
+    sym.substring(1, sym.length - 1)
+      .split(java.util.regex.Pattern.quote(s"$R$L"))
+
+  /** One greedy left-to-right merge pass over a symbol array — the
+    * exact semantics of the literal `replace` on the bracketed string
+    * (non-overlapping, leftmost-first: `a a a a` → `aa aa`,
+    * `a a a` → `aa a`). */
+  private def applyMergeLocal(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Driver-local merge rounds over a collected vocabulary. Same
+    * determinism contract as the distributed loop: pair count = Σ freq
+    * over ALL adjacent positions (overlaps included), argmax on
+    * (count, left, right) — Scala's tuple ordering on BMP-only symbol
+    * strings equals Spark's `max(struct(cnt, l, r))` UTF8 binary
+    * order, which BpeSpec's parity test pins. Zero Spark jobs. */
+  private[operators] def trainLocal(vocab: Array[(String, Long)],
+      rounds: Int): Seq[Merge] = {
+    var words: Array[(Array[String], Long)] =
+      vocab.map { case (sym, f) => (splitSymsLocal(sym), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, rr), cnt) = counts.maxBy { case ((l, rr), c) => (c, l, rr) }
+        merges += Merge(r.toLong, l, rr, cnt)
+        words = words.map { case (syms, f) =>
+          (if (syms.length >= 2) applyMergeLocal(syms, l, rr) else syms, f)
+        }
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The distributed per-round loop — the scale path for vocabularies
+    * above [[VocabLocalBound]]; kept callable for the BpeSpec parity
+    * gate. `words` must already be materialized (localCheckpoint). */
+  private[operators] def trainDistributed(words0: DataFrame,
+      rounds: Int): Seq[Merge] = {
+    var words = words0
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 1
     var done = false

@@ -604,39 +604,9 @@ object EtlQueries {
     // CTE doing the same fold. No window, no collect — the fold runs
     // inside one single-row aggregate plan.
     "ev_survival_km" -> { (s, dir) =>
-      val byU = Tables(s, dir, "events").groupBy("user_id")
-        .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
-      val maxTs = byU.agg(max("last_ts").as("max_ts"))
-      val byT = byU.crossJoin(broadcast(maxTs))
-        .select(expr("(last_ts - first_ts) div 3600000000000").as("t_hour"),
-          (col("max_ts") - col("last_ts") >
-            lit(14L * 86400000000000L)).as("churned"))
-        .groupBy("t_hour").agg(
-          sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
-          sum(when(!col("churned"), 1L).otherwise(0L)).as("c"))
-      byT.agg(
-          sort_array(collect_list(struct(col("t_hour"), col("d"), col("c"))))
-            .as("arr"),
-          sum(col("d") + col("c")).as("u"))
-        .select(posexplode(expr(
-          """transform(arr, (x, i) -> named_struct(
-            |  't_hour', x.t_hour,
-            |  'n_risk', u - aggregate(slice(arr, 1, i), 0L,
-            |              (acc, y) -> acc + y.d + y.c),
-            |  'n_churn', x.d,
-            |  'n_censor', x.c,
-            |  'survival_ppm', cast(floor(
-            |    aggregate(slice(arr, 1, i + 1),
-            |      named_struct('rem', u, 'p', cast(1.0 as double)),
-            |      (acc, y) -> named_struct(
-            |        'rem', acc.rem - y.d - y.c,
-            |        'p', acc.p * (1.0d - cast(y.d as double)
-            |                             / cast(acc.rem as double))),
-            |      acc -> acc.p) * 1e6 + 0.5d) as bigint)))"""
-            .stripMargin)).as(Seq("pos", "r")))
-        .select(col("r.t_hour").as("t_hour"), col("r.n_risk").as("n_risk"),
-          col("r.n_churn").as("n_churn"), col("r.n_censor").as("n_censor"),
-          col("r.survival_ppm").as("survival_ppm"))
+      // thin wrapper since round 12 — Stats.kaplanMeier is the callable
+      // library entry point (LibraryApiSpec runs it on synthetic tables)
+      Stats.kaplanMeier(Tables(s, dir, "events"), "user_id", "ts")
     },
     // Order-independent table checksums — the scalable way to validate a
     // copy (the reference's actual domain): one narrow map computing a

@@ -69,6 +69,24 @@ object MultimodalQueries {
         samples)), "audio/wav")
   }
 
+  /** `mm_png_decode`'s payload builder: the document's UTF-8 bytes fill
+    * an 8×8 RGB raster cyclically (raster byte i = text byte i mod n;
+    * SILENCE — byte 0 — for an empty doc, mirroring the WAV guard), then
+    * the canonical PNG writer compresses it for real: per-row filters
+    * cycling None/Sub/Up/Average/Paeth, zlib DEFLATE, CRC32-stamped
+    * chunks. The decode side must therefore walk chunks, verify CRCs,
+    * INFLATE, and reverse all five filters to get the pixels back. */
+  def textToPngRow(id: Long, t: String): MediaBatchProcessor.MediaRow = {
+    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = bytes.length
+    val raster = new Array[Byte](192)
+    var i = 0
+    while (i < 192) { raster(i) = if (n == 0) 0 else bytes(i % n); i += 1 }
+    MediaBatchProcessor.MediaRow(id,
+      MediaBatchProcessor.encodePng(
+        MediaBatchProcessor.PpmImage(8, 8, 255, raster)), "image/png")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary ingest + metadata extraction — the oracle-checkable slice
     // (byte length and media-type routing are exact integer/string logic).
@@ -197,6 +215,24 @@ object MultimodalQueries {
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToWavRow(id, t) }
       MediaBatchProcessor.decodeWavBatched(media).toDF()
+    },
+    // REAL PNG decode (round 12) — the first COMPRESSED format: the
+    // payload is a conforming PNG (zlib-deflated scanlines, all five
+    // filter types across the 8 rows, CRC32-checked chunks) built by the
+    // canonical writer, and the kernel re-derives EVERYTHING from the
+    // container bytes: signature check, chunk walk with CRC verify,
+    // IHDR dimensions, Inflater decompress, per-row unfilter
+    // (None/Sub/Up/Average/Paeth), then the shared integer pixel math
+    // (channel means, luminance, block-mean aHash). The raster equals
+    // mm_ppm_decode's byte-cycled 8×8, so the oracle is the same exact
+    // pixel arithmetic — if inflate or any filter reversal were wrong,
+    // every mean and hash bit would diverge. Narrow mapPartitions.
+    "mm_png_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => textToPngRow(id, t) }
+      MediaBatchProcessor.decodePngBatched(media).toDF()
     },
     "mm_resize_stub" -> { (s, dir) =>
       withMedia(Tables(s, dir, "documents"))
@@ -361,6 +397,39 @@ object MultimodalQueries {
         | CAST(SUM(CASE WHEN c = 0 THEN s * s ELSE 0 END) AS BIGINT) AS energy_ch0,
         | CAST(SUM(CASE WHEN c = 1 THEN s * s ELSE 0 END) AS BIGINT) AS energy_ch1
         |FROM sg GROUP BY doc_id""".stripMargin,
+    // identical pixel model to mm_ppm_decode (raster byte i = text byte
+    // i mod n) plus the empty-text SILENCE arm; if the Spark side's
+    // inflate/unfilter were wrong, every aggregate here would diverge
+    "mm_png_decode" ->
+      """WITH px AS (
+        | SELECT doc_id, k,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*k) % greatest(n, 1) AS INT) + 1, 1)) END AS r,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*k+1) % greatest(n, 1) AS INT) + 1, 1)) END AS g,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*k+2) % greatest(n, 1) AS INT) + 1, 1)) END AS b
+        | FROM (SELECT doc_id, text, strlen(text) AS n,
+        |        unnest(range(0, 64)) AS k
+        |       FROM documents)),
+        |lm AS (SELECT doc_id, k, r, g, b, (2*r + 5*g + b) // 8 AS l FROM px),
+        |st AS (
+        | SELECT doc_id, SUM(r) // 64 AS mean_r, SUM(g) // 64 AS mean_g,
+        |        SUM(b) // 64 AS mean_b, SUM(l) // 64 AS lum_mean
+        | FROM lm GROUP BY doc_id)
+        |SELECT lm.doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        | CAST(ANY_VALUE(st.mean_r) AS BIGINT) AS mean_r,
+        | CAST(ANY_VALUE(st.mean_g) AS BIGINT) AS mean_g,
+        | CAST(ANY_VALUE(st.mean_b) AS BIGINT) AS mean_b,
+        | CAST(ANY_VALUE(st.lum_mean) AS BIGINT) AS lum_mean,
+        | CAST(SUM(CASE WHEN lm.l > st.lum_mean AND lm.k >= 32
+        |          THEN 1::BIGINT << CAST(lm.k - 32 AS INT) ELSE 0 END)
+        |   AS BIGINT) AS ahash_hi,
+        | CAST(SUM(CASE WHEN lm.l > st.lum_mean AND lm.k < 32
+        |          THEN 1::BIGINT << CAST(lm.k AS INT) ELSE 0 END)
+        |   AS BIGINT) AS ahash_lo
+        |FROM lm JOIN st ON st.doc_id = lm.doc_id
+        |GROUP BY lm.doc_id""".stripMargin,
     "mm_resize_stub" ->
       """SELECT doc_id,
         | CAST(strlen(text) % 64 + 1 AS INT) AS width,

@@ -13,7 +13,8 @@ trait SparkTestBase extends AnyFunSuite {
     val s = GraftSession.configure(SparkSession.builder()
       .master(GraftSession.masterFor("4"))
       .appName(getClass.getSimpleName)
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions",
+        GraftSession.shufflePartitionsFor("4"))
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -83,4 +83,51 @@ class BpeSpec extends SparkTestBase {
     // which single-merge rounds cannot: each round's max is <= previous
     assert(m.sliding(2).forall(p => p(1).pair_count <= p(0).pair_count))
   }
+
+  test("local/distributed parity: the driver-local fast path produces the " +
+      "IDENTICAL merge table as the distributed loop on the fixture — " +
+      "same counts, same tie-breaks, same early stop") {
+    import org.apache.spark.sql.functions._
+    val fixture = graft.Tables(spark, sfDir, "documents")
+    val words = Bpe.wordFreq(fixture)
+      .select(regexp_replace(col("w"), "(.)", "‹$1›").as("sym"), col("freq"))
+      .localCheckpoint()
+    val dist = Bpe.trainDistributed(words, rounds = 8)
+    val local = Bpe.trainLocal(
+      words.collect().map(r => (r.getString(0), r.getLong(1))), rounds = 8)
+    assert(local == dist, s"local=$local\ndist=$dist")
+    // and an exhaustion corpus stops identically on both paths
+    val w2 = Bpe.wordFreq(docs("ab ab", "ab"))
+      .select(regexp_replace(col("w"), "(.)", "‹$1›").as("sym"), col("freq"))
+      .localCheckpoint()
+    assert(Bpe.trainDistributed(w2, 8) ==
+      Bpe.trainLocal(w2.collect().map(r => (r.getString(0), r.getLong(1))), 8))
+  }
+
+  test("job-count contract: a full fixture train call runs <= 5 Spark jobs " +
+      "(checkpoint + bounded collect; AQE stages count as jobs) — the round-12 driver-round-trip cut") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val m = Bpe.train(graft.Tables(spark, sfDir, "documents"))
+      assert(m.length == 8)
+      // listener delivery is async — poll until the count stabilizes
+      // (event loss could only LOWER the count; the contract is an
+      // upper bound, so a stable reading is the honest measurement)
+      var last = -1; var waited = 0
+      while (waited < 5000 && counter.get() != last) {
+        last = counter.get(); Thread.sleep(250); waited += 250
+      }
+      val jobs = counter.get()
+      assert(jobs <= 5,
+        s"train ran $jobs jobs — the local-vocab path should need <= 5 " +
+          "(was 2R+1 ≈ 17 before the round-12 cut)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

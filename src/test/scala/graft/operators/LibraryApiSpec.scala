@@ -766,4 +766,98 @@ class LibraryApiSpec extends SparkTestBase {
       assert(row._5 == (0 until 300).map(j => (j * 3 % 5).toLong).sum)
     }
   }
+
+  test("Stats.bootstrapCi: exact totals, CI brackets the mean, " +
+      "deterministic across runs and partitionings") {
+    import spark.implicits._
+    // 400 synthetic measurements, ids disjoint from any fixture
+    val rows = (0 until 400).map(i => (s"m$i", (500 + (i * 37) % 1000).toLong))
+    val df = rows.toDF("measure_id", "val_cents")
+    val r = Stats.bootstrapCi(df, "measure_id", "val_cents").collect()(0)
+    val n = rows.length.toLong
+    val s = rows.map(_._2).sum
+    assert(r.getLong(0) == n, "n_rows")
+    assert(r.getLong(1) == s, "sum_cents")
+    assert(r.getLong(2) == s * 1000000L / n, "mean_micro exact integral division")
+    val (lo, hi, boot) = (r.getLong(4), r.getLong(5), r.getLong(3))
+    assert(lo < boot && boot < hi, s"boot mean $boot outside CI [$lo, $hi]")
+    assert(lo < r.getLong(2) && r.getLong(2) < hi,
+      s"true mean ${r.getLong(2)} outside CI [$lo, $hi]")
+    // resampling weights are content-keyed → identical on a reshuffled input
+    val r2 = Stats.bootstrapCi(df.repartition(13), "measure_id", "val_cents")
+      .collect()(0)
+    assert(r.toSeq == r2.toSeq, "bootstrap not deterministic under repartition")
+  }
+
+  test("Stats.hll: estimate within HLL tolerance on a known cardinality; " +
+      "shard-merged registers ≡ whole-corpus registers (the 100 TB merge)") {
+    import spark.implicits._
+    val keys = (0 until 5000).map(i => s"user-$i")
+    val df = (keys ++ keys).toDF("uid") // duplicates must not move the sketch
+    val est = Stats.hllEstimate(df, col("uid")).collect()(0).getLong(2)
+    // m=256 → relative SE ≈ 1.04/√256 ≈ 6.5%; 3σ bound ≈ 20%
+    assert(math.abs(est / 1000.0 - 5000.0) < 1000.0,
+      s"estimate ${est / 1000.0} vs true 5000")
+    // small-range linear counting: 12 distinct → exact (all registers hit once)
+    val small = (0 until 12).map(i => s"k$i").toDF("uid")
+    val estSmall = Stats.hllEstimate(small, col("uid")).collect()(0).getLong(2)
+    assert(math.abs(estSmall - 12000L) <= 300L,
+      s"linear-counting estimate $estSmall vs 12000")
+    // shard merge: registers from two disjoint halves, merged by MAX,
+    // estimate EQUALS the whole-corpus estimate bit-for-bit
+    val h1 = keys.take(2500).toDF("uid")
+    val h2 = keys.drop(2500).toDF("uid")
+    val merged = Stats.hllEstimateFromRegisters(Stats.hllMergeRegisters(
+      Stats.hllRegisters(h1, col("uid")), Stats.hllRegisters(h2, col("uid"))))
+      .collect()(0)
+    val whole = Stats.hllEstimate(keys.toDF("uid"), col("uid")).collect()(0)
+    assert(merged.toSeq == whole.toSeq, "shard-merge ≠ whole-corpus")
+  }
+
+  test("Stats.kaplanMeier: hand-computed risk table on synthetic lifetimes " +
+      "with churned and censored users") {
+    import spark.implicits._
+    val base = 1000000000000000000L // epoch nanos anchor
+    val H = 3600000000000L          // 1 hour of nanos
+    val D = 86400000000000L         // 1 day of nanos
+    // uA, uB: 1-hour lifetimes ending 100 days before max → churned
+    // uC: 2-hour lifetime, same era → churned
+    // uD: 30-min lifetime ending AT the corpus max → censored
+    val ev = Seq(
+      ("uA", base), ("uA", base + H),
+      ("uB", base), ("uB", base + H + 1L),
+      ("uC", base), ("uC", base + 2 * H),
+      ("uD", base + 100 * D - H / 2), ("uD", base + 100 * D)
+    ).toDF("uid", "event_ns")
+    val km = Stats.kaplanMeier(ev, "uid", "event_ns")
+      .orderBy("t_hour").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // t=0: uD censored, 4 at risk, S stays 1.0
+    // t=1: uA,uB churn of 3 at risk → S = 1/3 → 333333 ppm
+    // t=2: uC churns, last at risk → S = 0
+    assert(km.toSeq == Seq(
+      (0L, 4L, 0L, 1L, 1000000L),
+      (1L, 3L, 2L, 0L, 333333L),
+      (2L, 1L, 1L, 0L, 0L)), km.mkString(", "))
+  }
+
+  test("Curation.dsirScore: target-only vocabulary scores positive, " +
+      "raw-only negative, selection flag matches the sign") {
+    import spark.implicits._
+    // two disjoint vocabularies: target docs speak only 'alpha beta',
+    // raw docs only 'gamma delta' — λ must be positive for target
+    // tokens and negative for raw-only tokens
+    val docs = ((0 until 20).map(i => (i.toLong, "alpha beta alpha", "tgt")) ++
+      (20 until 60).map(i => (i.toLong, "gamma delta gamma", "raw")))
+      .toDF("id", "body", "kind")
+    val scored = Curation.dsirScore(docs, "id", "body",
+        col("kind") === "tgt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(scored.length == 60, "one row per input doc")
+    for ((id, nToks, micro, sel) <- scored) {
+      assert(nToks == 3L, s"doc $id token count")
+      if (id < 20) assert(micro > 0L && sel == 1, s"target doc $id: $micro/$sel")
+      else assert(micro < 0L && sel == 0, s"raw doc $id: $micro/$sel")
+    }
+  }
 }

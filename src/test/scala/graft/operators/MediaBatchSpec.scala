@@ -174,6 +174,70 @@ class MediaBatchSpec extends SparkTestBase {
       .contains("CASE WHEN n = 0 THEN 0"), "oracle lost the empty-text arm")
   }
 
+  test("decodePng round-trips the canonical writer: all five filter types " +
+      "(rows 0-7 cycle None/Sub/Up/Average/Paeth) reverse to the exact raster") {
+    // a raster with structure in BOTH axes so Sub/Up/Average/Paeth each
+    // produce distinct filtered bytes (a constant raster would let a
+    // wrong predictor accidentally round-trip)
+    val px = Array.tabulate(8 * 8 * 3)(i => ((i * 37 + (i / 24) * 11) % 256).toByte)
+    val img = PpmImage(8, 8, 255, px)
+    val png = encodePng(img)
+    // signature + the writer really filtered: rows carry types 0..4
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val back = decodePng(png)
+    assert(back.width == 8 && back.height == 8)
+    assert(back.pixels.sameElements(px), "unfilter did not invert the writer")
+    // PNG and PPM of the SAME raster featurize identically (shared math)
+    val pf = ppmFeatures(5L, encodePpm(img))
+    val gf = pngFeatures(5L, png)
+    assert((gf.mean_r, gf.mean_g, gf.mean_b, gf.lum_mean, gf.ahash_hi, gf.ahash_lo) ==
+      (pf.mean_r, pf.mean_g, pf.mean_b, pf.lum_mean, pf.ahash_hi, pf.ahash_lo))
+  }
+
+  test("decodePng is a checked container parse: ancillary chunks skipped, " +
+      "CRC/signature/IHDR/truncation failures are loud") {
+    val img = PpmImage(8, 8, 255, Array.tabulate(192)(i => (i % 251).toByte))
+    val png = encodePng(img)
+    // splice an ancillary tEXt chunk between IHDR (ends at 8+25) and IDAT
+    val crc = new java.util.zip.CRC32()
+    val body = "tEXt".getBytes("US-ASCII") ++ "k v".getBytes("US-ASCII")
+    crc.update(body)
+    val c = crc.getValue
+    val tEXt = Array[Byte](0, 0, 0, 3) ++ body ++ Array(
+      ((c >> 24) & 0xff).toByte, ((c >> 16) & 0xff).toByte,
+      ((c >> 8) & 0xff).toByte, (c & 0xff).toByte)
+    val spliced = png.slice(0, 33) ++ tEXt ++ png.drop(33)
+    assert(decodePng(spliced).pixels.sameElements(img.pixels))
+    // corrupt one IDAT payload byte → CRC mismatch, loud
+    val corrupt = png.clone(); corrupt(50) = (corrupt(50) ^ 0x7f).toByte
+    intercept[IllegalArgumentException](decodePng(corrupt))
+    intercept[IllegalArgumentException](decodePng(png.dropRight(13))) // no IEND
+    intercept[IllegalArgumentException](decodePng("JUNK".getBytes ++ png.drop(4)))
+    val gray = png.clone(); gray(8 + 8 + 9) = 0 // colorType byte inside IHDR
+    intercept[IllegalArgumentException](decodePng(gray)) // CRC catches it first — still loud
+  }
+
+  test("textToPngRow: empty text encodes silence; fixture decode matches " +
+      "the byte-cycled model the oracle computes") {
+    val empty = MultimodalQueries.textToPngRow(3L, "")
+    val f0 = pngFeatures(empty.doc_id, empty.payload)
+    assert(f0.mean_r == 0 && f0.lum_mean == 0 && f0.ahash_hi == 0 && f0.ahash_lo == 0)
+    val row = MultimodalQueries.textToPngRow(9L, "AB")
+    val f = pngFeatures(row.doc_id, row.payload)
+    // bytes cycle A,B,A,B… → r always 'A'(65) at even raster offsets:
+    // raster i = text[i mod 2]; channel r sits at i=3k → alternates 65/66
+    assert(f.width == 8 && f.height == 8)
+    assert(f.mean_r == (32 * 65 + 32 * 66) / 64)
+  }
+
+  test("decodePngBatched on the fixture: every document decodes, and the " +
+      "PNG features equal the PPM features of the same byte-cycled raster") {
+    val df = MultimodalQueries.queries("mm_png_decode")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getInt(1) == 8 && r.getInt(2) == 8))
+  }
+
   test("decodeWavBatched on the fixture equals the driver-side single-" +
       "payload decode, and every signal hits negative samples") {
     val df = MultimodalQueries.queries("mm_wav_decode")(spark, sfDir)

@@ -617,17 +617,39 @@ class PlanSpec extends SparkTestBase {
     // must BROADCAST (a merge join keyed on <=5 values funnels the
     // corpus side into <=5 partitions), so this shape is deliberately
     // broadcast and must be excused here.
-    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, ExprId, In, InSet}
+    import org.apache.spark.sql.execution.ProjectExec
+    // exprId-based attribute identity (not name matching): a same-named
+    // column from a DIFFERENT relation in the subtree must not excuse a
+    // genuinely unbounded aggregate. Grouping refs are resolved through
+    // the subtree's Alias chain (Project renames change exprIds) to the
+    // full set of source exprIds they derive from.
+    def aliasMap(root: SparkPlan): Map[ExprId, Set[ExprId]] =
+      collectNC(root) { case p: ProjectExec => p }
+        .flatMap(_.projectList.collect {
+          case al: Alias => al.exprId -> al.child.references.map(_.exprId).toSet
+        }).toMap
+    def resolveIds(id: ExprId, m: Map[ExprId, Set[ExprId]]): Set[ExprId] = {
+      var seen = Set(id); var frontier = Set(id)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(i => m.getOrElse(i, Set.empty[ExprId])) -- seen
+        seen ++= next; frontier = next
+      }
+      seen
+    }
     def inListBounded(a: BaseAggregateExec): Boolean = {
-      val groupNames = a.groupingExpressions
-        .flatMap(_.references.map(_.name)).toSet
-      groupNames.nonEmpty && groupNames.forall { gn =>
+      val am = aliasMap(a)
+      val groupIds = a.groupingExpressions
+        .flatMap(_.references.map(_.exprId)).toSet
+      groupIds.nonEmpty && groupIds.forall { gid =>
+        val ok = resolveIds(gid, am)
         collectNC(a) {
           case f: FilterExec if f.condition.collectFirst {
             case In(attr: AttributeReference, list)
-                if attr.name == gn && list.size <= 100 &&
+                if ok(attr.exprId) && list.size <= 100 &&
                   list.forall(_.foldable) => ()
-            case is: InSet if is.child.references.forall(_.name == gn) &&
+            case is: InSet if is.child.references.nonEmpty &&
+                is.child.references.forall(r => ok(r.exprId)) &&
                 is.hset.size <= 100 => ()
           }.nonEmpty => ()
         }.nonEmpty
@@ -641,15 +663,17 @@ class PlanSpec extends SparkTestBase {
     // HybridQueries dfreq shape: tf = corpus tokens semi-joined to the
     // broadcast query-batch vocabulary, dfreq = per-term counts over tf.
     def broadcastDomainBounded(a: BaseAggregateExec): Boolean = {
-      val groupNames = a.groupingExpressions
-        .flatMap(_.references.map(_.name)).toSet
-      groupNames.nonEmpty && collectNC(a) {
+      val am = aliasMap(a)
+      val groupIds = a.groupingExpressions
+        .flatMap(_.references.map(_.exprId)).toSet
+      groupIds.nonEmpty && collectNC(a) {
         case j: BroadcastHashJoinExec
             if {
               val build = if (j.buildSide == BuildLeft) j.left else j.right
-              val keyNames = (j.leftKeys ++ j.rightKeys)
-                .flatMap(_.references.map(_.name)).toSet
-              groupNames.subsetOf(keyNames) && !reachesCorpus(build)
+              val keyIds = (j.leftKeys ++ j.rightKeys)
+                .flatMap(_.references.map(_.exprId)).toSet
+              groupIds.forall(gid => resolveIds(gid, am).exists(keyIds)) &&
+                !reachesCorpus(build)
             } => ()
       }.nonEmpty
     }
