@@ -66,6 +66,9 @@ def compare(name, spark_df, oracle_df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional 3rd arg: write a CORRECTNESS_r{N}.json-format report there
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    report = {}
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         t = os.path.basename(p)[:-len(".parquet")]
@@ -85,12 +88,20 @@ def main():
             else:
                 n_weak += 1
             print(f"[weak] {name}: {status}")
+            report[name] = {"rows_match": len(spark_df) > 0,
+                            "schema_match": None, "hash_match": None,
+                            "spark_rows": len(spark_df), "oracle_rows": None,
+                            "err": None if len(spark_df) else "empty result"}
             continue
         try:
             oracle_df = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"[FAIL] {name}: oracle SQL error: {e}")
             n_bad += 1
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(spark_df),
+                            "oracle_rows": None,
+                            "err": f"oracle SQL error: {e}"}
             continue
         err = compare(name, spark_df, oracle_df)
         if err:
@@ -99,10 +110,24 @@ def main():
         else:
             print(f"[ok]   {name} ({len(spark_df)} rows)")
             n_ok += 1
+        report[name] = {
+            "rows_match": len(spark_df) == len(oracle_df),
+            "schema_match": sorted(spark_df.columns) == sorted(oracle_df.columns),
+            "hash_match": err is None,
+            "spark_rows": len(spark_df), "oracle_rows": len(oracle_df),
+            "err": err}
     extra = set(oracle) - set(names)
     for name in sorted(extra):
         print(f"[FAIL] {name}: oracle present but no spark output")
         n_bad += 1
+        report[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "spark_rows": 0,
+                        "oracle_rows": None,
+                        "err": "oracle present but no spark output"}
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"[report] wrote {json_out}")
     print(f"\n{n_ok} ok, {n_weak} weak(rows-only), {n_bad} failed")
     sys.exit(1 if n_bad else 0)
 
