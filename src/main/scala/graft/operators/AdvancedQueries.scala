@@ -990,6 +990,45 @@ object AdvancedQueries {
           ev.agg(count_distinct(col("event_id")).as("exact_distinct"))))
         .select(col("exact_distinct"), col("m_used"), col("max_rho"),
           col("est_milli"))
+    },
+    // Count-Min sketch heavy-hitter audit (round 12) — the mergeable
+    // fixed-size frequency sketch that answers "how often does key x
+    // occur?" at 100 TB without a per-key exact count: depth d=4 rows ×
+    // width w=1024 cells, hash_j(key) = md5-derived 2³²-range uniform
+    // of "j:key" mod w (engine-portable integer hashing — the ev_ab_test
+    // md5 precedent), estimate = MIN over the 4 rows (one-sided: CMS
+    // only OVERcounts, never under — the audit asserts that invariant
+    // per key as `over_ppm >= 0`). Scale shape: one narrow ×4 explode +
+    // one 4096-key partial-aggregated shuffle builds the sketch (the
+    // sketch table is 4096 rows at ANY corpus size, and shard sketches
+    // merge by cell-wise SUM); the audited candidates are the exact
+    // top-10 users via a bounded TakeOrdered, probed against the
+    // broadcast sketch. All exact integers → hash-exact oracle.
+    "agg_countmin_topk" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val cells = ev.select(col("user_id"),
+          explode(expr("sequence(0, 3)")).as("j"))
+        .select(col("user_id"), col("j"),
+          expr("""cast(conv(substring(md5(concat(cast(j as string), ':',
+                |  cast(user_id as string))), 1, 8), 16, 10) as bigint)
+                |  % 1024""".stripMargin).as("cell"))
+      val sketch = cells.groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
+      val probes = top.select(col("user_id"), col("exact_cnt"),
+          explode(expr("sequence(0, 3)")).as("j"))
+        .select(col("user_id"), col("exact_cnt"), col("j"),
+          expr("""cast(conv(substring(md5(concat(cast(j as string), ':',
+                |  cast(user_id as string))), 1, 8), 16, 10) as bigint)
+                |  % 1024""".stripMargin).as("cell"))
+      // the LIMIT-bounded probe side broadcasts (sweep-excused); the
+      // corpus-derived sketch aggregate is the streamed side
+      sketch.join(broadcast(probes), Seq("j", "cell"))
+        .groupBy("user_id").agg(max("exact_cnt").as("exact_cnt"),
+          min("cnt").as("cms_est"))
+        .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+          expr("(cms_est - exact_cnt) * 1000000 div exact_cnt")
+            .as("over_ppm"))
     })
 
   private val asOfForwardOracle: String =
@@ -1034,6 +1073,31 @@ object AdvancedQueries {
         |    // ((s_used + (256 - m_used) * 33554432) * 1000)
         | END AS est_milli
         |FROM sk, ex""".stripMargin,
+    // identical md5 row-hashing, same depth-4/width-1024 grid, same
+    // bounded top-10 probe — the MIN-over-rows estimate and the
+    // overcount ppm are exact integers on both engines
+    "agg_countmin_topk" ->
+      """WITH cells AS (
+        | SELECT user_id, j,
+        |  ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+        |     CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 1024 AS cell
+        | FROM events, (SELECT unnest(range(0, 4)) AS j) jj),
+        |sketch AS (SELECT j, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+        |           FROM cells GROUP BY j, cell),
+        |top AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        |        FROM events GROUP BY user_id
+        |        ORDER BY exact_cnt DESC, user_id LIMIT 10),
+        |probes AS (
+        | SELECT t.user_id, t.exact_cnt, j.j,
+        |  ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
+        |     CAST(t.user_id AS VARCHAR)), 1, 8))::BIGINT % 1024 AS cell
+        | FROM top t, (SELECT unnest(range(0, 4)) AS j) j)
+        |SELECT p.user_id, MAX(p.exact_cnt) AS exact_cnt,
+        | MIN(s.cnt) AS cms_est,
+        | (MIN(s.cnt) - MAX(p.exact_cnt)) * 1000000 // MAX(p.exact_cnt)
+        |   AS over_ppm
+        |FROM probes p JOIN sketch s ON s.j = p.j AND s.cell = p.cell
+        |GROUP BY p.user_id""".stripMargin,
     "approx_distinct_parts" ->
       """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
         | COUNT(DISTINCT l_orderkey) AS exact_orders,

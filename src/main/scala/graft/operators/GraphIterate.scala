@@ -136,6 +136,48 @@ object GraphIterate {
     (labels, rounds)
   }
 
+  /** Single-source shortest paths (unit weights ⇒ BFS levels) iterated
+    * to fixpoint: per round, every known distance relaxes its
+    * neighbors (`dist[nbr] ← min(dist[nbr], dist[node]+1)`); converged
+    * when no node's distance improves and no new node is reached.
+    * Unreachable nodes are absent from the output — the caller reads
+    * reachability straight off the result. Input `adj` must be
+    * symmetric `(node, nbr)`; rounds = source eccentricity + 1
+    * (the confirming round), capped by `maxRounds`.
+    *
+    * Scale shape: same discipline as the other fixpoints — static
+    * adjacency materialized ONCE pre-partitioned on the per-round join
+    * key; per round one node-keyed equi-join + one min-aggregate over a
+    * node-sized (frontier-bounded) state table; the convergence probe
+    * rides the round's own job via observe(). All-integer state, so
+    * the DuckDB recursive-CTE oracle hash-matches exactly. */
+  def ssspFixpoint(adj0: DataFrame, source: Long,
+      maxRounds: Int = 100): (DataFrame, Int) = {
+    val adj = adj0.repartition(col("node")).localCheckpoint(false)
+    var dist = adj.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+      .localCheckpoint(false)
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val obs = Observation()
+      val relaxed = adj.join(dist, "node")
+        .select(col("nbr").as("node"), (col("dist") + 1L).as("dist"))
+      val next = dist.unionAll(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .join(dist.select(col("node"), col("dist").as("prev")),
+          Seq("node"), "left")
+        .observe(obs, sum(when(col("prev").isNull ||
+          col("dist") < col("prev"), 1L).otherwise(0L)).as("improved"))
+        .select("node", "dist")
+        .localCheckpoint(true) // eager: see labelPropFixpoint's comment
+      val improved = requireLongMetric(obs, "improved")
+      done = improved == 0
+      dist = next; rounds += 1
+    }
+    (dist, rounds)
+  }
+
   /** Damped PageRank in integer fixed-point micro-units, iterated
     * until the L1 delta between consecutive rank vectors is <= epsMicro
     * (exact-zero never arrives — see object scaladoc). Input `edges`

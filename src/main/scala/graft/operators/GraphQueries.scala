@@ -356,6 +356,15 @@ object GraphQueries {
     "graph_pagerank_fixpoint" -> { (s, dir) =>
       GraphIterate.pageRankConverged(fixtureEdges(s, dir), epsMicro = 20000L)._1
     },
+    // BFS/SSSP to fixpoint from node 0 over the fixture graph (round
+    // 12): distances cover exactly the source's component (the 20–23
+    // clique is unreachable and absent — reachability is part of the
+    // contract). The oracle is a DuckDB recursive CTE with a distance
+    // cap (bounded (node,dist) product) collapsed by MIN; the engine's
+    // probe-driven loop must land on the identical integer table.
+    "graph_sssp_fixpoint" -> { (s, dir) =>
+      GraphIterate.ssspFixpoint(fixtureAdj(s, dir), source = 0L)._1
+    },
     "graph_jaccard_topk" -> { (s, dir) =>
       val adj = coAdj(s, dir)
       val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
@@ -566,6 +575,18 @@ object GraphQueries {
         |        FROM fa0),
         |${prRoundsSql(18)}
         |SELECT node, r_q FROM fi18""".stripMargin,
+    // recursive BFS: the (node, dist) product is bounded by the 50-hop
+    // cap (≫ the fixture eccentricity), UNION dedups per level, MIN
+    // collapses to shortest — identical to the engine's relax fixpoint
+    "graph_sssp_fixpoint" ->
+      s"""WITH RECURSIVE $fixCtes,
+        |bfs AS (
+        | SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+        | UNION
+        | SELECT a.nbr, b.dist + 1
+        | FROM bfs b JOIN fa0 a ON a.node = b.node
+        | WHERE b.dist < 50)
+        |SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node""".stripMargin,
     "graph_pagerank" ->
       s"""WITH $edgeCtes,
         |r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r_q

@@ -234,6 +234,52 @@ object MultimodalQueries {
         .map { case (id, t) => textToPngRow(id, t) }
       MediaBatchProcessor.decodePngBatched(media).toDF()
     },
+    // REAL-pixel perceptual near-dup (round 12) — the tier the
+    // mm_phash_near_dup stub documented as "needs the decode kernel":
+    // the signature is now the TRUE block-mean average-hash of decoded
+    // PNG pixels (inflate + unfilter + integer luminance via the
+    // mm_png_decode kernel), not an md5 relabel. LSH discipline
+    // unchanged: the 64-bit hash splits into four 16-bit bands,
+    // candidates share ≥1 band (equi-join, never all-pairs), buckets
+    // over 1000 members are dropped (the dedup_minhash_lsh cap — a
+    // perceptual band bucket is SEMANTIC, e.g. near-uniform images all
+    // land together, so the cap is what keeps bucket² bounded at
+    // 100 TB), merge-pinned self-join, integer Hamming verify ≤ 8.
+    "mm_phash_png" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => textToPngRow(id, t) }
+      val sig = MediaBatchProcessor.decodePngBatched(media).toDF()
+        .select(col("doc_id"),
+          (col("ahash_lo") % 65536).as("b0"),
+          expr("ahash_lo div 65536").as("b1"),
+          (col("ahash_hi") % 65536).as("b2"),
+          expr("ahash_hi div 65536").as("b3"),
+          col("ahash_hi"), col("ahash_lo"))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("bi", "bv")))
+      val underCap = bands.groupBy("bi", "bv")
+        .agg(count(lit(1)).as("n")).filter(col("n") <= 1000)
+        .select("bi", "bv")
+      val capped = bands.join(underCap.hint("merge"), Seq("bi", "bv"))
+      val cand = capped.as("x").join(capped.hint("merge").as("y"),
+          col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val ha = sig.select(col("doc_id").as("a"),
+        col("ahash_hi").as("hi_a"), col("ahash_lo").as("lo_a"))
+      val hb = sig.select(col("doc_id").as("b"),
+        col("ahash_hi").as("hi_b"), col("ahash_lo").as("lo_b"))
+      cand.join(ha, "a").join(hb, "b")
+        .select(col("a"), col("b"),
+          (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+            bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long")
+            .as("hamming"))
+        .withColumn("near_dup", col("hamming") <= 8)
+    },
     "mm_resize_stub" -> { (s, dir) =>
       withMedia(Tables(s, dir, "documents"))
         .filter(col("meta.media_type") === "image/png")
@@ -430,6 +476,53 @@ object MultimodalQueries {
         |   AS BIGINT) AS ahash_lo
         |FROM lm JOIN st ON st.doc_id = lm.doc_id
         |GROUP BY lm.doc_id""".stripMargin,
+    // the aHash CTEs are mm_png_decode's oracle verbatim (same pixel
+    // model), then the identical band/cap/join/Hamming SQL
+    "mm_phash_png" ->
+      """WITH px AS (
+        | SELECT doc_id, k,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*k) % greatest(n, 1) AS INT) + 1, 1)) END AS r,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*k+1) % greatest(n, 1) AS INT) + 1, 1)) END AS g,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*k+2) % greatest(n, 1) AS INT) + 1, 1)) END AS b
+        | FROM (SELECT doc_id, text, strlen(text) AS n,
+        |        unnest(range(0, 64)) AS k
+        |       FROM documents)),
+        |lm AS (SELECT doc_id, k, (2*r + 5*g + b) // 8 AS l FROM px),
+        |st AS (SELECT doc_id, SUM(l) // 64 AS lum_mean FROM lm GROUP BY doc_id),
+        |sig AS (
+        | SELECT lm.doc_id,
+        |  CAST(SUM(CASE WHEN lm.l > st.lum_mean AND lm.k >= 32
+        |           THEN 1::BIGINT << CAST(lm.k - 32 AS INT) ELSE 0 END)
+        |    AS BIGINT) AS hi,
+        |  CAST(SUM(CASE WHEN lm.l > st.lum_mean AND lm.k < 32
+        |           THEN 1::BIGINT << CAST(lm.k AS INT) ELSE 0 END)
+        |    AS BIGINT) AS lo
+        | FROM lm JOIN st ON st.doc_id = lm.doc_id
+        | GROUP BY lm.doc_id),
+        |bands AS (
+        | SELECT doc_id, 0 AS bi, lo % 65536 AS bv FROM sig
+        | UNION ALL SELECT doc_id, 1, lo // 65536 FROM sig
+        | UNION ALL SELECT doc_id, 2, hi % 65536 FROM sig
+        | UNION ALL SELECT doc_id, 3, hi // 65536 FROM sig),
+        |capped AS (
+        | SELECT b.* FROM bands b
+        | JOIN (SELECT bi, bv FROM bands GROUP BY bi, bv
+        |       HAVING COUNT(*) <= 1000) u USING (bi, bv)),
+        |cand AS (
+        | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        | FROM capped x JOIN capped y
+        |  ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT a, b,
+        | CAST(bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo))
+        |   AS BIGINT) AS hamming,
+        | (CAST(bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo))
+        |   AS BIGINT) <= 8) AS near_dup
+        |FROM cand
+        |JOIN sig sa ON sa.doc_id = a
+        |JOIN sig sb ON sb.doc_id = b""".stripMargin,
     "mm_resize_stub" ->
       """SELECT doc_id,
         | CAST(strlen(text) % 64 + 1 AS INT) AS width,

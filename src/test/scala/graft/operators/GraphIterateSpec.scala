@@ -60,6 +60,27 @@ class GraphIterateSpec extends SparkTestBase {
     assert(rounds == 25)
   }
 
+  test("ssspFixpoint: hand-computed BFS levels from node 0, unreachable " +
+      "clique absent, 6 rounds (5 improving + 1 confirming)") {
+    val (dist, rounds) = GraphIterate.ssspFixpoint(
+      GraphQueries.fixtureAdj(spark, sfDir), source = 0L)
+    assert(rounds == 6, s"expected 6 rounds, got $rounds")
+    val d = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 on {0..3} puts 1,2,3 at 1 hop; the path 3-4-5-6-7 extends;
+    // 20-23 are a separate component — absent, not infinite
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 2L, 5L -> 3L, 6L -> 4L, 7L -> 5L), d.toString)
+  }
+
+  test("ssspFixpoint is idempotent on a re-run and respects maxRounds") {
+    val adj = GraphQueries.fixtureAdj(spark, sfDir)
+    // capped run returns the partial frontier without error
+    val (partial, r1) = GraphIterate.ssspFixpoint(adj, 0L, maxRounds = 2)
+    assert(r1 == 2)
+    val reached = partial.collect().map(_.getLong(0)).toSet
+    assert(reached == Set(0L, 1L, 2L, 3L, 4L), reached.toString)
+  }
+
   test("requireLongMetric: absent metric FAILS loudly (never fakes " +
       "convergence); null sum-over-empty reads as 0; Long passes through") {
     import org.apache.spark.sql.Observation
