@@ -97,11 +97,12 @@ object Bench {
     val headline = mins.sortBy(-_._2).take(20)
     val failedJson = failed
       .map { case (n, e) => s"${jesc(n)}:${jesc(e)}" }.mkString("{", ",", "}")
+    val meta = RunMeta.json(spark, sfDir)
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
       s""","n_queries":${mins.size},"n_failed":${failed.size},"k":$k""" +
       s""","pass1_total":${fmt(pass1Total)},"failed":${
         failed.keys.map(jesc).mkString("[", ",", "]")}""" +
-      s""","queries":${json(headline)},"sf":"$sfDir"}"""
+      s""","queries":${json(headline)},"sf":"$sfDir","_meta":$meta}"""
     try {
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)
@@ -113,7 +114,7 @@ object Bench {
           s""""queries_max":${json(results.map { case (n, ts) => (n, ts.max) })},""" +
           s""""queries_pass1":${json(results.map { case (n, ts) => (n, ts.head) })},""" +
           s""""noisy":${noisy.map(jesc).mkString("[", ",", "]")},""" +
-          s""""failed":$failedJson,"sf":"$sfDir"}""")
+          s""""failed":$failedJson,"sf":"$sfDir","_meta":$meta}""")
     } catch { case _: Throwable => () }
     println(line)
     spark.stop()

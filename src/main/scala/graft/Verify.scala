@@ -38,6 +38,11 @@ object Verify {
       }
     }
     def q(s: String): String = JsonUtil.quote(s)
+    // self-describing header: names the effective master/mode/SHA so a
+    // cluster-mode dump is distinguishable from a local one by content
+    // (check_oracle.py embeds this as the report's _meta)
+    Files.writeString(Paths.get(s"$outDir/_meta.json"),
+      RunMeta.json(spark, sfDir))
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

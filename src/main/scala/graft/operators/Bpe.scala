@@ -132,12 +132,31 @@ object Bpe {
     out.toArray
   }
 
+  /** UTF-8-byte lexicographic (unsigned) string ordering — the order
+    * Spark's `max(struct(cnt, l, r))` applies to StringType (UTF8String
+    * binary compare). Scala's default String ordering compares UTF-16
+    * code units, which DIVERGES for supplementary-plane characters
+    * (U+FFFD sorts above 😀 in UTF-16 but below it in UTF-8), so the
+    * local tie-break must compare the same bytes the engine does. */
+  private[operators] val Utf8Ordering: Ordering[String] =
+    (a: String, b: String) => {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      var d = 0
+      while (i < n && d == 0) { d = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+      if (d != 0) d else x.length - y.length
+    }
+
   /** Driver-local merge rounds over a collected vocabulary. Same
     * determinism contract as the distributed loop: pair count = Σ freq
     * over ALL adjacent positions (overlaps included), argmax on
-    * (count, left, right) — Scala's tuple ordering on BMP-only symbol
-    * strings equals Spark's `max(struct(cnt, l, r))` UTF8 binary
-    * order, which BpeSpec's parity test pins. Zero Spark jobs. */
+    * (count, left, right) with the tie-break comparing UTF-8 BYTES
+    * ([[Utf8Ordering]]) so it matches Spark's `max(struct(cnt, l, r))`
+    * UTF8 binary order on ANY input — including supplementary-plane
+    * symbols, which BpeSpec's emoji parity test pins. Zero Spark
+    * jobs. */
   private[operators] def trainLocal(vocab: Array[(String, Long)],
       rounds: Int): Seq[Merge] = {
     var words: Array[(Array[String], Long)] =
@@ -157,7 +176,8 @@ object Bpe {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((l, rr), cnt) = counts.maxBy { case ((l, rr), c) => (c, l, rr) }
+        val ((l, rr), cnt) = counts.maxBy { case ((l, rr), c) => (c, l, rr) }(
+          Ordering.Tuple3(Ordering.Long, Utf8Ordering, Utf8Ordering))
         merges += Merge(r.toLong, l, rr, cnt)
         words = words.map { case (syms, f) =>
           (if (syms.length >= 2) applyMergeLocal(syms, l, rr) else syms, f)

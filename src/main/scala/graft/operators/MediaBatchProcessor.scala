@@ -450,7 +450,14 @@ object MediaBatchProcessor {
     try {
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) fail("IDAT stream truncated")
+        // n == 0 with the stream unfinished means the inflater cannot
+        // make progress — either the payload ran out (needsInput) or it
+        // demands something we never supply (FDICT preset dictionary →
+        // needsDictionary). Both must fail loudly: a hostile IDAT must
+        // not be able to hang the executor in this loop.
+        if (n == 0 && !inf.finished())
+          fail(if (inf.needsInput()) "IDAT stream truncated"
+               else "unsupported zlib stream (preset dictionary?)")
         off += n
       }
     } catch {

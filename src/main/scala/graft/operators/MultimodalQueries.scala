@@ -48,7 +48,27 @@ object MultimodalQueries {
     * RIFF encoder. Empty-text guard: a 0-length doc modulates SILENCE
     * (code 0) instead of throwing ArithmeticException on `% 0` inside
     * the executor map; the oracle's `CASE WHEN n = 0` arm mirrors it. */
+  /** The mm_wav/png oracles model the payload as CHARACTER code points
+    * (`unicode(substr(text, …))`) while these builders cycle UTF-8
+    * BYTES — identical only when the text is pure ASCII (one byte per
+    * char, byte value ≡ code point). Enforce that contract HERE, at the
+    * builder, so a non-ASCII document fails loudly at payload time
+    * instead of silently diverging from the oracle downstream. The
+    * fixture is verified ASCII at every SF. */
+  private def requireAscii(id: Long, t: String): Unit = {
+    var i = 0
+    while (i < t.length) {
+      if (t.charAt(i) >= 0x80)
+        throw new IllegalArgumentException(
+          s"doc $id: non-ASCII char U+${t.charAt(i).toInt.toHexString} at " +
+            s"index $i — the byte-cycling payload builders and their " +
+            "code-point oracles only agree on ASCII text")
+      i += 1
+    }
+  }
+
   def textToWavRow(id: Long, t: String): MediaBatchProcessor.MediaRow = {
+    requireAscii(id, t)
     val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = bytes.length
     val samples = new Array[Int](64 * 2)
@@ -77,6 +97,7 @@ object MultimodalQueries {
     * chunks. The decode side must therefore walk chunks, verify CRCs,
     * INFLATE, and reverse all five filters to get the pixels back. */
   def textToPngRow(id: Long, t: String): MediaBatchProcessor.MediaRow = {
+    requireAscii(id, t)
     val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = bytes.length
     val raster = new Array[Byte](192)

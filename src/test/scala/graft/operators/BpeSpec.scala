@@ -104,6 +104,24 @@ class BpeSpec extends SparkTestBase {
       Bpe.trainLocal(w2.collect().map(r => (r.getString(0), r.getLong(1))), 8))
   }
 
+  test("supplementary-plane parity: the local tie-break compares UTF-8 " +
+      "bytes, matching Spark's UTF8 binary order where UTF-16 diverges") {
+    import org.apache.spark.sql.functions._
+    // U+FFFD sorts ABOVE 😀 (U+1F600) in UTF-16 code units (fffd > d83d)
+    // but BELOW it in UTF-8 bytes (ef.. < f0..) — equal-count pairs
+    // (a,😀) and (a,�) force the tie-break onto exactly that edge
+    val d = docs("a😀", "a�")
+    val words = Bpe.wordFreq(d)
+      .select(regexp_replace(col("w"), "(.)", "‹$1›").as("sym"), col("freq"))
+      .localCheckpoint()
+    val dist = Bpe.trainDistributed(words, rounds = 1)
+    val local = Bpe.trainLocal(
+      words.collect().map(r => (r.getString(0), r.getLong(1))), rounds = 1)
+    assert(local == dist, s"local=$local\ndist=$dist")
+    assert(local.head.pair_right == "😀",
+      s"UTF-8 order picks the emoji; got ${local.head}")
+  }
+
   test("job-count contract: a full fixture train call runs <= 5 Spark jobs " +
       "(checkpoint + bounded collect; AQE stages count as jobs) — the round-12 driver-round-trip cut") {
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)

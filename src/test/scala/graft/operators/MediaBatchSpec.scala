@@ -217,6 +217,29 @@ class MediaBatchSpec extends SparkTestBase {
     intercept[IllegalArgumentException](decodePng(gray)) // CRC catches it first — still loud
   }
 
+  test("hostile zlib FDICT stream fails loudly instead of hanging the " +
+      "inflate loop (n==0, needsDictionary — neither finished nor needsInput)") {
+    // hand-build a PNG whose IDAT is a zlib stream demanding a preset
+    // dictionary: CMF=0x78, FLG=0x20 (FDICT bit set; (0x7820)%31==0 so
+    // the header checksum passes), 4-byte DICTID, then junk. Inflater
+    // stalls on it forever unless the decoder treats no-progress-while-
+    // unfinished as an error.
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      def be32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      be32(data.length.toLong) ++ t ++ data ++ be32(crc.getValue)
+    }
+    val ihdr = Array[Byte](0, 0, 0, 8, 0, 0, 0, 8, 8, 2, 0, 0, 0)
+    val fdict = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0x5a, 0x5a, 0x5a)
+    val hostile = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", fdict) ++
+      chunk("IEND", Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException](decodePng(hostile))
+    assert(e.getMessage.contains("preset dictionary"), e.getMessage)
+  }
+
   test("textToPngRow: empty text encodes silence; fixture decode matches " +
       "the byte-cycled model the oracle computes") {
     val empty = MultimodalQueries.textToPngRow(3L, "")

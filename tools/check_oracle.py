@@ -69,6 +69,17 @@ def main():
     # optional 3rd arg: write a CORRECTNESS_r{N}.json-format report there
     json_out = sys.argv[3] if len(sys.argv) > 3 else None
     report = {}
+    # self-describing header: Verify wrote the Spark run's _meta.json
+    # (master/mode/git SHA/classes hash) into its dump dir — embed it,
+    # plus the oracle side's own provenance, so the artifact names its
+    # execution mode in-file (round-12 gap: the cluster artifact was
+    # content-indistinguishable from a local run)
+    meta_path = os.path.join(out_dir, "_meta.json")
+    meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+    meta["oracle"] = f"duckdb {duckdb.__version__}"
+    meta["checked_at"] = __import__("datetime").datetime.now(
+        __import__("datetime").timezone.utc).isoformat()
+    report["_meta"] = meta
     con = duckdb.connect()
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         t = os.path.basename(p)[:-len(".parquet")]
@@ -88,7 +99,11 @@ def main():
             else:
                 n_weak += 1
             print(f"[weak] {name}: {status}")
-            report[name] = {"rows_match": len(spark_df) > 0,
+            # weak = rows-only check: record it DISTINCTLY (nonempty is
+            # not the same claim as "row counts match") so the artifact
+            # never overstates what was verified
+            report[name] = {"weak": True, "nonempty": len(spark_df) > 0,
+                            "rows_match": None,
                             "schema_match": None, "hash_match": None,
                             "spark_rows": len(spark_df), "oracle_rows": None,
                             "err": None if len(spark_df) else "empty result"}
