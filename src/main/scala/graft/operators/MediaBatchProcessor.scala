@@ -564,6 +564,53 @@ object MediaBatchProcessor {
     out.toByteArray
   }
 
+  /** REAL image resize (round 13 — retires `mm_resize_stub`): integer
+    * area-average (box) downsample by an integer factor. Output pixel
+    * (X,Y) channel c = floor(mean of the factor×factor input block) —
+    * Σ of factor² samples div factor², exact integer math, so the
+    * result is engine-exact against a SQL oracle re-running the same
+    * sums. This is the standard antialiasing downsample (each source
+    * pixel contributes exactly once — no sampling skew), and it runs
+    * on the DECODED raster, so chaining it after [[decodePng]] touches
+    * every real pixel. */
+  def resizeBox(img: PpmImage, factor: Int): PpmImage = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    require(img.width % factor == 0 && img.height % factor == 0,
+      s"box resize needs factor-divisible dims, got " +
+        s"${img.width}x${img.height} / $factor")
+    if (factor == 1) return img
+    val ow = img.width / factor; val oh = img.height / factor
+    val out = new Array[Byte](ow * oh * 3)
+    val per = factor * factor
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var sr = 0; var sg = 0; var sb = 0
+        var dy = 0
+        while (dy < factor) {
+          var dx = 0
+          val rowBase = ((oy * factor + dy) * img.width + ox * factor) * 3
+          while (dx < factor) {
+            val p = rowBase + dx * 3
+            sr += img.pixels(p) & 0xff
+            sg += img.pixels(p + 1) & 0xff
+            sb += img.pixels(p + 2) & 0xff
+            dx += 1
+          }
+          dy += 1
+        }
+        val o = (oy * ow + ox) * 3
+        out(o) = (sr / per).toByte
+        out(o + 1) = (sg / per).toByte
+        out(o + 2) = (sb / per).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    PpmImage(ow, oh, img.maxVal, out)
+  }
+
   final case class PngFeatures(doc_id: Long, width: Int, height: Int,
       mean_r: Long, mean_g: Long, mean_b: Long, lum_mean: Long,
       ahash_hi: Long, ahash_lo: Long)
@@ -598,6 +645,48 @@ object MediaBatchProcessor {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map(m => pngFeatures(m.doc_id, m.payload)))
+    }
+  }
+
+  final case class ResizeFeatures(doc_id: Long, src_width: Int,
+      src_height: Int, new_width: Int, new_height: Int,
+      mean_r: Long, mean_g: Long, mean_b: Long, lum_mean: Long,
+      ahash_hi: Long, ahash_lo: Long)
+
+  /** Decode one PNG payload, box-downsample the REAL raster by
+    * `factor`, and featurize the RESIZED image with the shared integer
+    * pixel math (channel means, luminance, block-mean aHash) — so the
+    * oracle re-runs the identical sums on the resized pixels and every
+    * output is decode+resize-exact, not metadata arithmetic. */
+  def resizePngFeatures(docId: Long, payload: Array[Byte],
+      factor: Int): ResizeFeatures = {
+    val src = decodePng(payload)
+    val img = resizeBox(src, factor)
+    val n = img.width.toLong * img.height
+    var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+    var p = 0
+    while (p < img.pixels.length) {
+      val r = img.pixels(p) & 0xff
+      val g = img.pixels(p + 1) & 0xff
+      val b = img.pixels(p + 2) & 0xff
+      sr += r; sg += g; sb += b; sl += lum(r, g, b)
+      p += 3
+    }
+    val (hi, lo) = averageHash(img)
+    ResizeFeatures(docId, src.width, src.height, img.width, img.height,
+      sr / n, sg / n, sb / n, sl / n, hi, lo)
+  }
+
+  /** Batch-shaped decode→resize→featurize stage — the real resize path
+    * a training pipeline runs (narrow mapPartitions, batch-bounded
+    * memory, no shuffle). */
+  def resizePngBatched(media: Dataset[MediaRow], factor: Int,
+      batchSize: Int = DefaultBatchSize): Dataset[ResizeFeatures] = {
+    val spark: SparkSession = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize)
+        .flatMap(_.map(m => resizePngFeatures(m.doc_id, m.payload, factor)))
     }
   }
 }

@@ -96,16 +96,25 @@ object MultimodalQueries {
     * cycling None/Sub/Up/Average/Paeth, zlib DEFLATE, CRC32-stamped
     * chunks. The decode side must therefore walk chunks, verify CRCs,
     * INFLATE, and reverse all five filters to get the pixels back. */
-  def textToPngRow(id: Long, t: String): MediaBatchProcessor.MediaRow = {
+  def textToPngRow(id: Long, t: String): MediaBatchProcessor.MediaRow =
+    textToPngRowSized(id, t, 8, 8)
+
+  /** Size-parameterized PNG payload builder (same byte-cycled raster
+    * model at any w×h — `mm_resize_real` feeds 16×16 so a 2× box
+    * downsample lands on an aHash-able 8×8). */
+  def textToPngRowSized(id: Long, t: String, w: Int,
+      h: Int): MediaBatchProcessor.MediaRow = {
     requireAscii(id, t)
     val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = bytes.length
-    val raster = new Array[Byte](192)
+    val raster = new Array[Byte](w * h * 3)
     var i = 0
-    while (i < 192) { raster(i) = if (n == 0) 0 else bytes(i % n); i += 1 }
+    while (i < raster.length) {
+      raster(i) = if (n == 0) 0 else bytes(i % n); i += 1
+    }
     MediaBatchProcessor.MediaRow(id,
       MediaBatchProcessor.encodePng(
-        MediaBatchProcessor.PpmImage(8, 8, 255, raster)), "image/png")
+        MediaBatchProcessor.PpmImage(w, h, 255, raster)), "image/png")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -301,15 +310,22 @@ object MultimodalQueries {
             .as("hamming"))
         .withColumn("near_dup", col("hamming") <= 8)
     },
-    "mm_resize_stub" -> { (s, dir) =>
-      withMedia(Tables(s, dir, "documents"))
-        .filter(col("meta.media_type") === "image/png")
-        .select(col("doc_id"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.byte_len").as("byte_len"))
-        .withColumn("new_width", expr("(width + 1) div 2").cast(IntegerType))
-        .withColumn("new_height", expr("(height + 1) div 2").cast(IntegerType))
-        .withColumn("resized_len", expr("(byte_len + 1) div 2"))
+    // REAL image resize (round 13 — the retired mm_resize_stub computed
+    // new dims from METADATA; this touches every pixel): each document
+    // becomes a 16×16 byte-cycled PNG through the canonical writer, the
+    // kernel decodes it (chunk walk, CRC, inflate, unfilter), then
+    // box-downsamples the REAL raster 2× — output pixel = floor(mean of
+    // its 2×2 source block), per channel, exact integer math — and
+    // featurizes the RESIZED 8×8 (channel means, luminance, block-mean
+    // aHash). The oracle re-runs the identical tap sums on the
+    // byte-cycled source model, so every output — hash bits included —
+    // is decode+resize-exact. Narrow mapPartitions, no shuffle.
+    "mm_resize_real" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => textToPngRowSized(id, t, 16, 16) }
+      MediaBatchProcessor.resizePngBatched(media, factor = 2).toDF()
     },
     // Frame sampling for "video" payloads: every k-th 32-byte frame —
     // the mapping (frame index → byte offsets) is the real plumbing a
@@ -544,15 +560,53 @@ object MultimodalQueries {
         |FROM cand
         |JOIN sig sa ON sa.doc_id = a
         |JOIN sig sb ON sb.doc_id = b""".stripMargin,
-    "mm_resize_stub" ->
-      """SELECT doc_id,
-        | CAST(strlen(text) % 64 + 1 AS INT) AS width,
-        | CAST(strlen(text) % 48 + 1 AS INT) AS height,
-        | CAST(strlen(text) AS BIGINT) AS byte_len,
-        | CAST((strlen(text) % 64 + 1 + 1) // 2 AS INT) AS new_width,
-        | CAST((strlen(text) % 48 + 1 + 1) // 2 AS INT) AS new_height,
-        | (CAST(strlen(text) AS BIGINT) + 1) // 2 AS resized_len
-        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    // the oracle re-runs decode+resize arithmetically: source pixel
+    // p = y*16+x has channel bytes text[(3p+c) mod n] (the byte-cycled
+    // builder model; SILENCE for empty text), resized pixel k
+    // (X=k%8, Y=k//8) box-averages its four taps (2X+dx, 2Y+dy), then
+    // the standard integer means + block-mean aHash over the RESIZED
+    // 8×8 — any error in the kernel's inflate, unfilter, tap indexing,
+    // or floor division diverges every aggregate and hash bit
+    "mm_resize_real" ->
+      """WITH taps AS (
+        | SELECT doc_id, text, n, k,
+        |  (2*(k//8) + dy) * 16 + 2*(k%8) + dx AS p
+        | FROM (SELECT doc_id, text, strlen(text) AS n,
+        |        unnest(range(0, 64)) AS k FROM documents) t,
+        |      (SELECT unnest(range(0, 2)) AS dx) xx,
+        |      (SELECT unnest(range(0, 2)) AS dy) yy),
+        |tapv AS (
+        | SELECT doc_id, k,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*p) % greatest(n, 1) AS INT) + 1, 1)) END AS r,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*p+1) % greatest(n, 1) AS INT) + 1, 1)) END AS g,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*p+2) % greatest(n, 1) AS INT) + 1, 1)) END AS b
+        | FROM taps),
+        |px AS (SELECT doc_id, k, SUM(r) // 4 AS r, SUM(g) // 4 AS g,
+        |        SUM(b) // 4 AS b
+        |       FROM tapv GROUP BY doc_id, k),
+        |lm AS (SELECT doc_id, k, r, g, b, (2*r + 5*g + b) // 8 AS l FROM px),
+        |st AS (
+        | SELECT doc_id, SUM(r) // 64 AS mean_r, SUM(g) // 64 AS mean_g,
+        |        SUM(b) // 64 AS mean_b, SUM(l) // 64 AS lum_mean
+        | FROM lm GROUP BY doc_id)
+        |SELECT lm.doc_id,
+        | CAST(16 AS INT) AS src_width, CAST(16 AS INT) AS src_height,
+        | CAST(8 AS INT) AS new_width, CAST(8 AS INT) AS new_height,
+        | CAST(ANY_VALUE(st.mean_r) AS BIGINT) AS mean_r,
+        | CAST(ANY_VALUE(st.mean_g) AS BIGINT) AS mean_g,
+        | CAST(ANY_VALUE(st.mean_b) AS BIGINT) AS mean_b,
+        | CAST(ANY_VALUE(st.lum_mean) AS BIGINT) AS lum_mean,
+        | CAST(SUM(CASE WHEN lm.l > st.lum_mean AND lm.k >= 32
+        |          THEN 1::BIGINT << CAST(lm.k - 32 AS INT) ELSE 0 END)
+        |   AS BIGINT) AS ahash_hi,
+        | CAST(SUM(CASE WHEN lm.l > st.lum_mean AND lm.k < 32
+        |          THEN 1::BIGINT << CAST(lm.k AS INT) ELSE 0 END)
+        |   AS BIGINT) AS ahash_lo
+        |FROM lm JOIN st ON st.doc_id = lm.doc_id
+        |GROUP BY lm.doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(x // 96 AS INT) AS frame_no, x AS frame_offset
         |FROM (

@@ -240,6 +240,39 @@ class MediaBatchSpec extends SparkTestBase {
     assert(e.getMessage.contains("preset dictionary"), e.getMessage)
   }
 
+  test("resizeBox: hand-computed 2x box average, floor semantics, and a " +
+      "full decode->resize->featurize round trip on a real PNG") {
+    // 2x2 -> 1x1: output = floor(mean of 4) per channel
+    val tiny = PpmImage(2, 2, 255, Array[Byte](
+      10, 0, 0,  20, 0, 0,
+      30, 0, 0,  43, 0, 0)) // r: (10+20+30+43)/4 = 103/4 = 25 (floor)
+    val r1 = resizeBox(tiny, 2)
+    assert(r1.width == 1 && r1.height == 1)
+    assert((r1.pixels(0) & 0xff) == 25 && (r1.pixels(1) & 0xff) == 0)
+    // factor 1 is the identity; non-divisible dims fail loudly
+    assert(resizeBox(tiny, 1) eq tiny)
+    intercept[IllegalArgumentException](
+      resizeBox(PpmImage(3, 3, 255, new Array[Byte](27)), 2))
+    // end-to-end: a 16x16 byte-cycled PNG decoded + resized via the
+    // kernel equals resizeBox applied to the raw raster directly
+    val row = MultimodalQueries.textToPngRowSized(7L, "The quick brown fox", 16, 16)
+    val viaKernel = resizePngFeatures(row.doc_id, row.payload, 2)
+    val raw = {
+      val bytes = "The quick brown fox".getBytes("US-ASCII")
+      PpmImage(16, 16, 255,
+        Array.tabulate(768)(i => bytes(i % bytes.length)))
+    }
+    val resized = resizeBox(raw, 2)
+    val direct = ppmFeatures(7L, encodePpm(resized))
+    assert(viaKernel.src_width == 16 && viaKernel.new_width == 8)
+    assert(viaKernel.mean_r == direct.mean_r &&
+      viaKernel.mean_g == direct.mean_g &&
+      viaKernel.mean_b == direct.mean_b &&
+      viaKernel.lum_mean == direct.lum_mean)
+    assert(viaKernel.ahash_hi == direct.ahash_hi &&
+      viaKernel.ahash_lo == direct.ahash_lo)
+  }
+
   test("textToPngRow: empty text encodes silence; fixture decode matches " +
       "the byte-cycled model the oracle computes") {
     val empty = MultimodalQueries.textToPngRow(3L, "")
