@@ -204,6 +204,44 @@ object TextQueries {
     "text_chunk_dedup" -> { (s, dir) =>
       TextAnalysis.chunkDedup(Tables(s, dir, "documents"), "doc_id", "text")
     },
+    // Duplicated-substring spans (round 13) — the training-data-dedup
+    // standard beyond whole-doc/chunk dedup: find every MAXIMAL run of
+    // tokens that also appears in another document. Every k-token
+    // window (k=3) is hashed (md5 of the space-joined tokens — a fixed
+    // 16-byte shuffle key; at 100 TB you'd xxhash64 to 8 bytes, the
+    // banding math is unchanged); ONE groupBy finds windows occurring
+    // in >= 2 distinct docs; the duplicated windows join back (equi on
+    // the hash — both sides corpus-derived, merge-pinned, NEVER
+    // broadcast or all-pairs) and adjacent duplicate starts coalesce
+    // into maximal spans per doc via the sorted-runs trick (island id =
+    // start - row_number, window partitioned BY DOC — bounded input).
+    // Total: two shuffles (window groupBy + join) + one per-doc sort.
+    "text_dup_spans" -> { (s, dir) =>
+      val k = 3
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= k)
+      val wins = toks.select(col("doc_id"),
+          posexplode(expr(
+            s"""transform(sequence(0, size(toks) - $k),
+               | i -> concat_ws(' ', slice(toks, i + 1, $k)))""".stripMargin))
+            .as(Seq("start", "win")))
+        .select(col("doc_id"), col("start").cast("long").as("start"),
+          md5(col("win")).as("wh"))
+      val dup = wins.groupBy("wh")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("wh")
+      val dupWins = wins.join(dup.hint("merge"), "wh")
+      val w = Window.partitionBy("doc_id").orderBy("start")
+      dupWins
+        .withColumn("isl", col("start") - row_number().over(w))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min("start").as("span_start"),
+          (max("start") + lit(k - 1).cast("long")).as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    },
     // Vocabulary-shape fit: Zipf slope + Gini concentration of the token
     // frequency distribution — the two standard "is this corpus
     // natural-language-shaped?" diagnostics (Zipf's law exponent ≈ −1;
@@ -516,6 +554,35 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // same tokenization (lower+trim, \s+ split), same 3-token windows
+    // (lead-built instead of slice-built), same md5 window key, same
+    // >=2-distinct-docs gate, same island coalescing — exact span
+    // offsets on both engines
+    "text_dup_spans" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+        |  generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1)
+        |    - 1 AS pos
+        | FROM documents),
+        |wins AS (
+        | SELECT doc_id, pos AS start,
+        |  md5(tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+        |      lead(tok, 2) OVER w) AS wh,
+        |  lead(tok, 2) OVER w AS t2
+        | FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |wv AS (SELECT doc_id, start, wh FROM wins WHERE t2 IS NOT NULL),
+        |dup AS (SELECT wh FROM wv GROUP BY wh
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dw AS (SELECT w.doc_id, w.start FROM wv w JOIN dup USING (wh)),
+        |isl AS (
+        | SELECT doc_id, start,
+        |  start - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) AS g
+        | FROM dw)
+        |SELECT doc_id, CAST(MIN(start) AS BIGINT) AS span_start,
+        | CAST(MAX(start) + 2 AS BIGINT) AS span_end,
+        | CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY doc_id, g""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0
