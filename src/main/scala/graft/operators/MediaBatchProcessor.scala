@@ -648,6 +648,43 @@ object MediaBatchProcessor {
     }
   }
 
+  final case class JpegFeatures(doc_id: Long, width: Int, height: Int,
+      mean_r: Long, mean_g: Long, mean_b: Long, lum_mean: Long,
+      ahash_hi: Long, ahash_lo: Long)
+
+  /** Decode + featurize one baseline JPEG payload via [[JpegKernel]]:
+    * marker walk, DQT/DHT parse, Huffman decode, dequant, IDCT,
+    * YCbCr→RGB — then the SAME integer pixel math as the PPM/PNG paths
+    * (channel means, luminance, block-mean aHash), so one oracle model
+    * covers every image format. */
+  def jpegFeatures(docId: Long, payload: Array[Byte]): JpegFeatures = {
+    val img = JpegKernel.decodeJpeg(payload)
+    val n = img.width.toLong * img.height
+    var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+    var p = 0
+    while (p < img.pixels.length) {
+      val r = img.pixels(p) & 0xff
+      val g = img.pixels(p + 1) & 0xff
+      val b = img.pixels(p + 2) & 0xff
+      sr += r; sg += g; sb += b; sl += lum(r, g, b)
+      p += 3
+    }
+    val (hi, lo) = averageHash(img)
+    JpegFeatures(docId, img.width, img.height,
+      sr / n, sg / n, sb / n, sl / n, hi, lo)
+  }
+
+  /** Batch-shaped JPEG decode — the same narrow mapPartitions shape as
+    * the PPM/WAV/PNG paths; real entropy decode + IDCT per payload. */
+  def decodeJpegBatched(media: Dataset[MediaRow],
+      batchSize: Int = DefaultBatchSize): Dataset[JpegFeatures] = {
+    val spark: SparkSession = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map(m => jpegFeatures(m.doc_id, m.payload)))
+    }
+  }
+
   final case class ResizeFeatures(doc_id: Long, src_width: Int,
       src_height: Int, new_width: Int, new_height: Int,
       mean_r: Long, mean_g: Long, mean_b: Long, lum_mean: Long,

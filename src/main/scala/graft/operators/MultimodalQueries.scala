@@ -117,6 +117,41 @@ object MultimodalQueries {
         MediaBatchProcessor.PpmImage(w, h, 255, raster)), "image/png")
   }
 
+  /** `mm_jpeg_decode`'s payload builder: a 16×16 raster of four FLAT
+    * 8×8 blocks — block bi (row-major: by·2+bx) takes RGB from text
+    * bytes (3bi, 3bi+1, 3bi+2) mod n (SILENCE for empty text) — pushed
+    * through the conforming baseline encoder (4:4:4 MCUs, Annex K
+    * Huffman tables, byte stuffing). Flat blocks make the
+    * DCT→quantize→dequantize→IDCT chain LOSSLESS (DC-only, quantizer
+    * divides exactly), so the decoded pixels are the exact integer
+    * rgb→ycc→rgb fixed-point model the SQL oracle re-derives — while
+    * the decoder still runs the real general machinery: marker walk,
+    * DQT/DHT parse, canonical Huffman decode, DC prediction across the
+    * four MCUs, dequant, full IDCT, color reconstruction. */
+  def textToJpegRow(id: Long, t: String): MediaBatchProcessor.MediaRow = {
+    requireAscii(id, t)
+    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = bytes.length
+    def tb(i: Int): Int = if (n == 0) 0 else bytes(i % n) & 0xff
+    val raster = new Array[Byte](16 * 16 * 3)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val bi = (y / 8) * 2 + x / 8
+        val p = (y * 16 + x) * 3
+        raster(p) = tb(3 * bi).toByte
+        raster(p + 1) = tb(3 * bi + 1).toByte
+        raster(p + 2) = tb(3 * bi + 2).toByte
+        x += 1
+      }
+      y += 1
+    }
+    MediaBatchProcessor.MediaRow(id,
+      JpegKernel.encodeJpeg(
+        MediaBatchProcessor.PpmImage(16, 16, 255, raster)), "image/jpeg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary ingest + metadata extraction — the oracle-checkable slice
     // (byte length and media-type routing are exact integer/string logic).
@@ -309,6 +344,22 @@ object MultimodalQueries {
             bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long")
             .as("hamming"))
         .withColumn("near_dup", col("hamming") <= 8)
+    },
+    // REAL baseline JPEG decode (round 13 — the LAST contract-only image
+    // codec retired): the payload is a conforming SOF0 JPEG from the
+    // canonical encoder and the kernel re-derives EVERYTHING from the
+    // container bytes — marker walk, DQT/DHT parse, canonical Huffman
+    // decode with byte unstuffing, DC prediction across MCUs, dequant,
+    // full 8×8 IDCT, fixed-point YCbCr→RGB — then the shared integer
+    // pixel math. The fixture's flat blocks make the transform chain
+    // lossless (see textToJpegRow), so every output — hash bits
+    // included — is oracle-exact. Narrow mapPartitions, no shuffle.
+    "mm_jpeg_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => textToJpegRow(id, t) }
+      MediaBatchProcessor.decodeJpegBatched(media).toDF()
     },
     // REAL image resize (round 13 — the retired mm_resize_stub computed
     // new dims from METADATA; this touches every pixel): each document
@@ -560,6 +611,70 @@ object MultimodalQueries {
         |FROM cand
         |JOIN sig sa ON sa.doc_id = a
         |JOIN sig sb ON sb.doc_id = b""".stripMargin,
+    // the oracle re-derives the decoded raster arithmetically: block bi
+    // takes RGB from text bytes (3bi..3bi+2); the fixed-point forward
+    // transform (y = (77r+150g+29b)>>8, cb/cr with FLOOR division —
+    // DuckDB's `//` TRUNCATES, so the signed divisions use
+    // floor(x/256.0)) round-trips losslessly through the flat-block DCT
+    // chain, and the inverse transform + clamp gives the exact decoded
+    // pixels; means are over 64-pixel flat blocks (Σ·64 // 256 = Σ //
+    // 4) and the aHash's 2×2 cells each lie inside one flat block
+    // (cell bi = ((k//8)//4)*2 + (k%8)//4). Any error in the kernel's
+    // Huffman decode, DC prediction, dequant, IDCT rounding, or color
+    // math diverges every aggregate and hash bit.
+    "mm_jpeg_decode" ->
+      """WITH blocks AS (
+        | SELECT doc_id, bi,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*bi) % greatest(n, 1) AS INT) + 1, 1)) END AS r0,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*bi+1) % greatest(n, 1) AS INT) + 1, 1)) END AS g0,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*bi+2) % greatest(n, 1) AS INT) + 1, 1)) END AS b0
+        | FROM (SELECT doc_id, text, strlen(text) AS n,
+        |        unnest(range(0, 4)) AS bi FROM documents)),
+        |ycc AS (
+        | SELECT doc_id, bi,
+        |  (77*r0 + 150*g0 + 29*b0) // 256 AS y,
+        |  128 + CAST(floor((-43*r0 - 85*g0 + 128*b0) / 256.0) AS INT) AS cb,
+        |  128 + CAST(floor((128*r0 - 107*g0 - 21*b0) / 256.0) AS INT) AS cr
+        | FROM blocks),
+        |rgb AS (
+        | SELECT doc_id, bi,
+        |  GREATEST(0, LEAST(255,
+        |    y + CAST(floor(359*(cr-128) / 256.0) AS INT))) AS r,
+        |  GREATEST(0, LEAST(255,
+        |    y - CAST(floor((88*(cb-128) + 183*(cr-128)) / 256.0) AS INT))) AS g,
+        |  GREATEST(0, LEAST(255,
+        |    y + CAST(floor(454*(cb-128) / 256.0) AS INT))) AS b
+        | FROM ycc),
+        |lm AS (SELECT doc_id, bi, r, g, b, (2*r + 5*g + b) // 8 AS l FROM rgb),
+        |st AS (
+        | SELECT doc_id, SUM(r) // 4 AS mean_r, SUM(g) // 4 AS mean_g,
+        |        SUM(b) // 4 AS mean_b, SUM(l) // 4 AS lum_mean
+        | FROM lm GROUP BY doc_id),
+        |cl AS (
+        | SELECT lm.doc_id, c.k, lm.l
+        | FROM (SELECT doc_id, k, ((k//8)//4)*2 + (k%8)//4 AS bi
+        |       FROM documents, (SELECT unnest(range(0, 64)) AS k) kk) c
+        | JOIN lm ON lm.doc_id = c.doc_id AND lm.bi = c.bi),
+        |mn AS (SELECT doc_id, SUM(l) // 64 AS m FROM cl GROUP BY doc_id)
+        |SELECT cl.doc_id,
+        | CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        | CAST(ANY_VALUE(st.mean_r) AS BIGINT) AS mean_r,
+        | CAST(ANY_VALUE(st.mean_g) AS BIGINT) AS mean_g,
+        | CAST(ANY_VALUE(st.mean_b) AS BIGINT) AS mean_b,
+        | CAST(ANY_VALUE(st.lum_mean) AS BIGINT) AS lum_mean,
+        | CAST(SUM(CASE WHEN cl.l > mn.m AND cl.k >= 32
+        |          THEN 1::BIGINT << CAST(cl.k - 32 AS INT) ELSE 0 END)
+        |   AS BIGINT) AS ahash_hi,
+        | CAST(SUM(CASE WHEN cl.l > mn.m AND cl.k < 32
+        |          THEN 1::BIGINT << CAST(cl.k AS INT) ELSE 0 END)
+        |   AS BIGINT) AS ahash_lo
+        |FROM cl
+        |JOIN mn ON mn.doc_id = cl.doc_id
+        |JOIN st ON st.doc_id = cl.doc_id
+        |GROUP BY cl.doc_id""".stripMargin,
     // the oracle re-runs decode+resize arithmetically: source pixel
     // p = y*16+x has channel bytes text[(3p+c) mod n] (the byte-cycled
     // builder model; SILENCE for empty text), resized pixel k

@@ -240,6 +240,63 @@ class MediaBatchSpec extends SparkTestBase {
     assert(e.getMessage.contains("preset dictionary"), e.getMessage)
   }
 
+  test("JPEG flat-block round trip is EXACT: encode->decode reproduces " +
+      "the integer rgb->ycc->rgb model on every pixel (the oracle contract)") {
+    // 16x16, four flat 8x8 blocks with distinct RGB triples — block
+    // rasters exercise DC prediction across MCUs and all three
+    // component pipelines; flatness makes the DCT path lossless
+    val vals = Array((200, 30, 90), (12, 250, 7), (128, 128, 128), (255, 0, 255))
+    val px = new Array[Byte](16 * 16 * 3)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val (r, g, b) = vals((y / 8) * 2 + x / 8)
+      val p = (y * 16 + x) * 3
+      px(p) = r.toByte; px(p + 1) = g.toByte; px(p + 2) = b.toByte
+    }
+    val img = PpmImage(16, 16, 255, px)
+    val dec = JpegKernel.decodeJpeg(JpegKernel.encodeJpeg(img))
+    assert(dec.width == 16 && dec.height == 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val (r0, g0, b0) = vals((y / 8) * 2 + x / 8)
+      val (yy, cb, cr) = JpegKernel.rgbToYcc(r0, g0, b0)
+      val (er, eg, eb) = JpegKernel.yccToRgb(yy, cb, cr)
+      val p = (y * 16 + x) * 3
+      assert((dec.pixels(p) & 0xff) == er &&
+        (dec.pixels(p + 1) & 0xff) == eg &&
+        (dec.pixels(p + 2) & 0xff) == eb,
+        s"pixel ($x,$y): got (${dec.pixels(p) & 0xff},${dec.pixels(p + 1) & 0xff}," +
+          s"${dec.pixels(p + 2) & 0xff}) want ($er,$eg,$eb)")
+    }
+  }
+
+  test("JPEG non-flat round trip exercises the AC run/size path within " +
+      "the standard lossy bound; hostile/unsupported streams fail loudly") {
+    // deterministic pseudo-random raster: many nonzero AC coefficients,
+    // ZRL-able zero runs, negative magnitudes
+    val px = Array.tabulate(16 * 16 * 3)(i => ((i * 131 + 17) % 251).toByte)
+    val img = PpmImage(16, 16, 255, px)
+    val jpeg = JpegKernel.encodeJpeg(img)
+    val dec = JpegKernel.decodeJpeg(jpeg)
+    assert(dec.width == 16 && dec.height == 16)
+    var worst = 0
+    for (p <- px.indices) {
+      val d = math.abs((dec.pixels(p) & 0xff) - (px(p) & 0xff))
+      if (d > worst) worst = d
+    }
+    // AC quantizer 16 → per-coefficient error <= 8; the block-wise
+    // worst case stays well under 96 levels in practice
+    assert(worst <= 96, s"round-trip error $worst exceeds the lossy bound")
+    // hostility: bad SOI, truncation, progressive SOF2, restart interval
+    intercept[IllegalArgumentException](JpegKernel.decodeJpeg("JUNK".getBytes))
+    intercept[IllegalArgumentException](
+      JpegKernel.decodeJpeg(jpeg.take(jpeg.length / 2)))
+    val sof2 = jpeg.clone()
+    // find the SOF0 marker (FF C0) and flip it to SOF2 (progressive)
+    val at = sof2.indices.dropRight(1).find(i =>
+      (sof2(i) & 0xff) == 0xff && (sof2(i + 1) & 0xff) == 0xc0).get
+    sof2(at + 1) = 0xc2.toByte
+    intercept[IllegalArgumentException](JpegKernel.decodeJpeg(sof2))
+  }
+
   test("resizeBox: hand-computed 2x box average, floor semantics, and a " +
       "full decode->resize->featurize round trip on a real PNG") {
     // 2x2 -> 1x1: output = floor(mean of 4) per channel
