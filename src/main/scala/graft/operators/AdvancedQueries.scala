@@ -1005,22 +1005,18 @@ object AdvancedQueries {
     // top-10 users via a bounded TakeOrdered, probed against the
     // broadcast sketch. All exact integers → hash-exact oracle.
     "agg_countmin_topk" -> { (s, dir) =>
+      // thin wrapper since round 13: the sketch build and its cell hash
+      // are the callable library entry points (Stats.cmsSketch/cmsCell —
+      // also the streaming monitor's grid); the exact-top-10 audit probe
+      // stays query-side
       val ev = Tables(s, dir, "events")
-      val cells = ev.select(col("user_id"),
-          explode(expr("sequence(0, 3)")).as("j"))
-        .select(col("user_id"), col("j"),
-          expr("""cast(conv(substring(md5(concat(cast(j as string), ':',
-                |  cast(user_id as string))), 1, 8), 16, 10) as bigint)
-                |  % 1024""".stripMargin).as("cell"))
-      val sketch = cells.groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+      val sketch = Stats.cmsSketch(ev, col("user_id"))
       val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("user_id")).limit(10)
       val probes = top.select(col("user_id"), col("exact_cnt"),
           explode(expr("sequence(0, 3)")).as("j"))
         .select(col("user_id"), col("exact_cnt"), col("j"),
-          expr("""cast(conv(substring(md5(concat(cast(j as string), ':',
-                |  cast(user_id as string))), 1, 8), 16, 10) as bigint)
-                |  % 1024""".stripMargin).as("cell"))
+          Stats.cmsCell(col("user_id"), col("j")).as("cell"))
       // the LIMIT-bounded probe side broadcasts (sweep-excused); the
       // corpus-derived sketch aggregate is the streamed side
       sketch.join(broadcast(probes), Seq("j", "cell"))

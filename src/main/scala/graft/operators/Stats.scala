@@ -137,6 +137,42 @@ object Stats {
   def hllEstimate(df: DataFrame, key: Column): DataFrame =
     hllEstimateFromRegisters(hllRegisters(df, key))
 
+  // -------------------------------------------------------------------
+  // Count-Min sketch (d×w grid, default 4×1024): the mergeable
+  // fixed-size frequency sketch — estimate(key) = MIN over the d rows,
+  // one-sided (only ever OVERcounts). The sketch table is d·w rows at
+  // ANY corpus size, and sketches from disjoint shards — or successive
+  // micro-batches (StreamingOps.cmsMonitor) — merge by cell-wise SUM
+  // (cmsMerge below). Registered query `agg_countmin_topk` and the
+  // streaming monitor are thin wrappers over these.
+  // -------------------------------------------------------------------
+
+  /** CMS cell index for `key` in sketch row `j`: md5-derived 2³²-range
+    * uniform of "j:key" mod width — the engine-portable integer hashing
+    * every sketch in the library uses, so a SQL oracle reproduces it. */
+  def cmsCell(key: Column, j: Column, width: Int = 1024): Column =
+    conv(substring(md5(concat(j.cast("string"), lit(":"),
+      key.cast("string"))), 1, 8), 16, 10).cast("long") % width
+
+  /** Build the (j, cell, cnt) sketch table over `key`: one narrow ×d
+    * explode + one d·w-key partial-aggregated shuffle. Works unchanged
+    * on a STREAMING DataFrame (the groupBy becomes Spark's stateful
+    * running aggregate — see [[graft.streaming.StreamingOps.cmsMonitor]]). */
+  def cmsSketch(df: DataFrame, key: Column, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad CMS grid ${depth}x$width")
+    df.select(key.as("__k"), explode(expr(s"sequence(0, ${depth - 1})")).as("j"))
+      .select(col("j"), cmsCell(col("__k"), col("j"), width).as("cell"))
+      .groupBy("j", "cell").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketches from disjoint shards (or micro-batch deltas):
+    * cell-wise SUM — the property that makes CMS a 100 TB sketch. */
+  def cmsMerge(shards: DataFrame*): DataFrame = {
+    require(shards.nonEmpty, "need at least one sketch table")
+    shards.reduce(_ unionAll _).groupBy("j", "cell").agg(sum("cnt").as("cnt"))
+  }
+
   /** Kaplan–Meier survival over per-user lifetimes. Each user's
     * lifetime = (last − first event) in whole HOURS; a user is an
     * observed churn if their last event is more than `censorGapNanos`

@@ -213,6 +213,22 @@ object StreamingOps {
         col("n_novel"))
   }
 
+  /** Streaming Count-Min sketch monitor (round 13) — the mergeable-CMS
+    * twin of the batch `agg_countmin_topk` grid, proving the sketch's
+    * mergeability where it matters: Spark's stateful aggregation merges
+    * each micro-batch's partial cell counts into the running grid by
+    * exactly the cell-wise SUM that makes CMS a sketch
+    * ([[graft.operators.Stats.cmsMerge]]). State is the FIXED d×w cell
+    * grid (≤ 4096 rows of one Long each) at ANY stream length — the
+    * sketch IS the state bound: it replaces the per-key running counts
+    * a heavy-hitter monitor would otherwise have to evict. Read the
+    * running frequency estimate of key x as MIN over its d cells.
+    * `StreamingSpec` proves N micro-batches' final sketch ≡ the batch
+    * sketch over the union, and ≡ the cmsMerge of per-batch sketches. */
+  def cmsMonitor(events: DataFrame, depth: Int = 4,
+      width: Int = 1024): DataFrame =
+    graft.operators.Stats.cmsSketch(events, col("user_id"), depth, width)
+
   /** Built-in session windows (30-minute gap) — one row per closed
     * session per user. */
   def sessionWindows(events: DataFrame): DataFrame =

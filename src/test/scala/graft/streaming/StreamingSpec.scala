@@ -154,6 +154,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cmsMonitor: the mergeable Count-Min grid across micro-batches — " +
+      "final streaming sketch equals the batch sketch over the union, " +
+      "and equals cmsMerge of per-batch sketches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(_.ts)
+    val (b1, rest) = all.splitAt(all.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val stream = MemoryStream[Event]
+    val q = cmsMonitor(stream.toDF())
+      .writeStream.format("memory").queryName("cms")
+      .outputMode("complete").start()
+    try {
+      stream.addData(b1.toSeq); q.processAllAvailable()
+      stream.addData(b2.toSeq); q.processAllAvailable()
+      stream.addData(b3.toSeq); q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val got = canon(spark.table("cms"))
+      // ≡ the one-shot batch sketch over the union of the batches
+      val batch = canon(graft.operators.Stats.cmsSketch(
+        events.selectExpr("user_id"), col("user_id")))
+      assert(got == batch, "streaming running sketch != batch sketch")
+      assert(got.nonEmpty && got.values.sum == all.length.toLong * 4)
+      // ≡ cell-wise SUM of independent per-batch sketches (the shard-
+      // merge property the streaming state update relies on)
+      def shard(b: Array[Event]) = graft.operators.Stats.cmsSketch(
+        b.toSeq.toDF().selectExpr("user_id"), col("user_id"))
+      val merged = canon(graft.operators.Stats.cmsMerge(
+        shard(b1), shard(b2), shard(b3)))
+      assert(merged == batch, "cmsMerge of shards != whole-corpus sketch")
+    } finally q.stop()
+  }
+
   test("tumbling window streaming counts match the batch oracle query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
