@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Callable library entry points for the one-shot graph analytics that
+  * previously lived only inside registered-query lambdas (round-13
+  * verdict item 6 — the round-12 `Stats` extraction pattern): top-k
+  * Jaccard node similarity, two-round HITS hubs/authorities, and
+  * per-community modularity contributions, each usable on ARBITRARY
+  * edge/adjacency tables. Semantics, integer-exactness discipline, and
+  * plan shapes are unchanged from the query forms; the fixture-level
+  * contract remains the driver's oracle gate (`graph_jaccard_topk`,
+  * `graph_hits`, `graph_modularity`), and `LibraryApiSpec` exercises
+  * each entry point on hand-computed synthetic graphs. The iterative
+  * fixpoint family (k-core / LPA / PageRank / SSSP) already lives in
+  * [[GraphIterate]].
+  */
+object GraphAnalytics {
+
+  /** Top-k node pairs by Jaccard similarity of their neighbor sets over
+    * an undirected adjacency `(node, nbr)`. Common neighbors come from
+    * ONE wedge join keyed on the shared neighbor (`x.node < y.node`
+    * halves the pairs) — never an all-pairs product; the fan-out is
+    * bounded when the adjacency is (as the fixture's co-purchase graph
+    * is) kNN-sparsified. Jaccard is exact integer cross-multiplication
+    * (`inter·10⁶ div (|A|+|B|−inter)`), and the deterministic top-k
+    * (`jacc_micro DESC, a, b` — a total order) runs as
+    * TakeOrderedAndProject: a distributed heap, no global sort. */
+  def jaccardTopK(adj: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
+    val common = adj.as("x").join(adj.as("y"),
+        col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    common
+      .join(deg.select(col("node").as("da_n"), col("d").as("deg_a")),
+        col("a") === col("da_n"))
+      .join(deg.select(col("node").as("db_n"), col("d").as("deg_b")),
+        col("b") === col("db_n"))
+      .select(col("a"), col("b"), col("inter"), col("deg_a"), col("deg_b"),
+        expr("inter * 1000000 div (deg_a + deg_b - inter)").as("jacc_micro"))
+      .orderBy(col("jacc_micro").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** Two-round HITS hubs & authorities over directed weighted edges
+    * `(src, dst, w)` — sources score as hubs, targets as authorities
+    * (on a bipartite crawl/trade graph that is the source-quality /
+    * content-quality split). Integer fixed-point: every hub starts at
+    * 10⁶, each round is one equi-join + one aggregate per direction,
+    * and the L1 normalization is `raw·10⁶ div Σraw` (BIGINT floor
+    * division — deterministic, no float reduction). Each round's raw
+    * score table is localCheckpointed (node-sized) because its
+    * normalization references it twice and the recomputes would
+    * COMPOUND across the levels (~2³ edge joins measured before the
+    * pin). Overflow envelope: raw·10⁶ ≤ 10¹⁸ holds through ~10⁶-weight
+    * graphs; at 10⁹-edge scale widen the products to DECIMAL(38,0).
+    * Output: `(node, score_micro, kind ∈ {hub, authority})`. */
+  def hits(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst", "w")
+    val a1raw = e.groupBy("dst")
+      .agg((sum("w") * lit(1000000L)).as("araw")).localCheckpoint()
+    val a1 = a1raw.crossJoin(broadcast(a1raw.agg(sum("araw").as("at"))))
+      .select(col("dst"), expr("araw * 1000000 div at").as("a"))
+    val h1raw = e.join(a1, "dst").groupBy("src")
+      .agg(sum(expr("a * w")).as("hraw")).localCheckpoint()
+    val h1 = h1raw.crossJoin(broadcast(h1raw.agg(sum("hraw").as("ht"))))
+      .select(col("src"), expr("hraw * 1000000 div ht").as("h"))
+    val a2raw = e.join(h1, "src").groupBy("dst")
+      .agg(sum(expr("h * w")).as("araw2")).localCheckpoint()
+    val a2 = a2raw.crossJoin(broadcast(a2raw.agg(sum("araw2").as("at2"))))
+      .select(col("dst"), expr("araw2 * 1000000 div at2").as("a2"))
+    h1.select(col("src").as("node"), col("h").as("score_micro"),
+        lit("hub").as("kind"))
+      .unionAll(a2.select(col("dst"), col("a2"), lit("authority")))
+  }
+
+  /** Per-community modularity contributions of a node partition over
+    * directed weighted edges `(src, dst, w)`: Q = Σ_c [intra_c/W −
+    * (D_c/W)²] with W the total directed weight, emitted as one row per
+    * community with the contribution in integer micro-units (every
+    * input to the one double expression is an exact BIGINT, so the
+    * quantized value is bit-identical across engines; at 10⁹+ edges
+    * widen the products to DECIMAL(38,0)). `communities` is a
+    * `(node, comm)` map and must be DIMENSION-sized — it is broadcast
+    * twice (src side, dst side); a corpus-sized partition table needs
+    * the same join re-keyed, not this entry point. One community-keyed
+    * aggregate, no new corpus shuffle beyond the edge scan. */
+  def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst", "w")
+    val nc = communities.select("node", "comm")
+    val tot = e.agg(sum("w").as("w_total"))
+    e.join(broadcast(nc.select(col("node").as("src"), col("comm").as("sc"))), "src")
+      .join(broadcast(nc.select(col("node").as("dst"), col("comm").as("dc"))), "dst")
+      .groupBy(col("sc").as("community"))
+      .agg(sum("w").as("d_c"),
+        sum(when(col("sc") === col("dc"), col("w")).otherwise(0L)).as("intra_w"))
+      .crossJoin(broadcast(tot))
+      .select(col("community"), col("d_c"), col("intra_w"), col("w_total"),
+        expr("""cast(floor(cast(intra_w * w_total - d_c * d_c as double)
+              |  / (cast(w_total as double) * cast(w_total as double))
+              |  * 1e6 + 0.5d) as bigint)""".stripMargin)
+          .as("q_contrib_micro"))
+  }
+}

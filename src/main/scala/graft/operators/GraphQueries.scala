@@ -365,20 +365,10 @@ object GraphQueries {
     "graph_sssp_fixpoint" -> { (s, dir) =>
       GraphIterate.ssspFixpoint(fixtureAdj(s, dir), source = 0L)._1
     },
+    // thin wrapper since round 13: the wedge-join Jaccard top-k is the
+    // callable GraphAnalytics.jaccardTopK entry point
     "graph_jaccard_topk" -> { (s, dir) =>
-      val adj = coAdj(s, dir)
-      val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
-      val common = adj.as("x").join(adj.as("y"),
-          col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
-        .groupBy(col("x.node").as("a"), col("y.node").as("b"))
-        .agg(count(lit(1)).as("inter"))
-      common
-        .join(deg.select(col("node").as("da_n"), col("d").as("deg_a")), col("a") === col("da_n"))
-        .join(deg.select(col("node").as("db_n"), col("d").as("deg_b")), col("b") === col("db_n"))
-        .select(col("a"), col("b"), col("inter"), col("deg_a"), col("deg_b"),
-          expr("inter * 1000000 div (deg_a + deg_b - inter)").as("jacc_micro"))
-        .orderBy(col("jacc_micro").desc, col("a"), col("b"))
-        .limit(20)
+      GraphAnalytics.jaccardTopK(coAdj(s, dir), k = 20)
     },
 
     // HITS hubs & authorities on the BIPARTITE trade graph — the
@@ -393,29 +383,13 @@ object GraphQueries {
     // normalization products to DECIMAL(38,0) (the vec_whiten pattern).
     // Same per-round plan shape as graph_pagerank — shuffles keyed on
     // the graph keys, no collect.
+    // thin wrapper since round 13: the two-round fixed-point HITS (with
+    // its per-round localCheckpoint pin — the normalizations reference
+    // each raw table twice and the recomputes would compound ~2³
+    // without it) is the callable GraphAnalytics.hits entry point; the
+    // customer→supplier direction filter stays query-side.
     "graph_hits" -> { (s, dir) =>
-      val e = tradeEdges(s, dir).where(col("src") % 2 === 0)
-        .select("src", "dst", "w")
-      // each normalization references its raw table twice (Σ total +
-      // the join) — without materialization the recomputes COMPOUND
-      // across the three levels (~2³ edge joins; measured 5.5 s warm).
-      // localCheckpoint each round's score table (node-sized, tiny),
-      // the same treatment as graph_kcore's peel rounds.
-      val a1raw = e.groupBy("dst")
-        .agg((sum("w") * lit(1000000L)).as("araw")).localCheckpoint()
-      val a1 = a1raw.crossJoin(broadcast(a1raw.agg(sum("araw").as("at"))))
-        .select(col("dst"), expr("araw * 1000000 div at").as("a"))
-      val h1raw = e.join(a1, "dst").groupBy("src")
-        .agg(sum(expr("a * w")).as("hraw")).localCheckpoint()
-      val h1 = h1raw.crossJoin(broadcast(h1raw.agg(sum("hraw").as("ht"))))
-        .select(col("src"), expr("hraw * 1000000 div ht").as("h"))
-      val a2raw = e.join(h1, "src").groupBy("dst")
-        .agg(sum(expr("h * w")).as("araw2")).localCheckpoint()
-      val a2 = a2raw.crossJoin(broadcast(a2raw.agg(sum("araw2").as("at2"))))
-        .select(col("dst"), expr("araw2 * 1000000 div at2").as("a2"))
-      h1.select(col("src").as("node"), col("h").as("score_micro"),
-          lit("hub").as("kind"))
-        .unionAll(a2.select(col("dst"), col("a2"), lit("authority")))
+      GraphAnalytics.hits(tradeEdges(s, dir).where(col("src") % 2 === 0))
     },
 
     // Modularity of the nation partition over the weighted trade graph —
@@ -432,25 +406,17 @@ object GraphQueries {
     // Shape: the shared persisted edge stage joined twice to the
     // node→nation map (a DIMENSION-sized broadcast: |customer|+|supplier|
     // rows), one community-keyed aggregate — no new corpus shuffle.
+    // thin wrapper since round 13: the per-community modularity
+    // contributions are the callable GraphAnalytics.modularity entry
+    // point; the nation partition map (dimension-sized, broadcast by
+    // the library) stays query-side.
     "graph_modularity" -> { (s, dir) =>
-      val e = tradeEdges(s, dir)
       val nc = Tables(s, dir, "customer")
         .select((col("c_custkey") * 2).as("node"), col("c_nationkey").as("comm"))
         .unionAll(Tables(s, dir, "supplier")
           .select((col("s_suppkey") * 2 + 1).as("node"),
             col("s_nationkey").as("comm")))
-      val tot = e.agg(sum("w").as("w_total"))
-      e.join(broadcast(nc.select(col("node").as("src"), col("comm").as("sc"))), "src")
-        .join(broadcast(nc.select(col("node").as("dst"), col("comm").as("dc"))), "dst")
-        .groupBy(col("sc").as("community"))
-        .agg(sum("w").as("d_c"),
-          sum(when(col("sc") === col("dc"), col("w")).otherwise(0L)).as("intra_w"))
-        .crossJoin(broadcast(tot))
-        .select(col("community"), col("d_c"), col("intra_w"), col("w_total"),
-          expr("""cast(floor(cast(intra_w * w_total - d_c * d_c as double)
-                |  / (cast(w_total as double) * cast(w_total as double))
-                |  * 1e6 + 0.5d) as bigint)""".stripMargin)
-            .as("q_contrib_micro"))
+      GraphAnalytics.modularity(tradeEdges(s, dir), nc)
     })
 
   private val edgeCtes =

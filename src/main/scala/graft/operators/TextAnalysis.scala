@@ -58,6 +58,31 @@ object TextAnalysis {
     "de" -> Seq("der", "und", "die"),
     "fr" -> Seq("le", "les", "des"))
 
+  /** Full language-ID scorer (round 13 — extracted from the
+    * `text_langid` lambda so a library user can classify ARBITRARY text
+    * columns): argmax over the stopword profiles with LIST-ORDER
+    * priority on ties (an earlier profile wins a `>=` comparison
+    * against all later ones — the deterministic cascade the registered
+    * query pins against its oracle), `"unk"` when no profile scores
+    * positive. One narrow codegen'd expression per row, no shuffle. */
+  def languageId(text: Column,
+      profiles: Seq[(String, Seq[String])] = DefaultProfiles): Column = {
+    require(profiles.nonEmpty, "need at least one language profile")
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scored = profiles.map { case (lang, words) =>
+      (lang, languageScore(padded, words))
+    }
+    def pick(rem: List[(String, Column)]): Column = rem match {
+      case (lang, s) :: Nil => when(s > 0, lang).otherwise("unk")
+      case (lang, s) :: tail =>
+        val rest = tail.map(_._2)
+        val best = if (rest.size == 1) rest.head else greatest(rest: _*)
+        when(s >= best && s > 0, lang).otherwise(pick(tail))
+      case Nil => lit("unk")
+    }
+    pick(scored.toList)
+  }
+
   /** MD5 content fingerprint */
   def fingerprint(text: Column): Column = md5(text)
 

@@ -157,6 +157,9 @@ object TextQueries {
       Curation.modelQualityScore(Tables(s, dir, "documents"),
         "doc_id", "text")
     },
+    // thin wrapper since round 13: the tie-cascaded argmax is the
+    // callable TextAnalysis.languageId entry point; the per-language
+    // score columns stay query-side (the oracle audits them too).
     "text_langid" -> { (s, dir) =>
       val padded = concat(lit(" "), lower(col("text")), lit(" "))
       val Seq(sEn, sEs, sDe, sFr) = TextAnalysis.DefaultProfiles
@@ -164,11 +167,7 @@ object TextQueries {
       Tables(s, dir, "documents").select(
         col("doc_id"),
         sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"), sFr.as("s_fr"),
-        when(sEn >= greatest(sEs, sDe, sFr) && sEn > 0, "en")
-          .when(sEs >= greatest(sDe, sFr) && sEs > 0, "es")
-          .when(sDe >= sFr && sDe > 0, "de")
-          .when(sFr > 0, "fr")
-          .otherwise("unk").as("pred_lang"))
+        TextAnalysis.languageId(col("text")).as("pred_lang"))
     },
     // Language-ID accuracy audit: the prediction joined back to the
     // corpus's ground-truth lang column as a confusion matrix — one

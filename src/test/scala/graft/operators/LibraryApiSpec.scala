@@ -860,4 +860,68 @@ class LibraryApiSpec extends SparkTestBase {
       else assert(micro < 0L && sel == 0, s"raw doc $id: $micro/$sel")
     }
   }
+
+  test("GraphAnalytics.jaccardTopK: hand-computed wedge-join Jaccard on a " +
+      "synthetic adjacency, deterministic order, k cap") {
+    import spark.implicits._
+    // node 1 ~ {10,11,12}; node 2 ~ {10,11}; node 3 ~ {12}
+    // J(1,2) = 2/(3+2-2) = 2/3; J(1,3) = 1/(3+1-1) = 1/3; J(2,3) = 0 (absent)
+    val adj = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (3L, 12L)).toDF("node", "nbr")
+    val got = GraphAnalytics.jaccardTopK(adj, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    assert(got.toSeq == Seq((1L, 2L, 666666L), (1L, 3L, 333333L)), got.mkString(", "))
+    assert(GraphAnalytics.jaccardTopK(adj, k = 1).count() == 1L, "k cap")
+  }
+
+  test("GraphAnalytics.hits: hand-computed two-round hub/authority scores " +
+      "on a tiny bipartite graph (integer L1 normalization)") {
+    import spark.implicits._
+    val e = Seq((100L, 200L, 2L), (100L, 201L, 1L), (101L, 200L, 1L))
+      .toDF("src", "dst", "w")
+    val got = GraphAnalytics.hits(e)
+      .collect().map(r => (r.getLong(0), r.getString(2)) -> r.getLong(1)).toMap
+    // a1: raw 3e6/1e6 → 750000/250000; h1: raw 1750000/750000 →
+    // 700000/300000; a2: raw 1700000/700000 → 708333/291666
+    assert(got == Map(
+      (100L, "hub") -> 700000L, (101L, "hub") -> 300000L,
+      (200L, "authority") -> 708333L, (201L, "authority") -> 291666L),
+      got.toString)
+  }
+
+  test("GraphAnalytics.modularity: a perfectly-partitioned two-community " +
+      "graph contributes 0.25 per community; a mixed partition scores lower") {
+    import spark.implicits._
+    // 1↔2 in community 0, 3↔4 in community 1 (directed both ways, w=1):
+    // W=4, per community intra=2, d_c=2 → (2·4 − 4)/16 = 0.25
+    val e = Seq((1L, 2L, 1L), (2L, 1L, 1L), (3L, 4L, 1L), (4L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val good = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("node", "comm")
+    val gq = GraphAnalytics.modularity(e, good)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(gq == Map(0L -> 250000L, 1L -> 250000L), gq.toString)
+    // every node in one community: Q = intra/W − (D/W)² = 1 − 1 = 0
+    val mixed = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("node", "comm")
+    val mq = GraphAnalytics.modularity(e, mixed)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(mq == Map(0L -> 0L), mq.toString)
+  }
+
+  test("TextAnalysis.languageId: stopword-profile argmax with list-order " +
+      "tie priority and unk fallback, on synthetic texts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog"),        // en
+      (2L, "el perro y la casa de los"),  // es
+      (3L, "der hund und die katze"),     // de
+      (4L, "le chat et les oiseaux des"), // fr
+      (5L, "zzz qqq xxx"),                // no profile word → unk
+      (6L, "the el der le")               // one hit each → tie → en (priority)
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr",
+      5L -> "unk", 6L -> "en"), got.toString)
+  }
 }
