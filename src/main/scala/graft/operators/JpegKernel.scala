@@ -419,6 +419,70 @@ object JpegKernel {
   }
 
   // =====================================================================
+  // MJPEG (motion-JPEG) container: a video stream as back-to-back
+  // standalone baseline JPEG frames — a REAL video format (the AVI/MOV
+  // 'MJPG' codec payload, and the wire format of countless IP cameras).
+  // With byte stuffing in force (0xFF in entropy data is always followed
+  // by 0x00) and restart markers rejected, the only 0xFF D9 in a frame
+  // is its EOI, so the boundary scan below is exact, not heuristic.
+  // =====================================================================
+
+  /** Split a concatenated-JPEG (MJPEG) payload into its frames: each
+    * frame is walked marker-by-marker (segments skipped by declared
+    * length) to its SOS, then through the entropy stream respecting
+    * byte stuffing, to its EOI. Fails loudly on anything that is not a
+    * clean frame sequence — a truncated or corrupt tail must not
+    * silently yield fewer frames. */
+  def splitMjpeg(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"not a supported MJPEG stream: $msg")
+    def u8(p: Int): Int = {
+      if (p >= bytes.length) fail(s"truncated at offset $p")
+      bytes(p) & 0xff
+    }
+    def u16(p: Int): Int = (u8(p) << 8) | u8(p + 1)
+    val frames = Seq.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < bytes.length) {
+      val start = i
+      if (u8(i) != 0xff || u8(i + 1) != 0xd8) fail(s"expected SOI at offset $i")
+      i += 2
+      var inFrame = true
+      while (inFrame) {
+        if (u8(i) != 0xff) fail(s"expected marker at offset $i")
+        var m = u8(i + 1); var mi = i + 1
+        while (m == 0xff) { mi += 1; m = u8(mi) }
+        i = mi + 1
+        m match {
+          case 0xd9 => inFrame = false // EOI before SOS: header-only frame
+          case 0xda => // SOS: skip its header, then scan stuffed entropy
+            i += u16(i)
+            var inEntropy = true
+            while (inEntropy) {
+              if (u8(i) == 0xff) {
+                u8(i + 1) match {
+                  case 0x00 => i += 2 // stuffed data byte
+                  case 0xd9 => i += 2; inEntropy = false; inFrame = false
+                  case other => fail(
+                    f"marker 0xFF$other%02X inside entropy stream " +
+                      "(restart markers unsupported)")
+                }
+              } else i += 1
+            }
+          case 0xdd =>
+            if (u16(i + 2) != 0) fail("restart intervals unsupported")
+            i += u16(i)
+          case _ => i += u16(i) // any length-carrying segment
+        }
+      }
+      frames += java.util.Arrays.copyOfRange(bytes, start, i)
+    }
+    val out = frames.result()
+    if (out.isEmpty) fail("empty stream")
+    out
+  }
+
+  // =====================================================================
   // Decoder
   // =====================================================================
 

@@ -685,6 +685,47 @@ object MediaBatchProcessor {
     }
   }
 
+  final case class VideoFrameFeatures(doc_id: Long, frame_no: Int,
+      width: Int, height: Int, mean_r: Long, mean_g: Long, mean_b: Long,
+      lum_mean: Long)
+
+  /** REAL video-frame decode (round 13 — retires the last contract-only
+    * media stub): split an MJPEG payload into its frames
+    * ([[JpegKernel.splitMjpeg]] — exact boundary scan, not an offset
+    * heuristic), decode EVERY frame through the full baseline JPEG
+    * kernel, and emit per-frame pixel statistics. One doc → one row per
+    * frame; the frame count comes from the BYTES, never from metadata. */
+  def videoFrameFeatures(docId: Long,
+      payload: Array[Byte]): Seq[VideoFrameFeatures] =
+    JpegKernel.splitMjpeg(payload).zipWithIndex.map { case (fb, fno) =>
+      val img = JpegKernel.decodeJpeg(fb)
+      val n = img.width.toLong * img.height
+      var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+      var p = 0
+      while (p < img.pixels.length) {
+        val r = img.pixels(p) & 0xff
+        val g = img.pixels(p + 1) & 0xff
+        val b = img.pixels(p + 2) & 0xff
+        sr += r; sg += g; sb += b; sl += lum(r, g, b)
+        p += 3
+      }
+      VideoFrameFeatures(docId, fno, img.width, img.height,
+        sr / n, sg / n, sb / n, sl / n)
+    }
+
+  /** Batch-shaped MJPEG decode — narrow mapPartitions; the per-payload
+    * fan-out (frames per doc) happens inside the task, so memory is
+    * bounded by one payload's frames, never a partition's. */
+  def decodeVideoFramesBatched(media: Dataset[MediaRow],
+      batchSize: Int = DefaultBatchSize): Dataset[VideoFrameFeatures] = {
+    val spark: SparkSession = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize)
+        .flatMap(_.flatMap(m => videoFrameFeatures(m.doc_id, m.payload)))
+    }
+  }
+
   final case class ResizeFeatures(doc_id: Long, src_width: Int,
       src_height: Int, new_width: Int, new_height: Int,
       mean_r: Long, mean_g: Long, mean_b: Long, lum_mean: Long,

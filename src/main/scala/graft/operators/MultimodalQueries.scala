@@ -152,6 +152,41 @@ object MultimodalQueries {
         MediaBatchProcessor.PpmImage(16, 16, 255, raster)), "image/jpeg")
   }
 
+  /** `mm_video_frames`' payload builder: a 4-frame MJPEG stream, each
+    * frame a 16×16 flat-block baseline JPEG — frame f's block bi takes
+    * RGB from text bytes (3·(4f+bi) .. 3·(4f+bi)+2) mod n, so every
+    * frame differs and the oracle re-derives all of them. Same
+    * flat-block losslessness contract as [[textToJpegRow]]. */
+  def textToMjpegRow(id: Long, t: String): MediaBatchProcessor.MediaRow = {
+    requireAscii(id, t)
+    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = bytes.length
+    def tb(i: Int): Int = if (n == 0) 0 else bytes(i % n) & 0xff
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < 4) {
+      val raster = new Array[Byte](16 * 16 * 3)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          val bi = 4 * f + (y / 8) * 2 + x / 8
+          val p = (y * 16 + x) * 3
+          raster(p) = tb(3 * bi).toByte
+          raster(p + 1) = tb(3 * bi + 1).toByte
+          raster(p + 2) = tb(3 * bi + 2).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val frame = JpegKernel.encodeJpeg(
+        MediaBatchProcessor.PpmImage(16, 16, 255, raster))
+      out.write(frame, 0, frame.length)
+      f += 1
+    }
+    MediaBatchProcessor.MediaRow(id, out.toByteArray, "video/x-motion-jpeg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary ingest + metadata extraction — the oracle-checkable slice
     // (byte length and media-type routing are exact integer/string logic).
@@ -360,6 +395,21 @@ object MultimodalQueries {
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToJpegRow(id, t) }
       MediaBatchProcessor.decodeJpegBatched(media).toDF()
+    },
+    // REAL video-frame decode (round 13 — the last contract-only media
+    // stub retired; mm_frame_sample's offset arithmetic remains as the
+    // sampling-plumbing demo): the payload is an MJPEG stream — four
+    // back-to-back baseline JPEGs, a genuine video format — and the
+    // kernel SPLITS it by exact marker/entropy walk (byte stuffing
+    // respected, no offset heuristics), then fully decodes EVERY frame
+    // (Huffman, dequant, IDCT, YCbCr→RGB) into per-frame pixel stats.
+    // Frame count and dimensions come from the bytes. One doc → 4 rows.
+    "mm_video_frames" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => textToMjpegRow(id, t) }
+      MediaBatchProcessor.decodeVideoFramesBatched(media).toDF()
     },
     // REAL image resize (round 13 — the retired mm_resize_stub computed
     // new dims from METADATA; this touches every pixel): each document
@@ -611,6 +661,44 @@ object MultimodalQueries {
         |FROM cand
         |JOIN sig sa ON sa.doc_id = a
         |JOIN sig sb ON sb.doc_id = b""".stripMargin,
+    // same integer model as mm_jpeg_decode, indexed by the GLOBAL block
+    // number 4f+bi so each of the four frames re-derives independently;
+    // a frame-splitting error (wrong boundary, dropped frame) changes
+    // the row count, a decode error changes every mean
+    "mm_video_frames" ->
+      """WITH blocks AS (
+        | SELECT doc_id, f, bi,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*(4*f+bi)) % greatest(n, 1) AS INT) + 1, 1)) END AS r0,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*(4*f+bi)+1) % greatest(n, 1) AS INT) + 1, 1)) END AS g0,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*(4*f+bi)+2) % greatest(n, 1) AS INT) + 1, 1)) END AS b0
+        | FROM (SELECT doc_id, text, strlen(text) AS n,
+        |        unnest(range(0, 4)) AS f FROM documents) d,
+        |      (SELECT unnest(range(0, 4)) AS bi) bb),
+        |ycc AS (
+        | SELECT doc_id, f, bi,
+        |  (77*r0 + 150*g0 + 29*b0) // 256 AS y,
+        |  128 + CAST(floor((-43*r0 - 85*g0 + 128*b0) / 256.0) AS INT) AS cb,
+        |  128 + CAST(floor((128*r0 - 107*g0 - 21*b0) / 256.0) AS INT) AS cr
+        | FROM blocks),
+        |rgb AS (
+        | SELECT doc_id, f, bi,
+        |  GREATEST(0, LEAST(255,
+        |    y + CAST(floor(359*(cr-128) / 256.0) AS INT))) AS r,
+        |  GREATEST(0, LEAST(255,
+        |    y - CAST(floor((88*(cb-128) + 183*(cr-128)) / 256.0) AS INT))) AS g,
+        |  GREATEST(0, LEAST(255,
+        |    y + CAST(floor(454*(cb-128) / 256.0) AS INT))) AS b
+        | FROM ycc)
+        |SELECT doc_id, CAST(f AS INT) AS frame_no,
+        | CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        | CAST(SUM(r) // 4 AS BIGINT) AS mean_r,
+        | CAST(SUM(g) // 4 AS BIGINT) AS mean_g,
+        | CAST(SUM(b) // 4 AS BIGINT) AS mean_b,
+        | CAST(SUM((2*r + 5*g + b) // 8) // 4 AS BIGINT) AS lum_mean
+        |FROM rgb GROUP BY doc_id, f""".stripMargin,
     // the oracle re-derives the decoded raster arithmetically: block bi
     // takes RGB from text bytes (3bi..3bi+2); the fixed-point forward
     // transform (y = (77r+150g+29b)>>8, cb/cr with FLOOR division —

@@ -297,6 +297,39 @@ class MediaBatchSpec extends SparkTestBase {
     intercept[IllegalArgumentException](JpegKernel.decodeJpeg(sof2))
   }
 
+  test("splitMjpeg: exact frame boundaries through stuffed entropy data; " +
+      "every frame decodes independently; truncation fails loudly") {
+    // three frames with distinct content — the middle one pseudo-random
+    // so its entropy stream almost surely contains stuffed 0xFF bytes
+    def flat(v: Int) = PpmImage(16, 16, 255,
+      Array.fill(768)(v.toByte))
+    val noisy = PpmImage(16, 16, 255,
+      Array.tabulate(768)(i => ((i * 197 + 43) % 251).toByte))
+    val frames = Seq(flat(40), noisy, flat(200))
+    val stream = frames.flatMap(f => JpegKernel.encodeJpeg(f)).toArray
+    val split = JpegKernel.splitMjpeg(stream)
+    assert(split.length == 3, s"got ${split.length} frames")
+    // frame 0 and 2 are flat: exact round trip through the color model
+    val d0 = JpegKernel.decodeJpeg(split(0))
+    val (y0, cb0, cr0) = JpegKernel.rgbToYcc(40, 40, 40)
+    val (er, _, _) = JpegKernel.yccToRgb(y0, cb0, cr0)
+    assert((d0.pixels(0) & 0xff) == er)
+    assert(JpegKernel.decodeJpeg(split(2)).width == 16)
+    // the noisy middle frame decodes (boundary was exact despite
+    // stuffed bytes) and stays within the lossy bound
+    val d1 = JpegKernel.decodeJpeg(split(1))
+    assert(d1.width == 16 && d1.height == 16)
+    // videoFrameFeatures emits one row per frame in order
+    val vf = videoFrameFeatures(5L, stream)
+    assert(vf.map(_.frame_no) == Seq(0, 1, 2))
+    assert(vf.head.mean_r == er.toLong)
+    // hostility: truncated last frame, junk between frames
+    intercept[IllegalArgumentException](
+      JpegKernel.splitMjpeg(stream.dropRight(7)))
+    intercept[IllegalArgumentException](
+      JpegKernel.splitMjpeg(stream ++ Array[Byte](0x12, 0x34)))
+  }
+
   test("resizeBox: hand-computed 2x box average, floor semantics, and a " +
       "full decode->resize->featurize round trip on a real PNG") {
     // 2x2 -> 1x1: output = floor(mean of 4) per channel
