@@ -241,6 +241,53 @@ object TextQueries {
           count(lit(1)).as("n_windows"))
         .select("doc_id", "span_start", "span_end", "n_windows")
     },
+    // Duplicated-span REMOVAL (round 13) — the surgery step the span
+    // detector feeds in a real dedup pipeline: every token position
+    // covered by a cross-document duplicate window is dropped and the
+    // document is rebuilt from the surviving tokens (exact offsets, so
+    // the clean text is deterministic). Shape: the dup-window machinery
+    // of text_dup_spans (two hash-keyed shuffles), a ×k narrow explode
+    // of covered positions, one anti-join, and a per-doc bounded
+    // rebuild (sort_array over the doc's own tokens — never a global
+    // window). Every doc emits a row: untouched docs keep their full
+    // text, fully-duplicated docs emit the empty string.
+    "text_dup_span_drop" -> { (s, dir) =>
+      val k = 3
+      val docs = Tables(s, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"), posexplode(
+          split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+      val arr = docs.select(col("doc_id"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+      val wins = arr.filter(size(col("toks")) >= k)
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"""transform(sequence(0, size(toks) - $k),
+               | i -> concat_ws(' ', slice(toks, i + 1, $k)))""".stripMargin))
+            .as(Seq("start", "win")))
+        .select(col("doc_id"), col("start").cast("long").as("start"),
+          md5(col("win")).as("wh"))
+      val dup = wins.groupBy("wh")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("wh")
+      val covered = wins.join(dup.hint("merge"), "wh")
+        .select(col("doc_id"),
+          explode(expr(s"sequence(start, start + ${k - 1})")).as("pos"))
+        .distinct()
+      val kept = toks.join(covered.hint("merge"), Seq("doc_id", "pos"),
+          "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)"))
+            .as("clean_text"))
+      toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    },
     // Vocabulary-shape fit: Zipf slope + Gini concentration of the token
     // frequency distribution — the two standard "is this corpus
     // natural-language-shaped?" diagnostics (Zipf's law exponent ≈ −1;
@@ -582,6 +629,42 @@ object TextQueries {
         | CAST(MAX(start) + 2 AS BIGINT) AS span_end,
         | CAST(COUNT(*) AS BIGINT) AS n_windows
         |FROM isl GROUP BY doc_id, g""".stripMargin,
+    // same window/dup machinery as text_dup_spans, then covered
+    // positions drop out and string_agg rebuilds the doc in token order
+    "text_dup_span_drop" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok,
+        |  generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1)
+        |    - 1 AS pos
+        | FROM documents),
+        |wins AS (
+        | SELECT doc_id, pos AS start,
+        |  md5(tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+        |      lead(tok, 2) OVER w) AS wh,
+        |  lead(tok, 2) OVER w AS t2
+        | FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |wv AS (SELECT doc_id, start, wh FROM wins WHERE t2 IS NOT NULL),
+        |dup AS (SELECT wh FROM wv GROUP BY wh
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (
+        | SELECT DISTINCT w.doc_id, w.start + o.o AS pos
+        | FROM wv w JOIN dup USING (wh),
+        |      (SELECT unnest(range(0, 3)) AS o) o),
+        |kept AS (
+        | SELECT t.doc_id, t.pos, t.tok
+        | FROM toks t LEFT JOIN cov c
+        |  ON c.doc_id = t.doc_id AND c.pos = t.pos
+        | WHERE c.pos IS NULL),
+        |ka AS (
+        | SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        | FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        | COALESCE(ANY_VALUE(ka.n_kept), 0) AS n_kept,
+        | COALESCE(ANY_VALUE(ka.clean_text), '') AS clean_text
+        |FROM toks t LEFT JOIN ka ON ka.doc_id = t.doc_id
+        |GROUP BY t.doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         | CASE WHEN length(trim(text)) = 0 THEN 0
