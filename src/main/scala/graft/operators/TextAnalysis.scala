@@ -156,4 +156,86 @@ object TextAnalysis {
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") > 1)
+
+  // -------------------------------------------------------------------
+  // Duplicated-substring spans (round 13): the arbitrary-boundary
+  // k-token duplicate detector of training-data-dedup literature, and
+  // its removal step. Registered queries `text_dup_spans` /
+  // `text_dup_span_drop` are thin wrappers; LibraryApiSpec pins
+  // hand-computed spans on a synthetic corpus.
+  // -------------------------------------------------------------------
+
+  /** Every k-token window (start position + md5 of the space-joined
+    * tokens) that occurs in >= `minDocs` DISTINCT documents. Two
+    * hash-keyed shuffles (window groupBy + join back), never all-pairs;
+    * the 16-byte md5 key is the engine-portable choice — at 100 TB swap
+    * to xxhash64 (8 bytes), the shape is unchanged. */
+  def dupWindows(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val wins = docs
+      .select(col(idCol).as("doc_id"),
+        split(lower(trim(col(textCol))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(toks) - $k),
+             | i -> concat_ws(' ', slice(toks, i + 1, $k)))""".stripMargin))
+          .as(Seq("start", "win")))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        md5(col("win")).as("wh"))
+    val dup = wins.groupBy("wh")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("wh")
+    wins.join(dup.hint("merge"), "wh")
+  }
+
+  /** Maximal duplicated spans per document: adjacent duplicate window
+    * starts coalesce via the sorted-runs trick (island id = start −
+    * row_number over a PER-DOC window — bounded input, never global).
+    * Output: (doc_id, span_start, span_end, n_windows), token-indexed
+    * inclusive offsets. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("start")
+    dupWindows(docs, idCol, textCol, k)
+      .withColumn("isl", col("start") - row_number().over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min("start").as("span_start"),
+        (max("start") + lit(k - 1).cast("long")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** Remove every token position covered by a duplicated window and
+    * rebuild each document from the surviving tokens in exact order
+    * (per-doc bounded sort, never a global window). Every input doc
+    * emits a row: untouched docs keep their full text, fully-covered
+    * docs emit the empty string. Output: (doc_id, n_tokens, n_kept,
+    * clean_text). */
+  def dropDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), posexplode(
+        split(lower(trim(col(textCol))), "\\s+")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val covered = dupWindows(docs, idCol, textCol, k)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(start, start + ${k - 1})")).as("pos"))
+      .distinct()
+    val kept = toks.join(covered.hint("merge"), Seq("doc_id", "pos"),
+        "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("clean_text"))
+    toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

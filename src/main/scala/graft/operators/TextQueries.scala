@@ -215,31 +215,10 @@ object TextQueries {
     // into maximal spans per doc via the sorted-runs trick (island id =
     // start - row_number, window partitioned BY DOC — bounded input).
     // Total: two shuffles (window groupBy + join) + one per-doc sort.
+    // thin wrapper since round 13: TextAnalysis.dupSpans is the
+    // callable entry point (LibraryApiSpec pins hand-computed spans)
     "text_dup_spans" -> { (s, dir) =>
-      val k = 3
-      val toks = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          split(lower(trim(col("text"))), "\\s+").as("toks"))
-        .filter(size(col("toks")) >= k)
-      val wins = toks.select(col("doc_id"),
-          posexplode(expr(
-            s"""transform(sequence(0, size(toks) - $k),
-               | i -> concat_ws(' ', slice(toks, i + 1, $k)))""".stripMargin))
-            .as(Seq("start", "win")))
-        .select(col("doc_id"), col("start").cast("long").as("start"),
-          md5(col("win")).as("wh"))
-      val dup = wins.groupBy("wh")
-        .agg(count_distinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("wh")
-      val dupWins = wins.join(dup.hint("merge"), "wh")
-      val w = Window.partitionBy("doc_id").orderBy("start")
-      dupWins
-        .withColumn("isl", col("start") - row_number().over(w))
-        .groupBy(col("doc_id"), col("isl"))
-        .agg(min("start").as("span_start"),
-          (max("start") + lit(k - 1).cast("long")).as("span_end"),
-          count(lit(1)).as("n_windows"))
-        .select("doc_id", "span_start", "span_end", "n_windows")
+      TextAnalysis.dupSpans(Tables(s, dir, "documents"), "doc_id", "text")
     },
     // Duplicated-span REMOVAL (round 13) — the surgery step the span
     // detector feeds in a real dedup pipeline: every token position
@@ -251,42 +230,10 @@ object TextQueries {
     // rebuild (sort_array over the doc's own tokens — never a global
     // window). Every doc emits a row: untouched docs keep their full
     // text, fully-duplicated docs emit the empty string.
+    // thin wrapper since round 13: TextAnalysis.dropDupSpans is the
+    // callable entry point
     "text_dup_span_drop" -> { (s, dir) =>
-      val k = 3
-      val docs = Tables(s, dir, "documents")
-      val toks = docs
-        .select(col("doc_id"), posexplode(
-          split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "tok")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-      val arr = docs.select(col("doc_id"),
-        split(lower(trim(col("text"))), "\\s+").as("toks"))
-      val wins = arr.filter(size(col("toks")) >= k)
-        .select(col("doc_id"),
-          posexplode(expr(
-            s"""transform(sequence(0, size(toks) - $k),
-               | i -> concat_ws(' ', slice(toks, i + 1, $k)))""".stripMargin))
-            .as(Seq("start", "win")))
-        .select(col("doc_id"), col("start").cast("long").as("start"),
-          md5(col("win")).as("wh"))
-      val dup = wins.groupBy("wh")
-        .agg(count_distinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("wh")
-      val covered = wins.join(dup.hint("merge"), "wh")
-        .select(col("doc_id"),
-          explode(expr(s"sequence(start, start + ${k - 1})")).as("pos"))
-        .distinct()
-      val kept = toks.join(covered.hint("merge"), Seq("doc_id", "pos"),
-          "left_anti")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_kept"),
-          concat_ws(" ", expr(
-            "transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)"))
-            .as("clean_text"))
-      toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
-        .join(kept, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
+      TextAnalysis.dropDupSpans(Tables(s, dir, "documents"), "doc_id", "text")
     },
     // Vocabulary-shape fit: Zipf slope + Gini concentration of the token
     // frequency distribution — the two standard "is this corpus

@@ -907,6 +907,35 @@ class LibraryApiSpec extends SparkTestBase {
     assert(mq == Map(0L -> 0L), mq.toString)
   }
 
+  test("TextAnalysis.dupSpans/dropDupSpans: hand-computed maximal spans " +
+      "and exact-order text surgery on a synthetic corpus") {
+    import spark.implicits._
+    // 'p q r' shared by docs 1/2/4; 'q r s' shared by docs 1/4 —
+    // adjacent in docs 1 and 4, so their windows coalesce there
+    val docs = Seq(
+      (1L, "p q r s t"),
+      (2L, "z p q r w"),
+      (3L, "m n o p q"),   // no shared trigram → untouched
+      (4L, "h p q r s k")
+    ).toDF("doc_id", "text")
+    val spans = TextAnalysis.dupSpans(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(spans.toSeq == Seq(
+      (1L, 0L, 3L, 2L),   // windows at 0,1 coalesce → tokens 0..3
+      (2L, 1L, 3L, 1L),
+      (4L, 1L, 4L, 2L)), spans.mkString(", "))
+    val dropped = TextAnalysis.dropDupSpans(docs, "doc_id", "text")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(dropped.toSeq == Seq(
+      (1L, 5L, 1L, "t"),
+      (2L, 5L, 2L, "z w"),
+      (3L, 5L, 5L, "m n o p q"),
+      (4L, 6L, 2L, "h k")), dropped.mkString(", "))
+  }
+
   test("TextAnalysis.languageId: stopword-profile argmax with list-order " +
       "tie priority and unk fallback, on synthetic texts") {
     import spark.implicits._
