@@ -411,6 +411,47 @@ object MultimodalQueries {
         .map { case (id, t) => textToMjpegRow(id, t) }
       MediaBatchProcessor.decodeVideoFramesBatched(media).toDF()
     },
+    // Perceptual near-dup over REAL decoded JPEG pixels (round 13) —
+    // the mm_phash_png discipline applied to the dominant real-corpus
+    // image format: full baseline decode (Huffman/dequant/IDCT/YCbCr)
+    // → block-mean aHash → four 16-bit LSH bands → >1000-member bucket
+    // cap → merge-pinned candidate join → integer Hamming verify ≤ 8.
+    // Never all-pairs; the sketch join carries 8-byte band values.
+    "mm_phash_jpeg" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => textToJpegRow(id, t) }
+      val sig = MediaBatchProcessor.decodeJpegBatched(media).toDF()
+        .select(col("doc_id"),
+          (col("ahash_lo") % 65536).as("b0"),
+          expr("ahash_lo div 65536").as("b1"),
+          (col("ahash_hi") % 65536).as("b2"),
+          expr("ahash_hi div 65536").as("b3"),
+          col("ahash_hi"), col("ahash_lo"))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("bi", "bv")))
+      val underCap = bands.groupBy("bi", "bv")
+        .agg(count(lit(1)).as("n")).filter(col("n") <= 1000)
+        .select("bi", "bv")
+      val capped = bands.join(underCap.hint("merge"), Seq("bi", "bv"))
+      val cand = capped.as("x").join(capped.hint("merge").as("y"),
+          col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val ha = sig.select(col("doc_id").as("a"),
+        col("ahash_hi").as("hi_a"), col("ahash_lo").as("lo_a"))
+      val hb = sig.select(col("doc_id").as("b"),
+        col("ahash_hi").as("hi_b"), col("ahash_lo").as("lo_b"))
+      cand.join(ha, "a").join(hb, "b")
+        .select(col("a"), col("b"),
+          (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+            bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long")
+            .as("hamming"))
+        .withColumn("near_dup", col("hamming") <= 8)
+    },
     // REAL image resize (round 13 — the retired mm_resize_stub computed
     // new dims from METADATA; this touches every pixel): each document
     // becomes a 16×16 byte-cycled PNG through the canonical writer, the
@@ -699,6 +740,72 @@ object MultimodalQueries {
         | CAST(SUM(b) // 4 AS BIGINT) AS mean_b,
         | CAST(SUM((2*r + 5*g + b) // 8) // 4 AS BIGINT) AS lum_mean
         |FROM rgb GROUP BY doc_id, f""".stripMargin,
+    // the aHash CTEs are mm_jpeg_decode's oracle (same integer
+    // decode model), then the identical band/cap/join/Hamming SQL as
+    // mm_phash_png
+    "mm_phash_jpeg" ->
+      """WITH blocks AS (
+        | SELECT doc_id, bi,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*bi) % greatest(n, 1) AS INT) + 1, 1)) END AS r0,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*bi+1) % greatest(n, 1) AS INT) + 1, 1)) END AS g0,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST((3*bi+2) % greatest(n, 1) AS INT) + 1, 1)) END AS b0
+        | FROM (SELECT doc_id, text, strlen(text) AS n,
+        |        unnest(range(0, 4)) AS bi FROM documents)),
+        |ycc AS (
+        | SELECT doc_id, bi,
+        |  (77*r0 + 150*g0 + 29*b0) // 256 AS y,
+        |  128 + CAST(floor((-43*r0 - 85*g0 + 128*b0) / 256.0) AS INT) AS cb,
+        |  128 + CAST(floor((128*r0 - 107*g0 - 21*b0) / 256.0) AS INT) AS cr
+        | FROM blocks),
+        |lm AS (
+        | SELECT doc_id, bi,
+        |  (2 * GREATEST(0, LEAST(255,
+        |     y + CAST(floor(359*(cr-128) / 256.0) AS INT)))
+        |   + 5 * GREATEST(0, LEAST(255,
+        |     y - CAST(floor((88*(cb-128) + 183*(cr-128)) / 256.0) AS INT)))
+        |   + GREATEST(0, LEAST(255,
+        |     y + CAST(floor(454*(cb-128) / 256.0) AS INT)))) // 8 AS l
+        | FROM ycc),
+        |cl AS (
+        | SELECT lm.doc_id, c.k, lm.l
+        | FROM (SELECT doc_id, k, ((k//8)//4)*2 + (k%8)//4 AS bi
+        |       FROM documents, (SELECT unnest(range(0, 64)) AS k) kk) c
+        | JOIN lm ON lm.doc_id = c.doc_id AND lm.bi = c.bi),
+        |mn AS (SELECT doc_id, SUM(l) // 64 AS m FROM cl GROUP BY doc_id),
+        |sig AS (
+        | SELECT cl.doc_id,
+        |  CAST(SUM(CASE WHEN cl.l > mn.m AND cl.k >= 32
+        |           THEN 1::BIGINT << CAST(cl.k - 32 AS INT) ELSE 0 END)
+        |    AS BIGINT) AS hi,
+        |  CAST(SUM(CASE WHEN cl.l > mn.m AND cl.k < 32
+        |           THEN 1::BIGINT << CAST(cl.k AS INT) ELSE 0 END)
+        |    AS BIGINT) AS lo
+        | FROM cl JOIN mn ON mn.doc_id = cl.doc_id
+        | GROUP BY cl.doc_id),
+        |bands AS (
+        | SELECT doc_id, 0 AS bi, lo % 65536 AS bv FROM sig
+        | UNION ALL SELECT doc_id, 1, lo // 65536 FROM sig
+        | UNION ALL SELECT doc_id, 2, hi % 65536 FROM sig
+        | UNION ALL SELECT doc_id, 3, hi // 65536 FROM sig),
+        |capped AS (
+        | SELECT b.* FROM bands b
+        | JOIN (SELECT bi, bv FROM bands GROUP BY bi, bv
+        |       HAVING COUNT(*) <= 1000) u USING (bi, bv)),
+        |cand AS (
+        | SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        | FROM capped x JOIN capped y
+        |  ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT a, b,
+        | CAST(bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo))
+        |   AS BIGINT) AS hamming,
+        | (CAST(bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo))
+        |   AS BIGINT) <= 8) AS near_dup
+        |FROM cand
+        |JOIN sig sa ON sa.doc_id = a
+        |JOIN sig sb ON sb.doc_id = b""".stripMargin,
     // the oracle re-derives the decoded raster arithmetically: block bi
     // takes RGB from text bytes (3bi..3bi+2); the fixed-point forward
     // transform (y = (77r+150g+29b)>>8, cb/cr with FLOOR division —
