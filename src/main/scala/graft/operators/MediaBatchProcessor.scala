@@ -351,6 +351,55 @@ object MediaBatchProcessor {
       energies(0), energies(1))
   }
 
+  final case class WavWindowFeatures(doc_id: Long, win_no: Int,
+      n_samples: Long, zcr: Long, sum_abs: Long, peak: Long)
+
+  /** Windowed audio analysis over the REAL decoded PCM (round 13):
+    * channel-0 samples in fixed windows of `winFrames`, each window
+    * scored with the classic speech/music discriminators — zero-
+    * crossing count (strict sign change between consecutive samples,
+    * crossings at window boundaries excluded so windows are
+    * independent), Σ|s| (the integer RMS proxy), and peak |s|. All
+    * exact integers, so a SQL oracle rebuilding the PCM from the
+    * fixture model reproduces every cell. A short final window is
+    * emitted with its true sample count, not padded. */
+  def wavWindowFeatures(docId: Long, payload: Array[Byte],
+      winFrames: Int = 16): Seq[WavWindowFeatures] = {
+    require(winFrames >= 2, s"window must hold >= 2 samples, got $winFrames")
+    val a = decodeWav(payload)
+    val n = a.numFrames
+    (0 until (n + winFrames - 1) / winFrames).map { w =>
+      val from = w * winFrames
+      val until = math.min(from + winFrames, n)
+      var zcr = 0L; var sabs = 0L; var peak = 0L
+      var k = from
+      while (k < until) {
+        val s = a.samples(k * a.numChannels).toLong // channel 0
+        if (k > from) {
+          val prev = a.samples((k - 1) * a.numChannels).toLong
+          if ((prev < 0) != (s < 0)) zcr += 1
+        }
+        sabs += math.abs(s)
+        if (math.abs(s) > peak) peak = math.abs(s)
+        k += 1
+      }
+      WavWindowFeatures(docId, w, (until - from).toLong, zcr, sabs, peak)
+    }
+  }
+
+  /** Batch-shaped windowed audio features — narrow mapPartitions; the
+    * per-payload window fan-out stays inside the task. */
+  def wavWindowsBatched(media: Dataset[MediaRow],
+      winFrames: Int = 16,
+      batchSize: Int = DefaultBatchSize): Dataset[WavWindowFeatures] = {
+    val spark: SparkSession = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize)
+        .flatMap(_.flatMap(m => wavWindowFeatures(m.doc_id, m.payload, winFrames)))
+    }
+  }
+
   /** Batch-shaped WAV decode — the audio twin of [[decodePpmBatched]];
     * a narrow mapPartitions, real parse, no stub label. */
   def decodeWavBatched(media: Dataset[MediaRow],

@@ -316,6 +316,21 @@ object MultimodalQueries {
         .map { case (id, t) => textToWavRow(id, t) }
       MediaBatchProcessor.decodeWavBatched(media).toDF()
     },
+    // REAL windowed audio analysis (round 13): the text-modulated PCM
+    // payload is decoded by the RIFF kernel and channel 0 is scored in
+    // 16-frame windows with the classic speech/music discriminators —
+    // zero-crossing count (strict sign change, boundary crossings
+    // excluded so windows are independent), Σ|s|, and peak. Exact
+    // integers end to end; the oracle rebuilds the same PCM from text
+    // and reproduces every cell. Narrow mapPartitions, window fan-out
+    // inside the task.
+    "mm_wav_features" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => textToWavRow(id, t) }
+      MediaBatchProcessor.wavWindowsBatched(media).toDF()
+    },
     // REAL PNG decode (round 12) — the first COMPRESSED format: the
     // payload is a conforming PNG (zlib-deflated scanlines, all five
     // filter types across the 8 rows, CRC32-checked chunks) built by the
@@ -595,6 +610,31 @@ object MultimodalQueries {
         |   AS BIGINT) AS ahash_lo
         |FROM lm JOIN st ON st.doc_id = lm.doc_id
         |GROUP BY lm.doc_id""".stripMargin,
+    // channel-0 PCM rebuilt from text (the mm_wav_decode model), then
+    // lag() inside (doc, window) partitions counts strict sign changes
+    "mm_wav_features" ->
+      """WITH sm AS (
+        | SELECT doc_id, k,
+        |  (CASE WHEN n = 0 THEN 0
+        |        ELSE unicode(substr(text,
+        |               CAST((2*k) % greatest(n, 1) AS INT) + 1, 1))
+        |   END * 517) % 65536 AS u
+        | FROM (SELECT doc_id, text, strlen(text) AS n,
+        |        unnest(range(0, 64)) AS k FROM documents)),
+        |sg AS (SELECT doc_id, k, CAST(k // 16 AS INT) AS win_no,
+        |        CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s FROM sm),
+        |lg AS (
+        | SELECT doc_id, win_no, s,
+        |  lag(s) OVER (PARTITION BY doc_id, win_no ORDER BY k) AS prev
+        | FROM sg)
+        |SELECT doc_id, win_no,
+        | CAST(COUNT(*) AS BIGINT) AS n_samples,
+        | CAST(SUM(CASE WHEN prev IS NOT NULL
+        |           AND ((prev < 0) != (s < 0)) THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS zcr,
+        | CAST(SUM(abs(s)) AS BIGINT) AS sum_abs,
+        | CAST(MAX(abs(s)) AS BIGINT) AS peak
+        |FROM lg GROUP BY doc_id, win_no""".stripMargin,
     // the oracle rebuilds the PCM signal straight from text (ASCII
     // fixture ⇒ unicode(char) ≡ payload byte) and aggregates the same
     // exact integers the kernel computes from the decoded container

@@ -297,6 +297,22 @@ class MediaBatchSpec extends SparkTestBase {
     intercept[IllegalArgumentException](JpegKernel.decodeJpeg(sof2))
   }
 
+  test("wavWindowFeatures: hand-computed zero crossings, window " +
+      "independence at boundaries, short final window unpadded") {
+    // mono, 10 samples. Window 0 (samples 0–7) crossings: +5→−3,
+    // −2→+7, 0→−6 (zero counts as non-negative, so 7→0 is NOT one).
+    // The 7→8 boundary pair (−6→+1) is EXCLUDED by window independence;
+    // window 1's own +1→−1 pair counts.
+    val samples = Array(5, 5, -3, -2, 7, 7, 0, -6, 1, -1)
+    val wav = encodeWav(WavAudio(1, 8000, 16, samples))
+    val w = wavWindowFeatures(1L, wav, winFrames = 8)
+    assert(w.length == 2)
+    assert(w(0) == WavWindowFeatures(1L, 0, 8L, 3L, 35L, 7L), w(0).toString)
+    // window 1: samples (1, −1) → one crossing, short (2 samples)
+    assert(w(1) == WavWindowFeatures(1L, 1, 2L, 1L, 2L, 1L), w(1).toString)
+    // sign convention: 0 counts as non-negative (7→0 is NOT a crossing)
+  }
+
   test("splitMjpeg: exact frame boundaries through stuffed entropy data; " +
       "every frame decodes independently; truncation fails loudly") {
     // three frames with distinct content — the middle one pseudo-random
