@@ -232,8 +232,11 @@ object TextAnalysis {
         concat_ws(" ", expr(
           "transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)"))
           .as("clean_text"))
+    // both sides are corpus-sized per-doc aggregates already keyed on
+    // doc_id — merge-pin so Catalyst's size ESTIMATE can never broadcast
+    // the clean_text side (the PlanSpec sweep enforces this)
     toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
+      .join(kept.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
