@@ -298,26 +298,47 @@ object JpegKernel {
   // Encoder
   // =====================================================================
 
-  /** Conforming baseline JPEG writer: 8-bit, interleaved 4:4:4 (one
-    * 8×8 block per component per MCU), Annex K Huffman tables, the
-    * flat quant tables above. Requires 8-divisible dimensions (a
+  /** Conforming baseline JPEG writer, interleaved 4:4:4 (one 8×8 block
+    * per component per MCU). Requires 8-divisible dimensions (a
     * production encoder edge-pads; the canonical writer fails loudly
     * instead of inventing pixels). */
-  def encodeJpeg(img: PpmImage): Array[Byte] = {
+  def encodeJpeg(img: PpmImage): Array[Byte] = encodeBaseline(img, 1)
+
+  /** Conforming 4:2:0 writer — the dominant real-world JPEG layout:
+    * Y at 2×2 sampling (four blocks per MCU), chroma planes 2×2
+    * box-averaged to half resolution (one block each per MCU).
+    * Requires 16-divisible dimensions. */
+  def encodeJpeg420(img: PpmImage): Array[Byte] = encodeBaseline(img, 2)
+
+  private def encodeBaseline(img: PpmImage, sub: Int): Array[Byte] = {
     require(img.maxVal == 255, "JPEG writer takes 8-bit RGB")
-    require(img.width % 8 == 0 && img.height % 8 == 0,
-      s"writer needs 8-divisible dims, got ${img.width}x${img.height}")
+    require(img.width % (8 * sub) == 0 && img.height % (8 * sub) == 0,
+      s"writer needs ${8 * sub}-divisible dims, got ${img.width}x${img.height}")
     require(img.pixels.length == img.width * img.height * 3, "raster size")
     val w = img.width; val h = img.height
     // color transform into three full-resolution planes
-    val planes = Array.ofDim[Int](3, w * h)
+    val full = Array.ofDim[Int](3, w * h)
     var p = 0
     while (p < w * h) {
       val (y, cb, cr) = rgbToYcc(img.pixels(3 * p) & 0xff,
         img.pixels(3 * p + 1) & 0xff, img.pixels(3 * p + 2) & 0xff)
-      planes(0)(p) = y; planes(1)(p) = cb; planes(2)(p) = cr
+      full(0)(p) = y; full(1)(p) = cb; full(2)(p) = cr
       p += 1
     }
+    // chroma subsample (sub=2: 2×2 integer box average; sub=1: as-is)
+    val cw = w / sub; val ch = h / sub
+    def subsampled(c: Int): Array[Int] =
+      if (sub == 1) full(c)
+      else Array.tabulate(cw * ch) { q =>
+        val qx = q % cw; val qy = q / cw
+        (full(c)((2 * qy) * w + 2 * qx) + full(c)((2 * qy) * w + 2 * qx + 1) +
+          full(c)((2 * qy + 1) * w + 2 * qx) +
+          full(c)((2 * qy + 1) * w + 2 * qx + 1)) / 4
+      }
+    // per-component plane, plane width, blocks-per-MCU factor
+    val planes = Array(full(0), subsampled(1), subsampled(2))
+    val planeW = Array(w, cw, cw)
+    val sampF = Array(sub, 1, 1)
     val out = new java.io.ByteArrayOutputStream()
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
@@ -331,7 +352,11 @@ object JpegKernel {
     // SOF0
     marker(0xc0); u16(8 + 3 * 3)
     u8(8); u16(h); u16(w); u8(3)
-    for (cid <- 1 to 3) { u8(cid); u8(0x11); u8(if (cid == 1) 0 else 1) }
+    for (cid <- 1 to 3) {
+      u8(cid)
+      u8(if (cid == 1) (sub << 4) | sub else 0x11)
+      u8(if (cid == 1) 0 else 1)
+    }
     // DHT: the four standard tables
     def dht(tcTh: Int, bits: Array[Int], vals: Array[Int]): Unit = {
       marker(0xc4); u16(2 + 1 + 16 + vals.length)
@@ -348,7 +373,8 @@ object JpegKernel {
     u8(2); u8(0x11) // Cb: DC table 1, AC table 1
     u8(3); u8(0x11) // Cr
     u8(0); u8(63); u8(0) // Ss, Se, Ah/Al (baseline fixed values)
-    // entropy-coded data: MCUs in raster order, Y/Cb/Cr interleaved
+    // entropy-coded data: MCUs in raster order; per MCU the Y component
+    // contributes sub×sub blocks, each chroma component one block
     val encDc = Array(new EncTable(DcLumaBits, DcLumaVals),
       new EncTable(DcChromaBits, DcChromaVals))
     val encAc = Array(new EncTable(AcLumaBits, AcLumaVals),
@@ -361,57 +387,64 @@ object JpegKernel {
         f"symbol 0x$sym%02X not in Huffman table")
     }
     val block = new Array[Double](64)
-    var by = 0
-    while (by < h / 8) {
-      var bx = 0
-      while (bx < w / 8) {
-        var comp = 0
-        while (comp < 3) {
-          val tid = if (comp == 0) 0 else 1
-          // gather + level-shift
-          var yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) {
-              block(yy * 8 + xx) =
-                planes(comp)((by * 8 + yy) * w + bx * 8 + xx) - 128.0
-              xx += 1
-            }
-            yy += 1
-          }
-          val coef = fdct(block)
-          // quantize in zigzag order
-          val zz = new Array[Int](64)
-          var k = 0
-          while (k < 64) {
-            zz(k) = Math.round(coef(Zigzag(k)) / qt(Zigzag(k))).toInt
-            k += 1
-          }
-          // DC: category + magnitude bits of the prediction diff
-          val diff = zz(0) - pred(comp); pred(comp) = zz(0)
-          val s = category(diff)
-          putCode(encDc(tid), s)
-          if (s > 0) bw.put(magnitudeBits(diff, s), s)
-          // AC: run/size symbols, ZRL for 16-zero runs, EOB at the end
-          var run = 0
-          k = 1
-          while (k < 64) {
-            if (zz(k) == 0) run += 1
-            else {
-              while (run >= 16) { putCode(encAc(tid), 0xf0); run -= 16 }
-              val sa = category(zz(k))
-              putCode(encAc(tid), (run << 4) | sa)
-              bw.put(magnitudeBits(zz(k), sa), sa)
-              run = 0
-            }
-            k += 1
-          }
-          if (run > 0) putCode(encAc(tid), 0x00) // EOB
-          comp += 1
+    def encodeBlock(comp: Int, ox: Int, oy: Int): Unit = {
+      val tid = if (comp == 0) 0 else 1
+      val pw = planeW(comp)
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          block(yy * 8 + xx) = planes(comp)((oy + yy) * pw + ox + xx) - 128.0
+          xx += 1
         }
-        bx += 1
+        yy += 1
       }
-      by += 1
+      val coef = fdct(block)
+      val zz = new Array[Int](64)
+      var k = 0
+      while (k < 64) {
+        zz(k) = Math.round(coef(Zigzag(k)) / qt(Zigzag(k))).toInt
+        k += 1
+      }
+      // DC: category + magnitude bits of the prediction diff
+      val diff = zz(0) - pred(comp); pred(comp) = zz(0)
+      val s = category(diff)
+      putCode(encDc(tid), s)
+      if (s > 0) bw.put(magnitudeBits(diff, s), s)
+      // AC: run/size symbols, ZRL for 16-zero runs, EOB at the end
+      var run = 0
+      k = 1
+      while (k < 64) {
+        if (zz(k) == 0) run += 1
+        else {
+          while (run >= 16) { putCode(encAc(tid), 0xf0); run -= 16 }
+          val sa = category(zz(k))
+          putCode(encAc(tid), (run << 4) | sa)
+          bw.put(magnitudeBits(zz(k), sa), sa)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) putCode(encAc(tid), 0x00) // EOB
+    }
+    var my = 0
+    while (my < h / (8 * sub)) {
+      var mx = 0
+      while (mx < w / (8 * sub)) {
+        var vy = 0
+        while (vy < sampF(0)) {
+          var vx = 0
+          while (vx < sampF(0)) {
+            encodeBlock(0, (mx * sampF(0) + vx) * 8, (my * sampF(0) + vy) * 8)
+            vx += 1
+          }
+          vy += 1
+        }
+        encodeBlock(1, mx * 8, my * 8)
+        encodeBlock(2, mx * 8, my * 8)
+        mx += 1
+      }
+      my += 1
     }
     bw.flush()
     marker(0xd9) // EOI
@@ -557,8 +590,10 @@ object JpegKernel {
             Component(u8(base), u8(base + 1), u8(base + 2))
           }
           comps.foreach { c =>
-            if (c.hv != 0x11)
-              fail(f"sampling factors 0x${c.hv}%02X (only 4:4:4 / 1x1 supported)")
+            val (hi, vi) = (c.hv >> 4, c.hv & 0x0f)
+            if (hi < 1 || hi > 2 || vi < 1 || vi > 2)
+              fail(f"sampling factors 0x${c.hv}%02X (1x1 and 2x2 supported — " +
+                "4:4:4, 4:2:0, grayscale)")
             if (c.tq > 3) fail(s"quant table id ${c.tq}")
           }
           i += len
@@ -593,75 +628,105 @@ object JpegKernel {
       if (dcTables(c.dcTable) == null) fail(s"missing DC Huffman table ${c.dcTable}")
       if (acTables(c.acTable) == null) fail(s"missing AC Huffman table ${c.acTable}")
     }
-    // entropy decode
+    // entropy decode — general interleaved MCU structure: the MCU is
+    // 8·maxH × 8·maxV image pixels; each component contributes h_i·v_i
+    // blocks per MCU into its own (possibly subsampled) plane, which is
+    // replication-upsampled at reconstruction (the standard fast chroma
+    // upsample). 4:4:4 is the all-1×1 special case; 4:2:0 is Y=2×2,
+    // C=1×1.
     val nc = comps.length
-    val planes = Array.ofDim[Int](nc, w * h)
+    val hs = comps.map(c => c.hv >> 4)
+    val vs = comps.map(c => c.hv & 0x0f)
+    val maxH = hs.max; val maxV = vs.max
+    if (w % (8 * maxH) != 0 || h % (8 * maxV) != 0)
+      fail(s"dims ${w}x$h not divisible by the ${8 * maxH}x${8 * maxV} MCU " +
+        "(no edge padding)")
+    val pw = Array.tabulate(nc)(c => w * hs(c) / maxH)
+    val ph = Array.tabulate(nc)(c => h * vs(c) / maxV)
+    val planes = Array.tabulate(nc)(c => new Array[Int](pw(c) * ph(c)))
     val br = new BitReader(bytes, sosAt, fail)
     val pred = new Array[Int](nc)
     val zz = new Array[Int](64)
     val coef = new Array[Double](64)
-    var by = 0
-    while (by < h / 8) {
-      var bx = 0
-      while (bx < w / 8) {
+    var my = 0
+    while (my < h / (8 * maxV)) {
+      var mx = 0
+      while (mx < w / (8 * maxH)) {
         var c = 0
         while (c < nc) {
           val comp = comps(c)
-          java.util.Arrays.fill(zz, 0)
-          // DC
-          val s = br.decodeSymbol(dcTables(comp.dcTable))
-          if (s > 11) fail(s"DC category $s out of range")
-          pred(c) += extend(br.bits(s), s)
-          zz(0) = pred(c)
-          // AC
-          var k = 1
-          var eob = false
-          while (k < 64 && !eob) {
-            val rs = br.decodeSymbol(acTables(comp.acTable))
-            val run = rs >> 4; val sa = rs & 0x0f
-            if (sa == 0) {
-              if (run == 15) k += 16 // ZRL
-              else eob = true // EOB (run must be 0 in baseline)
-            } else {
-              k += run
-              if (k > 63) fail("AC run overflows block")
-              zz(k) = extend(br.bits(sa), sa)
-              k += 1
+          var vy = 0
+          while (vy < vs(c)) {
+            var vx = 0
+            while (vx < hs(c)) {
+              java.util.Arrays.fill(zz, 0)
+              // DC
+              val s = br.decodeSymbol(dcTables(comp.dcTable))
+              if (s > 11) fail(s"DC category $s out of range")
+              pred(c) += extend(br.bits(s), s)
+              zz(0) = pred(c)
+              // AC
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = br.decodeSymbol(acTables(comp.acTable))
+                val run = rs >> 4; val sa = rs & 0x0f
+                if (sa == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else eob = true // EOB (run must be 0 in baseline)
+                } else {
+                  k += run
+                  if (k > 63) fail("AC run overflows block")
+                  zz(k) = extend(br.bits(sa), sa)
+                  k += 1
+                }
+              }
+              // dequantize into natural order + IDCT
+              val qt = qts(comp.tq)
+              var j = 0
+              while (j < 64) {
+                coef(Zigzag(j)) = zz(j).toDouble * qt(Zigzag(j))
+                j += 1
+              }
+              val sp = idct(coef)
+              val ox = (mx * hs(c) + vx) * 8
+              val oy = (my * vs(c) + vy) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  val v = Math.round(sp(yy * 8 + xx)).toInt + 128
+                  planes(c)((oy + yy) * pw(c) + ox + xx) = clamp(v)
+                  xx += 1
+                }
+                yy += 1
+              }
+              vx += 1
             }
-          }
-          // dequantize into natural order + IDCT
-          val qt = qts(comp.tq)
-          var j = 0
-          while (j < 64) {
-            coef(Zigzag(j)) = zz(j).toDouble * qt(Zigzag(j))
-            j += 1
-          }
-          val sp = idct(coef)
-          var yy = 0
-          while (yy < 8) {
-            var xx = 0
-            while (xx < 8) {
-              val v = Math.round(sp(yy * 8 + xx)).toInt + 128
-              planes(c)((by * 8 + yy) * w + bx * 8 + xx) = clamp(v)
-              xx += 1
-            }
-            yy += 1
+            vy += 1
           }
           c += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    // color reconstruction
+    // color reconstruction with replication upsample of subsampled planes
+    def sample(c: Int, x: Int, y: Int): Int =
+      planes(c)((y * vs(c) / maxV) * pw(c) + (x * hs(c) / maxH))
     val px = new Array[Byte](w * h * 3)
-    var p = 0
-    while (p < w * h) {
-      val (r, g, b) =
-        if (nc == 1) (planes(0)(p), planes(0)(p), planes(0)(p))
-        else yccToRgb(planes(0)(p), planes(1)(p), planes(2)(p))
-      px(3 * p) = r.toByte; px(3 * p + 1) = g.toByte; px(3 * p + 2) = b.toByte
-      p += 1
+    var y0 = 0
+    while (y0 < h) {
+      var x0 = 0
+      while (x0 < w) {
+        val p = y0 * w + x0
+        val (r, g, b) =
+          if (nc == 1) { val v = sample(0, x0, y0); (v, v, v) }
+          else yccToRgb(sample(0, x0, y0), sample(1, x0, y0), sample(2, x0, y0))
+        px(3 * p) = r.toByte; px(3 * p + 1) = g.toByte; px(3 * p + 2) = b.toByte
+        x0 += 1
+      }
+      y0 += 1
     }
     PpmImage(w, h, 255, px)
   }

@@ -187,6 +187,36 @@ object MultimodalQueries {
     MediaBatchProcessor.MediaRow(id, out.toByteArray, "video/x-motion-jpeg")
   }
 
+  /** `mm_jpeg420_decode`'s payload builder: a GRAYSCALE 16×16 raster
+    * (four flat blocks, block bi = text byte bi mod n) through the
+    * 4:2:0 encoder. Gray makes the subsampled layout LOSSLESS: r=g=b=v
+    * → y = (256v)>>8 = v exactly and cb = cr = 128, so the half-res
+    * chroma planes are flat and every decoded pixel equals v — the
+    * decoder's subsampled MCU structure (four Y blocks + one block per
+    * chroma per MCU) and replication upsample are verified bit-for-bit
+    * by the oracle. */
+  def textToJpeg420Row(id: Long, t: String): MediaBatchProcessor.MediaRow = {
+    requireAscii(id, t)
+    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = bytes.length
+    def tb(i: Int): Int = if (n == 0) 0 else bytes(i % n) & 0xff
+    val raster = new Array[Byte](16 * 16 * 3)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val v = tb((y / 8) * 2 + x / 8).toByte
+        val p = (y * 16 + x) * 3
+        raster(p) = v; raster(p + 1) = v; raster(p + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    MediaBatchProcessor.MediaRow(id,
+      JpegKernel.encodeJpeg420(
+        MediaBatchProcessor.PpmImage(16, 16, 255, raster)), "image/jpeg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary ingest + metadata extraction — the oracle-checkable slice
     // (byte length and media-type routing are exact integer/string logic).
@@ -409,6 +439,21 @@ object MultimodalQueries {
       val media = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToJpegRow(id, t) }
+      MediaBatchProcessor.decodeJpegBatched(media).toDF()
+    },
+    // REAL 4:2:0 JPEG decode (round 13) — the DOMINANT real-world JPEG
+    // layout: the payload's Y component samples at 2×2 (four Y blocks
+    // per MCU) with half-resolution chroma, and the decoder walks the
+    // interleaved subsampled MCU structure and replication-upsamples
+    // the chroma planes. The grayscale flat-block fixture makes the
+    // whole chain lossless (see textToJpeg420Row), so every mean and
+    // hash bit is oracle-exact — a wrong block-to-plane mapping or a
+    // broken upsample diverges all of them.
+    "mm_jpeg420_decode" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => textToJpeg420Row(id, t) }
       MediaBatchProcessor.decodeJpegBatched(media).toDF()
     },
     // REAL video-frame decode (round 13 — the last contract-only media
@@ -742,6 +787,39 @@ object MultimodalQueries {
         |FROM cand
         |JOIN sig sa ON sa.doc_id = a
         |JOIN sig sb ON sb.doc_id = b""".stripMargin,
+    // gray lossless model: decoded pixel = v = text byte (y = (256v)>>8
+    // = v, chroma flat 128 → zero color terms); lum of gray v is
+    // (2v+5v+v)//8 = v exactly, so the aHash cells carry v directly
+    "mm_jpeg420_decode" ->
+      """WITH blocks AS (
+        | SELECT doc_id, bi,
+        |  CASE WHEN n = 0 THEN 0 ELSE unicode(substr(text,
+        |    CAST(bi % greatest(n, 1) AS INT) + 1, 1)) END AS v
+        | FROM (SELECT doc_id, text, strlen(text) AS n,
+        |        unnest(range(0, 4)) AS bi FROM documents)),
+        |st AS (SELECT doc_id, SUM(v) // 4 AS mv FROM blocks GROUP BY doc_id),
+        |cl AS (
+        | SELECT b.doc_id, c.k, b.v AS l
+        | FROM (SELECT doc_id, k, ((k//8)//4)*2 + (k%8)//4 AS bi
+        |       FROM documents, (SELECT unnest(range(0, 64)) AS k) kk) c
+        | JOIN blocks b ON b.doc_id = c.doc_id AND b.bi = c.bi),
+        |mn AS (SELECT doc_id, SUM(l) // 64 AS m FROM cl GROUP BY doc_id)
+        |SELECT cl.doc_id,
+        | CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        | CAST(ANY_VALUE(st.mv) AS BIGINT) AS mean_r,
+        | CAST(ANY_VALUE(st.mv) AS BIGINT) AS mean_g,
+        | CAST(ANY_VALUE(st.mv) AS BIGINT) AS mean_b,
+        | CAST(ANY_VALUE(st.mv) AS BIGINT) AS lum_mean,
+        | CAST(SUM(CASE WHEN cl.l > mn.m AND cl.k >= 32
+        |          THEN 1::BIGINT << CAST(cl.k - 32 AS INT) ELSE 0 END)
+        |   AS BIGINT) AS ahash_hi,
+        | CAST(SUM(CASE WHEN cl.l > mn.m AND cl.k < 32
+        |          THEN 1::BIGINT << CAST(cl.k AS INT) ELSE 0 END)
+        |   AS BIGINT) AS ahash_lo
+        |FROM cl
+        |JOIN mn ON mn.doc_id = cl.doc_id
+        |JOIN st ON st.doc_id = cl.doc_id
+        |GROUP BY cl.doc_id""".stripMargin,
     // same integer model as mm_jpeg_decode, indexed by the GLOBAL block
     // number 4f+bi so each of the four frames re-derives independently;
     // a frame-splitting error (wrong boundary, dropped frame) changes

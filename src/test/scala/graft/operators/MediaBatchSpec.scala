@@ -346,6 +346,79 @@ class MediaBatchSpec extends SparkTestBase {
       JpegKernel.splitMjpeg(stream ++ Array[Byte](0x12, 0x34)))
   }
 
+  test("JPEG 4:2:0: grayscale flat blocks round-trip EXACTLY through the " +
+      "subsampled layout; color content stays within the lossy bound") {
+    // gray: r=g=b=v → y = (256v)>>8 = v exactly, cb=cr=128 → the
+    // half-res chroma planes are FLAT, so 4:2:0 is lossless here and
+    // the decoded pixel must be (v,v,v) bit-for-bit
+    val vals = Array(17, 96, 201, 250)
+    val px = new Array[Byte](16 * 16 * 3)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = vals((y / 8) * 2 + x / 8)
+      val p = (y * 16 + x) * 3
+      px(p) = v.toByte; px(p + 1) = v.toByte; px(p + 2) = v.toByte
+    }
+    val jpeg = JpegKernel.encodeJpeg420(PpmImage(16, 16, 255, px))
+    val dec = JpegKernel.decodeJpeg(jpeg)
+    assert(dec.width == 16 && dec.height == 16)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = vals((y / 8) * 2 + x / 8)
+      val p = (y * 16 + x) * 3
+      assert((dec.pixels(p) & 0xff) == v && (dec.pixels(p + 1) & 0xff) == v &&
+        (dec.pixels(p + 2) & 0xff) == v,
+        s"pixel ($x,$y): got ${dec.pixels(p) & 0xff} want $v")
+    }
+    // color content: chroma planes are quadrant-flat (AC coefficients
+    // in play) → lossy; replication upsample + quantization must stay
+    // within the standard bound
+    val cpx = Array.tabulate(16 * 16 * 3)(i => ((i * 131 + 17) % 251).toByte)
+    val cdec = JpegKernel.decodeJpeg(
+      JpegKernel.encodeJpeg420(PpmImage(16, 16, 255, cpx)))
+    var worst = 0
+    for (p <- cpx.indices) {
+      val d = math.abs((cdec.pixels(p) & 0xff) - (cpx(p) & 0xff))
+      if (d > worst) worst = d
+    }
+    // a NOISE image is 4:2:0's pathological case (opposite-chroma
+    // neighbors collapse into one half-res sample), so compare against
+    // the IDEAL 4:2:0 reference — full-res forward transform, 2×2
+    // box-averaged chroma, replication upsample, inverse transform,
+    // NO codec — which isolates quantization/entropy error (bounded
+    // like 4:4:4) from the layout's inherent information loss
+    val ideal = {
+      val n = 16 * 16
+      val yP = new Array[Int](n); val cbF = new Array[Int](n)
+      val crF = new Array[Int](n)
+      for (p <- 0 until n) {
+        val (y, cb, cr) = JpegKernel.rgbToYcc(cpx(3 * p) & 0xff,
+          cpx(3 * p + 1) & 0xff, cpx(3 * p + 2) & 0xff)
+        yP(p) = y; cbF(p) = cb; crF(p) = cr
+      }
+      def ds(f: Array[Int], x: Int, y: Int): Int = {
+        val qx = (x / 2) * 2; val qy = (y / 2) * 2
+        (f(qy * 16 + qx) + f(qy * 16 + qx + 1) +
+          f((qy + 1) * 16 + qx) + f((qy + 1) * 16 + qx + 1)) / 4
+      }
+      Array.tabulate(n) { p =>
+        val x = p % 16; val y = p / 16
+        JpegKernel.yccToRgb(yP(p), ds(cbF, x, y), ds(crF, x, y))
+      }
+    }
+    var worstVsIdeal = 0
+    for (p <- 0 until 16 * 16) {
+      val (ir, ig, ib) = ideal(p)
+      val d = math.max(math.abs((cdec.pixels(3 * p) & 0xff) - ir),
+        math.max(math.abs((cdec.pixels(3 * p + 1) & 0xff) - ig),
+          math.abs((cdec.pixels(3 * p + 2) & 0xff) - ib)))
+      if (d > worstVsIdeal) worstVsIdeal = d
+    }
+    assert(worstVsIdeal <= 96,
+      s"codec error vs ideal-4:2:0 reference $worstVsIdeal (raw worst $worst)")
+    // dims not MCU-divisible fail loudly
+    intercept[IllegalArgumentException](
+      JpegKernel.encodeJpeg420(PpmImage(8, 8, 255, new Array[Byte](192))))
+  }
+
   test("resizeBox: hand-computed 2x box average, floor semantics, and a " +
       "full decode->resize->featurize round trip on a real PNG") {
     // 2x2 -> 1x1: output = floor(mean of 4) per channel
