@@ -21,6 +21,10 @@ object PerfProbe {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // standard self-describing header — floor_report.py lifts this line
+    // into the artifact's _meta so BENCH_floor carries the same
+    // master/mode/git_sha/classes_md5 provenance as every other artifact
+    println(s"[meta] ${RunMeta.json(spark, sfDir)}")
     // same untimed warmup as Bench
     try SparkEntry.queries("q14_promo_share")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()

@@ -14,8 +14,15 @@ object RunMeta {
 
   /** Where the git metadata lives: entry points may run from a deployed
     * classes snapshot outside the repo (the java -cp fast path), so the
-    * repo dir is overridable; default is the CWD (correct for sbt). */
+    * repo dir is overridable; default is the CWD (correct for sbt). The
+    * SHA is only trusted when the directory actually looks like a graft
+    * checkout (has `src/main/scala/graft`) — otherwise a snapshot run
+    * whose CWD happens to be some unrelated git repo would stamp that
+    * repo's SHA into the artifact (misattributed provenance). */
   private def repoDir: String = sys.env.getOrElse("SPARK_GRAFT_REPO", ".")
+
+  private def isGraftCheckout: Boolean =
+    new java.io.File(repoDir, "src/main/scala/graft").isDirectory
 
   private def run(cmd: String*): Option[String] =
     try {
@@ -27,11 +34,12 @@ object RunMeta {
       if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
     } catch { case _: Exception => None }
 
-  def gitSha(): String = run("git", "rev-parse", "--short", "HEAD")
-    .getOrElse("unknown")
+  def gitSha(): String =
+    if (!isGraftCheckout) "unknown"
+    else run("git", "rev-parse", "--short", "HEAD").getOrElse("unknown")
 
   def gitDirty(): Boolean =
-    run("git", "status", "--porcelain").exists(_.nonEmpty)
+    isGraftCheckout && run("git", "status", "--porcelain").exists(_.nonEmpty)
 
   /** Content hash of the loaded graft classes: md5 over the sorted
     * (path, per-file md5) list of every .class under the classpath root
@@ -48,14 +56,17 @@ object RunMeta {
       md.digest().map("%02x".format(_)).mkString.take(12)
     } else {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val files = java.nio.file.Files.walk(root).iterator()
       val classes = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
-      while (files.hasNext) {
-        val f = files.next()
-        if (f.toString.endsWith(".class"))
-          classes += ((root.relativize(f).toString,
-            java.nio.file.Files.readAllBytes(f)))
-      }
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        val files = walk.iterator()
+        while (files.hasNext) {
+          val f = files.next()
+          if (f.toString.endsWith(".class"))
+            classes += ((root.relativize(f).toString,
+              java.nio.file.Files.readAllBytes(f)))
+        }
+      } finally walk.close() // Files.walk holds directory fds until closed
       classes.sortBy(_._1).foreach { case (name, bytes) =>
         md.update(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         md.update(java.security.MessageDigest.getInstance("MD5").digest(bytes))
@@ -78,6 +89,7 @@ object RunMeta {
       "master" -> q(master),
       "mode" -> q(mode),
       "git_sha" -> q(gitSha() + (if (gitDirty()) "-dirty" else "")),
+      "repo_dir" -> q(repoDir),
       "classes_md5" -> q(classesHash()),
       "sf_dir" -> q(sfDir),
       "spark_version" -> q(spark.version),

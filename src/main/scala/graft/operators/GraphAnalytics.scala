@@ -60,18 +60,27 @@ object GraphAnalytics {
     * Output: `(node, score_micro, kind ∈ {hub, authority})`. */
   def hits(edges: DataFrame): DataFrame = {
     val e = edges.select("src", "dst", "w")
+    // degenerate inputs (empty edge set, all-zero weights) make the L1
+    // totals NULL/0 — guard INSIDE the used division expression (a
+    // separate assert column would be pruned away) so they fail loudly
+    // like the media kernels instead of emitting NULL score rows
+    def norm(raw: String, tot: String): String =
+      s"""if($tot is null or $tot <= 0,
+         |   cast(assert_true(false,
+         |     'hits: empty or zero-weight edge set ($tot)') as bigint),
+         |   $raw * 1000000 div $tot)""".stripMargin
     val a1raw = e.groupBy("dst")
       .agg((sum("w") * lit(1000000L)).as("araw")).localCheckpoint()
     val a1 = a1raw.crossJoin(broadcast(a1raw.agg(sum("araw").as("at"))))
-      .select(col("dst"), expr("araw * 1000000 div at").as("a"))
+      .select(col("dst"), expr(norm("araw", "at")).as("a"))
     val h1raw = e.join(a1, "dst").groupBy("src")
       .agg(sum(expr("a * w")).as("hraw")).localCheckpoint()
     val h1 = h1raw.crossJoin(broadcast(h1raw.agg(sum("hraw").as("ht"))))
-      .select(col("src"), expr("hraw * 1000000 div ht").as("h"))
+      .select(col("src"), expr(norm("hraw", "ht")).as("h"))
     val a2raw = e.join(h1, "src").groupBy("dst")
       .agg(sum(expr("h * w")).as("araw2")).localCheckpoint()
     val a2 = a2raw.crossJoin(broadcast(a2raw.agg(sum("araw2").as("at2"))))
-      .select(col("dst"), expr("araw2 * 1000000 div at2").as("a2"))
+      .select(col("dst"), expr(norm("araw2", "at2")).as("a2"))
     h1.select(col("src").as("node"), col("h").as("score_micro"),
         lit("hub").as("kind"))
       .unionAll(a2.select(col("dst"), col("a2"), lit("authority")))

@@ -21,9 +21,13 @@ def main():
         w = json.load(open(sys.argv[4]))
         window = w.get("parsed", w).get("queries", {})
     queries = {}
+    meta = None
     pat = re.compile(
         r"\[probe\] (\S+)\s+min=([\d.]+) med=([\d.]+) max=([\d.]+)")
     for line in open(probe_path):
+        if line.startswith("[meta] "):
+            meta = json.loads(line[len("[meta] "):])
+            continue
         m = pat.search(line)
         if not m:
             continue
@@ -41,6 +45,8 @@ def main():
         queries[name] = entry
     out = {"kind": "fresh-jvm floor (PerfProbe min-of-k)",
            "n_queries": len(queries), "queries": queries}
+    if meta is not None:
+        out["_meta"] = meta
     regressed = sorted((n for n, e in queries.items()
                         if e.get("floor_vs_ref") and e["floor_vs_ref"] > 1.5),
                        key=lambda n: -queries[n]["floor_vs_ref"])
