@@ -12,11 +12,13 @@ import graft.operators.MediaBatchProcessor.PpmImage
   * stuffing) used by the fixture payload builder and MediaBatchSpec.
   *
   * Supported profile (fail-loudly on anything else — the honest
-  * contract the PNG kernel set): baseline DCT (SOF0), 8-bit precision,
-  * 1 or 3 components, no chroma subsampling (all sampling factors
-  * 1×1), no restart intervals. That covers the canonical writer's
-  * output and the common 4:4:4 corpus tier; progressive/subsampled
-  * decode is a documented extension, not a silent wrong answer.
+  * contract the PNG kernel set): baseline DCT (SOF0) AND progressive
+  * DCT (SOF2, round 14 — spectral selection + successive approximation,
+  * the dominant web-scraped encoding), 8-bit precision, 1 or 3
+  * components, 4:4:4 / 4:2:0 / grayscale sampling, DRI restart
+  * intervals with RSTn resync (round 14). Arithmetic coding, lossless,
+  * hierarchical, and 12-bit frames remain documented loud failures,
+  * not silent wrong answers.
   *
   * Exactness contract for the oracle: the color transforms are FIXED-
   * POINT INTEGER (floor shifts, below), and the fixture's rasters are
@@ -30,9 +32,11 @@ import graft.operators.MediaBatchProcessor.PpmImage
   * round-trip, where the assertion is the standard lossy-bound one.
   *
   * Scale posture: a per-payload kernel invoked from a narrow
-  * mapPartitions — no shuffle, no driver involvement; the O(64²)
-  * reference DCT is the clarity choice (an AAN factorization is the
-  * drop-in speedup when decode dominates a profile).
+  * mapPartitions — no shuffle, no driver involvement. Round 14 moved
+  * the decode hot path to the AAN factorized IDCT (spec-checked
+  * against the retained O(64²) reference) and the T.81 F.16
+  * table-driven canonical Huffman decode; the encoder keeps the
+  * reference FDCT with an exact flat-block shortcut.
   */
 object JpegKernel {
 
@@ -159,10 +163,46 @@ object JpegKernel {
     val codeOf: Map[Int, (Int, Int)] =
       canonicalCodes(bits, vals).map { case (s, c, l) => s -> ((c, l)) }.toMap
   }
+
+  /** Canonical decode tables in the T.81 F.16 DECODE form — mincode/
+    * maxcode/valptr per code length — replacing the round-13 map-of-
+    * tuples lookup (one boxed Map probe per BIT) with three flat array
+    * reads per symbol. Outputs are identical: both are built from the
+    * same canonical (symbol, code, len) assignment. */
   private final class DecTable(bits: Array[Int], vals: Array[Int]) {
-    val symbolOf: Map[(Int, Int), Int] =
-      canonicalCodes(bits, vals).map { case (s, c, l) => ((l, c), s) }.toMap
+    require(bits.length == 16, "BITS must have 16 entries")
+    require(bits.sum == vals.length,
+      s"BITS total ${bits.sum} != HUFFVAL length ${vals.length}")
+    val huffval: Array[Int] = vals
+    val mincode = new Array[Int](17)
+    val maxcode = new Array[Int](17) // -1 where no codes of that length
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valptr(l) = k; mincode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxcode(l) = code - 1
+        } else maxcode(l) = -1
+        code <<= 1; l += 1
+      }
+    }
   }
+
+  /** The uniform AC Huffman table the progressive writer declares in its
+    * DHT: every symbol an AC scan can emit — EOBn (0x00..0xE0), ZRL
+    * (0xF0), and all run/size pairs (r<<4 | s, s ∈ 1..10) — at a fixed
+    * 8-bit code length (176 codes; Kraft sum 176/256 < 1, so the
+    * canonical assignment is valid and no code is the all-ones
+    * pattern). Deliberately unoptimized: a production encoder would
+    * gather per-scan statistics and build optimal tables, but the
+    * fixture writer optimizes for decoder coverage, not size — this one
+    * table makes every EOBRUN length and refinement symbol encodable. */
+  private val ProgAcBits = Array(0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals: Array[Int] =
+    (0 to 14).map(_ << 4).toArray ++ Array(0xf0) ++
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)
 
   // ---- reference DCT (double precision, O(64²) per block) ----
   private val CosT: Array[Array[Double]] = Array.tabulate(8, 8)((x, u) =>
@@ -195,9 +235,12 @@ object JpegKernel {
     out
   }
 
-  /** IDCT of one dequantized 8×8 coefficient block (natural order in,
-    * row-major spatial out, still level-shifted). */
-  private def idct(coef: Array[Double]): Array[Double] = {
+  /** Reference IDCT of one dequantized 8×8 coefficient block (natural
+    * order in, row-major spatial out, still level-shifted) — the
+    * O(64²) textbook sum, kept as the ground truth the AAN fast path is
+    * spec-checked against (`MediaBatchSpec`). Not on the decode hot
+    * path since round 14. */
+  private[operators] def idctRef(coef: Array[Double]): Array[Double] = {
     val out = new Array[Double](64)
     var y = 0
     while (y < 8) {
@@ -220,6 +263,68 @@ object JpegKernel {
       y += 1
     }
     out
+  }
+
+  // ---- AAN factorized IDCT (round 14 — the drop-in speedup the round-
+  // 13 Scaladoc named): the Arai–Agui–Nakajima scaled-DCT factorization
+  // ("A Fast DCT-SQ Scheme for Images", Trans. IEICE E71(11), 1988; the
+  // same algorithm behind the public IJG float IDCT), 5 multiplies +
+  // 29 adds per 1-D stage instead of the reference's 64 multiply-adds
+  // per OUTPUT SAMPLE. Inputs must be pre-scaled by AanScale(u) ·
+  // AanScale(v) / 8 — folded into the dequantization table once per
+  // component, so the per-block cost is the butterfly alone. Double
+  // precision throughout: agreement with idctRef is ~1e-13 absolute
+  // (spec-pinned), far inside the ±0.5 integer rounding margin, and
+  // EXACT on DC-only blocks (the oracle fixtures' flat-block case:
+  // every butterfly op is then an add of zeros). ----
+  private[operators] val AanScale: Array[Double] = Array.tabulate(8)(u =>
+    if (u == 0) 1.0 else math.sqrt(2.0) * math.cos(u * math.Pi / 16.0))
+
+  private val Aan1 = 1.4142135623730951 // sqrt(2)            = 2 cos(2π/8)·...
+  private val Aan2 = 1.8477590650225735 // 2 cos(π/8)
+  private val Aan3 = 1.0823922002923940 // 2 (cos(π/8) − cos(3π/8))
+  private val Aan4 = 2.6131259297527530 // 2 (cos(π/8) + cos(3π/8))
+
+  /** One 1-D AAN inverse butterfly over 8 workspace slots starting at
+    * `base` with the given stride (1 = row pass, 8 = column pass). */
+  private def aan1d(ws: Array[Double], base: Int, stride: Int): Unit = {
+    val i0 = base; val i1 = base + stride; val i2 = base + 2 * stride
+    val i3 = base + 3 * stride; val i4 = base + 4 * stride
+    val i5 = base + 5 * stride; val i6 = base + 6 * stride
+    val i7 = base + 7 * stride
+    // even part
+    val t0 = ws(i0); val t1 = ws(i2); val t2 = ws(i4); val t3 = ws(i6)
+    val t10 = t0 + t2; val t11 = t0 - t2
+    val t13 = t1 + t3
+    val t12 = (t1 - t3) * Aan1 - t13
+    val e0 = t10 + t13; val e3 = t10 - t13
+    val e1 = t11 + t12; val e2 = t11 - t12
+    // odd part
+    val t4 = ws(i1); val t5 = ws(i3); val t6 = ws(i5); val t7 = ws(i7)
+    val z13 = t6 + t5; val z10 = t6 - t5
+    val z11 = t4 + t7; val z12 = t4 - t7
+    val o7 = z11 + z13
+    val o11 = (z11 - z13) * Aan1
+    val z5 = (z10 + z12) * Aan2
+    val o10 = Aan3 * z12 - z5
+    val o12 = -Aan4 * z10 + z5
+    val o6 = o12 - o7
+    val o5 = o11 - o6
+    val o4 = o10 + o5
+    ws(i0) = e0 + o7; ws(i7) = e0 - o7
+    ws(i1) = e1 + o6; ws(i6) = e1 - o6
+    ws(i2) = e2 + o5; ws(i5) = e2 - o5
+    ws(i4) = e3 + o4; ws(i3) = e3 - o4
+  }
+
+  /** In-place 2-D AAN IDCT of a 64-slot workspace whose entries are the
+    * coefficients PRE-SCALED by AanScale(u)·AanScale(v)/8 (natural
+    * order). Output: level-shifted spatial samples, row-major. */
+  private[operators] def idctAan(ws: Array[Double]): Unit = {
+    var r = 0
+    while (r < 64) { aan1d(ws, r, 1); r += 8 }
+    var c = 0
+    while (c < 8) { aan1d(ws, c, 8); c += 1 }
   }
 
   // ---- bit I/O with byte stuffing ----
@@ -253,7 +358,7 @@ object JpegKernel {
           val m = bytes(pos) & 0xff; pos += 1
           if (m != 0x00)
             fail(f"unexpected marker 0xFF$m%02X inside entropy stream " +
-              "(restart markers unsupported)")
+              "(expected a stuffed zero or a scheduled restart)")
           b = 0xff
         }
         acc = b; n = 8
@@ -266,16 +371,34 @@ object JpegKernel {
       while (i < len) { v = (v << 1) | bit(); i += 1 }
       v
     }
+    /** Canonical Huffman decode, T.81 F.16: extend the code one bit at a
+      * time; at each length, codes of that length occupy the contiguous
+      * range [mincode, maxcode] and index huffval via valptr. */
     def decodeSymbol(t: DecTable): Int = {
-      var code = 0; var len = 0
-      while (len < 16) {
-        code = (code << 1) | bit(); len += 1
-        t.symbolOf.get((len, code)) match {
-          case Some(s) => return s
-          case None => ()
+      var code = bit(); var l = 1
+      while (l <= 16) {
+        if (t.maxcode(l) >= 0 && code <= t.maxcode(l)) {
+          if (code < t.mincode(l)) fail("corrupt Huffman code")
+          return t.huffval(t.valptr(l) + code - t.mincode(l))
         }
+        code = (code << 1) | bit(); l += 1
       }
       fail("invalid Huffman code (no symbol within 16 bits)")
+    }
+    /** Consume the scheduled restart marker RSTm at the current byte
+      * boundary: discard the partial byte's padding bits, tolerate one
+      * stuffed pad byte (a 1-padded 0xFF must be stuffed with 0x00),
+      * then require exactly 0xFF (0xD0+m). */
+    def expectRestart(m: Int): Unit = {
+      acc = 0; n = 0
+      if (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff &&
+          (bytes(pos + 1) & 0xff) == 0x00) pos += 2 // stuffed pad byte
+      if (pos + 1 >= bytes.length) fail("truncated at restart marker")
+      if ((bytes(pos) & 0xff) != 0xff ||
+          (bytes(pos + 1) & 0xff) != 0xd0 + m)
+        fail(f"expected restart marker RST$m%d at offset $pos, got " +
+          f"0x${bytes(pos) & 0xff}%02X${bytes(pos + 1) & 0xff}%02X")
+      pos += 2
     }
     def position: Int = pos
   }
@@ -302,77 +425,152 @@ object JpegKernel {
     * per component per MCU). Requires 8-divisible dimensions (a
     * production encoder edge-pads; the canonical writer fails loudly
     * instead of inventing pixels). */
-  def encodeJpeg(img: PpmImage): Array[Byte] = encodeBaseline(img, 1)
+  def encodeJpeg(img: PpmImage): Array[Byte] = encodeBaseline(img, 1, 0)
+
+  /** Baseline 4:4:4 writer with a DRI restart interval (round 14): a
+    * DRI segment declares `restartInterval` MCUs per restart interval
+    * and an RSTm marker (m cycling 0..7) separates consecutive
+    * intervals — the standard camera/MJPEG resync structure. DC
+    * predictors reset at each marker. */
+  def encodeJpegDri(img: PpmImage, restartInterval: Int): Array[Byte] = {
+    require(restartInterval > 0, "restart interval must be positive")
+    encodeBaseline(img, 1, restartInterval)
+  }
 
   /** Conforming 4:2:0 writer — the dominant real-world JPEG layout:
     * Y at 2×2 sampling (four blocks per MCU), chroma planes 2×2
     * box-averaged to half resolution (one block each per MCU).
     * Requires 16-divisible dimensions. */
-  def encodeJpeg420(img: PpmImage): Array[Byte] = encodeBaseline(img, 2)
+  def encodeJpeg420(img: PpmImage): Array[Byte] = encodeBaseline(img, 2, 0)
 
-  private def encodeBaseline(img: PpmImage, sub: Int): Array[Byte] = {
+  /** Shared encoder front half: color transform, chroma subsample, and
+    * per-block quantized zigzag coefficients. Flat blocks (every sample
+    * equal — the oracle fixtures' case) shortcut the FDCT exactly: the
+    * only nonzero coefficient is DC = 8·(v−128), so the quantized block
+    * is computed directly (bit-identical to the double-path result,
+    * which lands within 1e-13 of these integers before rounding). */
+  private final class EncPlanes(img: PpmImage, sub: Int) {
     require(img.maxVal == 255, "JPEG writer takes 8-bit RGB")
     require(img.width % (8 * sub) == 0 && img.height % (8 * sub) == 0,
       s"writer needs ${8 * sub}-divisible dims, got ${img.width}x${img.height}")
     require(img.pixels.length == img.width * img.height * 3, "raster size")
-    val w = img.width; val h = img.height
-    // color transform into three full-resolution planes
-    val full = Array.ofDim[Int](3, w * h)
-    var p = 0
-    while (p < w * h) {
-      val (y, cb, cr) = rgbToYcc(img.pixels(3 * p) & 0xff,
-        img.pixels(3 * p + 1) & 0xff, img.pixels(3 * p + 2) & 0xff)
-      full(0)(p) = y; full(1)(p) = cb; full(2)(p) = cr
-      p += 1
+    val w: Int = img.width; val h: Int = img.height
+    private val full = Array.ofDim[Int](3, w * h)
+    locally {
+      var p = 0
+      while (p < w * h) {
+        val (y, cb, cr) = rgbToYcc(img.pixels(3 * p) & 0xff,
+          img.pixels(3 * p + 1) & 0xff, img.pixels(3 * p + 2) & 0xff)
+        full(0)(p) = y; full(1)(p) = cb; full(2)(p) = cr
+        p += 1
+      }
     }
     // chroma subsample (sub=2: 2×2 integer box average; sub=1: as-is)
-    val cw = w / sub; val ch = h / sub
-    def subsampled(c: Int): Array[Int] =
+    val cw: Int = w / sub
+    private def subsampled(c: Int): Array[Int] =
       if (sub == 1) full(c)
-      else Array.tabulate(cw * ch) { q =>
+      else Array.tabulate(cw * (h / sub)) { q =>
         val qx = q % cw; val qy = q / cw
         (full(c)((2 * qy) * w + 2 * qx) + full(c)((2 * qy) * w + 2 * qx + 1) +
           full(c)((2 * qy + 1) * w + 2 * qx) +
           full(c)((2 * qy + 1) * w + 2 * qx + 1)) / 4
       }
-    // per-component plane, plane width, blocks-per-MCU factor
-    val planes = Array(full(0), subsampled(1), subsampled(2))
-    val planeW = Array(w, cw, cw)
-    val sampF = Array(sub, 1, 1)
-    val out = new java.io.ByteArrayOutputStream()
-    def u8(v: Int): Unit = out.write(v & 0xff)
-    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
-    def marker(m: Int): Unit = { u8(0xff); u8(m) }
-    marker(0xd8) // SOI
+    val planes: Array[Array[Int]] = Array(full(0), subsampled(1), subsampled(2))
+    val planeW: Array[Int] = Array(w, cw, cw)
+    val qt: Array[Int] = quantTable()
+    private val block = new Array[Double](64)
+
+    /** Quantized zigzag coefficients of the 8×8 block at (ox, oy) in
+      * component `comp`'s plane. */
+    def blockZz(comp: Int, ox: Int, oy: Int): Array[Int] = {
+      val pw = planeW(comp)
+      val plane = planes(comp)
+      val zz = new Array[Int](64)
+      val v0 = plane(oy * pw + ox)
+      var flat = true
+      var yy = 0
+      while (yy < 8 && flat) {
+        var xx = 0
+        while (xx < 8 && flat) {
+          if (plane((oy + yy) * pw + ox + xx) != v0) flat = false
+          xx += 1
+        }
+        yy += 1
+      }
+      if (flat) {
+        // DC-only exact shortcut: FDCT of a constant block is 8·(v−128)
+        zz(0) = Math.round(8.0 * (v0 - 128) / qt(0)).toInt
+        return zz
+      }
+      yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          block(yy * 8 + xx) = plane((oy + yy) * pw + ox + xx) - 128.0
+          xx += 1
+        }
+        yy += 1
+      }
+      val coef = fdct(block)
+      var k = 0
+      while (k < 64) {
+        zz(k) = Math.round(coef(Zigzag(k)) / qt(Zigzag(k))).toInt
+        k += 1
+      }
+      zz
+    }
+  }
+
+  private def writeU16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write((v >> 8) & 0xff); out.write(v & 0xff)
+  }
+  private def writeMarker(out: java.io.ByteArrayOutputStream, m: Int): Unit = {
+    out.write(0xff); out.write(m)
+  }
+
+  /** SOI + DQT + SOFn + DHT headers shared by the sequential and
+    * progressive writers. `dhts` is the (TcTh, BITS, HUFFVAL) list. */
+  private def writeHeaders(out: java.io.ByteArrayOutputStream,
+      sofMarker: Int, w: Int, h: Int, sub: Int, qt: Array[Int],
+      dhts: Seq[(Int, Array[Int], Array[Int])]): Unit = {
+    writeMarker(out, 0xd8) // SOI
     // DQT: two 8-bit tables (0 = luma, 1 = chroma; identical flat
     // tables here, but the decoder must still route by Tq)
-    val qt = quantTable()
-    marker(0xdb); u16(2 + 2 * 65)
-    for (id <- 0 to 1) { u8(id); for (k <- 0 until 64) u8(qt(Zigzag(k))) }
-    // SOF0
-    marker(0xc0); u16(8 + 3 * 3)
-    u8(8); u16(h); u16(w); u8(3)
+    writeMarker(out, 0xdb); writeU16(out, 2 + 2 * 65)
+    for (id <- 0 to 1) {
+      out.write(id); for (k <- 0 until 64) out.write(qt(Zigzag(k)))
+    }
+    writeMarker(out, sofMarker); writeU16(out, 8 + 3 * 3)
+    out.write(8); writeU16(out, h); writeU16(out, w); out.write(3)
     for (cid <- 1 to 3) {
-      u8(cid)
-      u8(if (cid == 1) (sub << 4) | sub else 0x11)
-      u8(if (cid == 1) 0 else 1)
+      out.write(cid)
+      out.write(if (cid == 1) (sub << 4) | sub else 0x11)
+      out.write(if (cid == 1) 0 else 1)
     }
-    // DHT: the four standard tables
-    def dht(tcTh: Int, bits: Array[Int], vals: Array[Int]): Unit = {
-      marker(0xc4); u16(2 + 1 + 16 + vals.length)
-      u8(tcTh); bits.foreach(u8); vals.foreach(u8)
+    dhts.foreach { case (tcTh, bits, vals) =>
+      writeMarker(out, 0xc4); writeU16(out, 2 + 1 + 16 + vals.length)
+      out.write(tcTh); bits.foreach(out.write); vals.foreach(out.write)
     }
-    dht(0x00, DcLumaBits, DcLumaVals)
-    dht(0x10, AcLumaBits, AcLumaVals)
-    dht(0x01, DcChromaBits, DcChromaVals)
-    dht(0x11, AcChromaBits, AcChromaVals)
+  }
+
+  private def encodeBaseline(img: PpmImage, sub: Int,
+      restartInterval: Int): Array[Byte] = {
+    val ep = new EncPlanes(img, sub)
+    val w = ep.w; val h = ep.h
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, 0xc0, w, h, sub, ep.qt, Seq(
+      (0x00, DcLumaBits, DcLumaVals), (0x10, AcLumaBits, AcLumaVals),
+      (0x01, DcChromaBits, DcChromaVals), (0x11, AcChromaBits, AcChromaVals)))
+    if (restartInterval > 0) {
+      writeMarker(out, 0xdd); writeU16(out, 4); writeU16(out, restartInterval)
+    }
     // SOS
-    marker(0xda); u16(6 + 2 * 3)
-    u8(3)
-    u8(1); u8(0x00) // Y: DC table 0, AC table 0
-    u8(2); u8(0x11) // Cb: DC table 1, AC table 1
-    u8(3); u8(0x11) // Cr
-    u8(0); u8(63); u8(0) // Ss, Se, Ah/Al (baseline fixed values)
+    writeMarker(out, 0xda); writeU16(out, 6 + 2 * 3)
+    out.write(3)
+    out.write(1); out.write(0x00) // Y: DC table 0, AC table 0
+    out.write(2); out.write(0x11) // Cb: DC table 1, AC table 1
+    out.write(3); out.write(0x11) // Cr
+    out.write(0); out.write(63); out.write(0) // Ss, Se, Ah/Al (baseline)
     // entropy-coded data: MCUs in raster order; per MCU the Y component
     // contributes sub×sub blocks, each chroma component one block
     val encDc = Array(new EncTable(DcLumaBits, DcLumaVals),
@@ -386,26 +584,9 @@ object JpegKernel {
       case None => throw new IllegalStateException(
         f"symbol 0x$sym%02X not in Huffman table")
     }
-    val block = new Array[Double](64)
     def encodeBlock(comp: Int, ox: Int, oy: Int): Unit = {
       val tid = if (comp == 0) 0 else 1
-      val pw = planeW(comp)
-      var yy = 0
-      while (yy < 8) {
-        var xx = 0
-        while (xx < 8) {
-          block(yy * 8 + xx) = planes(comp)((oy + yy) * pw + ox + xx) - 128.0
-          xx += 1
-        }
-        yy += 1
-      }
-      val coef = fdct(block)
-      val zz = new Array[Int](64)
-      var k = 0
-      while (k < 64) {
-        zz(k) = Math.round(coef(Zigzag(k)) / qt(Zigzag(k))).toInt
-        k += 1
-      }
+      val zz = ep.blockZz(comp, ox, oy)
       // DC: category + magnitude bits of the prediction diff
       val diff = zz(0) - pred(comp); pred(comp) = zz(0)
       val s = category(diff)
@@ -413,7 +594,7 @@ object JpegKernel {
       if (s > 0) bw.put(magnitudeBits(diff, s), s)
       // AC: run/size symbols, ZRL for 16-zero runs, EOB at the end
       var run = 0
-      k = 1
+      var k = 1
       while (k < 64) {
         if (zz(k) == 0) run += 1
         else {
@@ -427,27 +608,248 @@ object JpegKernel {
       }
       if (run > 0) putCode(encAc(tid), 0x00) // EOB
     }
+    var mcu = 0; var rstSeq = 0
     var my = 0
     while (my < h / (8 * sub)) {
       var mx = 0
       while (mx < w / (8 * sub)) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush() // 1-pad to the byte boundary, then the marker
+          writeMarker(out, 0xd0 + (rstSeq & 7)); rstSeq += 1
+          java.util.Arrays.fill(pred, 0)
+        }
         var vy = 0
-        while (vy < sampF(0)) {
+        while (vy < sub) {
           var vx = 0
-          while (vx < sampF(0)) {
-            encodeBlock(0, (mx * sampF(0) + vx) * 8, (my * sampF(0) + vy) * 8)
+          while (vx < sub) {
+            encodeBlock(0, (mx * sub + vx) * 8, (my * sub + vy) * 8)
             vx += 1
           }
           vy += 1
         }
         encodeBlock(1, mx * 8, my * 8)
         encodeBlock(2, mx * 8, my * 8)
+        mcu += 1
         mx += 1
       }
       my += 1
     }
     bw.flush()
-    marker(0xd9) // EOI
+    writeMarker(out, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Conforming PROGRESSIVE JPEG writer (SOF2, round 14) — the dominant
+    * web-scraped encoding, emitted with a scan script that exercises
+    * both progressive mechanisms end to end:
+    *   1. DC, interleaved, successive approximation Al=1
+    *   2. DC refinement, Ah=1 → Al=0 (one raw bit per block)
+    *   3-5. per component: AC spectral band 1..63 first pass at Al=1
+    *        (EOBRUN accumulation across blocks — flat fixtures drive
+    *        EOBn>1 codes through the decoder)
+    *   6-8. per component: AC refinement Ah=1 → Al=0 (newly-nonzero
+    *        run/sign codes + buffered correction bits, T.81 G.1.2.3)
+    * 4:4:4 only (progressive AC scans are non-interleaved per T.81, so
+    * subsampling adds nothing the 4:2:0 baseline writer doesn't already
+    * cover). Optional DRI restart interval (in blocks for the
+    * non-interleaved AC scans, MCUs for the DC scans), resetting DC
+    * predictors and flushing EOB runs at each marker. Decoding this
+    * stream yields EXACTLY the pixels of the baseline encoding of the
+    * same raster — progressive reorders the same quantized
+    * coefficients; it does not requantize (MediaBatchSpec pins this). */
+  def encodeJpegProgressive(img: PpmImage,
+      restartInterval: Int = 0): Array[Byte] = {
+    val ep = new EncPlanes(img, 1)
+    val w = ep.w; val h = ep.h
+    val nbx = w / 8; val nby = h / 8
+    val nBlocks = nbx * nby
+    // all quantized blocks up front (progressive revisits them per scan)
+    val blocks = Array.tabulate(3, nBlocks)((c, bi) =>
+      ep.blockZz(c, (bi % nbx) * 8, (bi / nbx) * 8))
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeaders(out, 0xc2, w, h, 1, ep.qt, Seq(
+      (0x00, DcLumaBits, DcLumaVals), (0x01, DcChromaBits, DcChromaVals),
+      (0x10, ProgAcBits, ProgAcVals)))
+    if (restartInterval > 0) {
+      writeMarker(out, 0xdd); writeU16(out, 4); writeU16(out, restartInterval)
+    }
+    val encDc = Array(new EncTable(DcLumaBits, DcLumaVals),
+      new EncTable(DcChromaBits, DcChromaVals))
+    val encAc = new EncTable(ProgAcBits, ProgAcVals)
+
+    def sos(comps: Seq[(Int, Int)], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      writeMarker(out, 0xda); writeU16(out, 6 + 2 * comps.length)
+      out.write(comps.length)
+      comps.foreach { case (cid, tdTa) => out.write(cid); out.write(tdTa) }
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
+    }
+
+    // ---- scan 1: DC first pass, interleaved, Al = 1 ----
+    // (DC point transform is an ARITHMETIC shift — T.81 G.1.2.1)
+    sos(Seq((1, 0x00), (2, 0x10), (3, 0x10)), 0, 0, 0, 1)
+    var bw = new BitWriter(out)
+    def putCode(t: EncTable, sym: Int): Unit = t.codeOf.get(sym) match {
+      case Some((c, l)) => bw.put(c, l)
+      case None => throw new IllegalStateException(
+        f"symbol 0x$sym%02X not in Huffman table")
+    }
+    var rstSeq = 0
+    def restartIfDue(mcu: Int, onRestart: () => Unit): Unit =
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.flush()
+        writeMarker(out, 0xd0 + (rstSeq & 7)); rstSeq += 1
+        onRestart()
+      }
+    locally {
+      val pred = new Array[Int](3)
+      var bi = 0
+      while (bi < nBlocks) {
+        restartIfDue(bi, () => java.util.Arrays.fill(pred, 0))
+        var c = 0
+        while (c < 3) {
+          val dc = blocks(c)(bi)(0) >> 1
+          val diff = dc - pred(c); pred(c) = dc
+          val s = category(diff)
+          putCode(encDc(if (c == 0) 0 else 1), s)
+          if (s > 0) bw.put(magnitudeBits(diff, s), s)
+          c += 1
+        }
+        bi += 1
+      }
+      bw.flush()
+    }
+    // ---- scan 2: DC refinement, Ah=1 Al=0 — bit Al of each DC ----
+    sos(Seq((1, 0x00), (2, 0x00), (3, 0x00)), 0, 0, 1, 0)
+    bw = new BitWriter(out); rstSeq = 0
+    locally {
+      var bi = 0
+      while (bi < nBlocks) {
+        restartIfDue(bi, () => ())
+        var c = 0
+        while (c < 3) { bw.put(blocks(c)(bi)(0) & 1, 1); c += 1 }
+        bi += 1
+      }
+      bw.flush()
+    }
+    // ---- scans 3-5: AC first pass per component, band 1..63, Al=1 ----
+    // (AC point transform is magnitude shift: sign(v)·(|v| >> Al))
+    var comp = 0
+    while (comp < 3) {
+      sos(Seq((comp + 1, 0x00)), 1, 63, 0, 1)
+      bw = new BitWriter(out); rstSeq = 0
+      var eobrun = 0
+      def flushEobrun(): Unit = if (eobrun > 0) {
+        var nbits = 0; var t = eobrun
+        while (t > 1) { t >>= 1; nbits += 1 }
+        putCode(encAc, nbits << 4)
+        if (nbits > 0) bw.put(eobrun & ((1 << nbits) - 1), nbits)
+        eobrun = 0
+      }
+      var bi = 0
+      while (bi < nBlocks) {
+        // EOB runs cannot span a restart: flush BEFORE the byte-pad
+        if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+          flushEobrun()
+          bw.flush()
+          writeMarker(out, 0xd0 + (rstSeq & 7)); rstSeq += 1
+        }
+        val zz = blocks(comp)(bi)
+        var r = 0
+        var k = 1
+        while (k < 64) {
+          val v = zz(k)
+          val t = if (v < 0) -((-v) >> 1) else v >> 1
+          if (t == 0) r += 1
+          else {
+            flushEobrun()
+            while (r > 15) { putCode(encAc, 0xf0); r -= 16 }
+            val s = category(t)
+            putCode(encAc, (r << 4) | s)
+            bw.put(magnitudeBits(t, s), s)
+            r = 0
+          }
+          k += 1
+        }
+        if (r > 0) { eobrun += 1; if (eobrun == 32767) flushEobrun() }
+        bi += 1
+      }
+      flushEobrun()
+      bw.flush()
+      comp += 1
+    }
+    // ---- scans 6-8: AC refinement per component, Ah=1 Al=0 ----
+    // T.81 G.1.2.3: newly-nonzero coefficients (|v|>>Al == 1) code a
+    // zero-HISTORY run + a sign bit; already-nonzero coefficients emit
+    // correction bits, BUFFERED and appended after the next codeword
+    // (ZRL, run/sign, or the EOBn that covers their block).
+    comp = 0
+    while (comp < 3) {
+      sos(Seq((comp + 1, 0x00)), 1, 63, 1, 0)
+      bw = new BitWriter(out); rstSeq = 0
+      var eobrun = 0
+      val eobBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def flushEobrun(): Unit = {
+        if (eobrun > 0) {
+          var nbits = 0; var t = eobrun
+          while (t > 1) { t >>= 1; nbits += 1 }
+          putCode(encAc, nbits << 4)
+          if (nbits > 0) bw.put(eobrun & ((1 << nbits) - 1), nbits)
+          eobrun = 0
+        }
+        eobBits.foreach(b => bw.put(b, 1)); eobBits.clear()
+      }
+      var bi = 0
+      while (bi < nBlocks) {
+        if (restartInterval > 0 && bi > 0 && bi % restartInterval == 0) {
+          flushEobrun()
+          bw.flush()
+          writeMarker(out, 0xd0 + (rstSeq & 7)); rstSeq += 1
+        }
+        val zz = blocks(comp)(bi)
+        // pre-pass: point-transformed magnitudes + last newly-nonzero
+        val absv = new Array[Int](64)
+        var eobPos = 0
+        var k = 1
+        while (k < 64) {
+          val t = math.abs(zz(k)) // Al = 0
+          absv(k) = t
+          if (t == 1) eobPos = k
+          k += 1
+        }
+        var r = 0
+        val brBits = scala.collection.mutable.ArrayBuffer.empty[Int]
+        k = 1
+        while (k < 64) {
+          val t = absv(k)
+          if (t == 0) r += 1
+          else {
+            while (r > 15 && k <= eobPos) {
+              flushEobrun()
+              putCode(encAc, 0xf0); r -= 16
+              brBits.foreach(b => bw.put(b, 1)); brBits.clear()
+            }
+            if (t > 1) brBits += (t & 1) // correction bit, buffered
+            else { // newly nonzero: run over zero-history + sign
+              flushEobrun()
+              putCode(encAc, (r << 4) | 1)
+              bw.put(if (zz(k) < 0) 0 else 1, 1)
+              brBits.foreach(b => bw.put(b, 1)); brBits.clear()
+              r = 0
+            }
+          }
+          k += 1
+        }
+        if (r > 0 || brBits.nonEmpty) {
+          eobrun += 1; eobBits ++= brBits
+          if (eobrun == 32767 || eobBits.length > 900) flushEobrun()
+        }
+        bi += 1
+      }
+      flushEobrun()
+      bw.flush()
+      comp += 1
+    }
+    writeMarker(out, 0xd9) // EOI
     out.toByteArray
   }
 
@@ -456,8 +858,10 @@ object JpegKernel {
   // standalone baseline JPEG frames — a REAL video format (the AVI/MOV
   // 'MJPG' codec payload, and the wire format of countless IP cameras).
   // With byte stuffing in force (0xFF in entropy data is always followed
-  // by 0x00) and restart markers rejected, the only 0xFF D9 in a frame
-  // is its EOI, so the boundary scan below is exact, not heuristic.
+  // by 0x00), every bare 0xFF Dx in entropy-coded data is a real marker:
+  // RST0-7 stay inside the frame, D9 is its EOI, and DHT/SOS/DRI hand
+  // control back to the marker walk (a progressive frame's next scan) —
+  // so the boundary scan below is exact, not heuristic.
   // =====================================================================
 
   /** Split a concatenated-JPEG (MJPEG) payload into its frames: each
@@ -496,15 +900,22 @@ object JpegKernel {
                 u8(i + 1) match {
                   case 0x00 => i += 2 // stuffed data byte
                   case 0xd9 => i += 2; inEntropy = false; inFrame = false
+                  case rst if rst >= 0xd0 && rst <= 0xd7 =>
+                    i += 2 // restart marker: still inside this frame
+                  case 0xc4 | 0xda | 0xdd =>
+                    // progressive multi-scan frame: the next DHT/SOS/DRI
+                    // segment — back out to the marker walk
+                    inEntropy = false
                   case other => fail(
-                    f"marker 0xFF$other%02X inside entropy stream " +
-                      "(restart markers unsupported)")
+                    f"marker 0xFF$other%02X inside entropy stream")
                 }
               } else i += 1
             }
-          case 0xdd =>
-            if (u16(i + 2) != 0) fail("restart intervals unsupported")
-            i += u16(i)
+          case 0x01 => fail(s"standalone TEM marker at offset $i in header walk")
+          case rst if rst >= 0xd0 && rst <= 0xd8 =>
+            // RSTn / nested SOI carry no length field — reading one as a
+            // length-bearing segment would split at arbitrary bytes
+            fail(f"standalone marker 0xFF$rst%02X at offset $i in header walk")
           case _ => i += u16(i) // any length-carrying segment
         }
       }
@@ -522,16 +933,22 @@ object JpegKernel {
   private final case class Component(id: Int, hv: Int, tq: Int,
       var dcTable: Int = 0, var acTable: Int = 0)
 
-  /** REAL baseline JPEG decoder (profile documented in the object
-    * Scaladoc). Returns the same [[PpmImage]] raster the PPM/PNG paths
-    * yield, so all downstream pixel math is shared. Grayscale (1
+  /** REAL JPEG decoder (round 14: baseline SOF0 AND progressive SOF2,
+    * both with DRI/RSTn restart intervals). Architecture: every scan
+    * entropy-decodes into per-component coefficient buffers (zigzag
+    * order per block) — the only shape that supports progressive's
+    * multiple refinement passes — then one shared reconstruction pass
+    * dequantizes (AAN-scaled), runs the fast IDCT, upsamples, and
+    * color-transforms. Fails loudly on everything outside the profile:
+    * arithmetic coding, hierarchical/lossless/12-bit frames, non-8-
+    * divisible dims. Returns the same [[PpmImage]] raster the PPM/PNG
+    * paths yield, so all downstream pixel math is shared. Grayscale (1
     * component) decodes with Y replicated to RGB. */
   def decodeJpeg(bytes: Array[Byte]): PpmImage = {
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"not a supported JPEG: $msg")
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
       fail("bad SOI")
-    var i = 2
     def u8(p: Int): Int = { if (p >= bytes.length) fail("truncated"); bytes(p) & 0xff }
     def u16(p: Int): Int = (u8(p) << 8) | u8(p + 1)
     val qts = Array.ofDim[Int](4, 64) // natural order
@@ -540,15 +957,250 @@ object JpegKernel {
     val acTables = new Array[DecTable](4)
     var comps: Array[Component] = null
     var w = 0; var h = 0
-    var sosAt = -1
-    while (sosAt < 0) {
-      if (i + 1 >= bytes.length) fail("ran out of segments before SOS")
+    var progressive = false
+    var restartInterval = 0
+    // per-component geometry + coefficient buffers (zigzag per block) —
+    // the MCU is 8·maxH × 8·maxV image pixels; each component holds
+    // h_i·v_i blocks per MCU in its own (possibly subsampled) plane,
+    // replication-upsampled at reconstruction. 4:4:4 is the all-1×1
+    // special case; 4:2:0 is Y=2×2, C=1×1.
+    var hs: Array[Int] = null; var vs: Array[Int] = null
+    var maxH = 0; var maxV = 0
+    var pw: Array[Int] = null; var ph: Array[Int] = null
+    var bwArr: Array[Int] = null; var bhArr: Array[Int] = null
+    var coefs: Array[Array[Int]] = null
+    var dcSeen: Array[Boolean] = null
+    var fullScanned: Array[Boolean] = null
+    var nScans = 0
+
+    // after a scan's entropy data: step over the (≤ 2-byte) 1-padding to
+    // the next marker's 0xFF — anything more is corruption, not padding
+    def skipToMarker(from: Int): Int = {
+      var p = from; var junk = 0
+      while (junk <= 2) {
+        if (p + 1 >= bytes.length) fail("ran out of bytes after a scan")
+        if (u8(p) == 0xff && u8(p + 1) != 0x00) return p
+        val step = if (u8(p) == 0xff) 2 else 1
+        junk += step; p += step
+      }
+      fail("garbage after entropy-coded segment")
+    }
+
+    // one SOS: entropy-decode the scan into the coefficient buffers;
+    // returns the offset of the next marker's 0xFF
+    def decodeScan(sosOff: Int): Int = {
+      val len = u16(sosOff)
+      if (comps == null) fail("SOS before SOF")
+      val ns = u8(sosOff + 2)
+      if (ns < 1 || ns > comps.length) fail(s"scan has $ns components")
+      val scanComps = new Array[Int](ns)
+      var sc = 0
+      while (sc < ns) {
+        val cs = u8(sosOff + 3 + 2 * sc); val tdTa = u8(sosOff + 4 + 2 * sc)
+        val idx = comps.indexWhere(_.id == cs)
+        if (idx < 0) fail(s"scan names unknown component $cs")
+        comps(idx).dcTable = tdTa >> 4; comps(idx).acTable = tdTa & 0x0f
+        scanComps(sc) = idx
+        sc += 1
+      }
+      val ss = u8(sosOff + 3 + 2 * ns)
+      val se = u8(sosOff + 4 + 2 * ns)
+      val ahAl = u8(sosOff + 5 + 2 * ns)
+      val ah = ahAl >> 4; val al = ahAl & 0x0f
+      val dcScan = ss == 0
+      if (!progressive) {
+        if (ss != 0 || se != 63 || ah != 0 || al != 0)
+          fail(s"baseline scan with Ss=$ss Se=$se Ah=$ah Al=$al")
+      } else {
+        if (dcScan && se != 0) fail("progressive scan mixes DC and AC")
+        if (!dcScan && ns != 1)
+          fail("progressive AC scan must be non-interleaved")
+        if (se > 63 || ss > se) fail(s"bad spectral band $ss..$se")
+        if (al > 13 || (ah != 0 && ah != al + 1))
+          fail(s"bad successive approximation Ah=$ah Al=$al")
+      }
+      scanComps.foreach { ci =>
+        val comp = comps(ci)
+        if (!qtSeen(comp.tq))
+          fail(s"component ${comp.id} references missing quant table ${comp.tq}")
+        if ((!progressive || (dcScan && ah == 0)) &&
+            dcTables(comp.dcTable) == null)
+          fail(s"missing DC Huffman table ${comp.dcTable}")
+        if ((!progressive || !dcScan) && acTables(comp.acTable) == null)
+          fail(s"missing AC Huffman table ${comp.acTable}")
+        if (progressive) {
+          if (dcScan && ah == 0) dcSeen(ci) = true
+          else if (!dcSeen(ci)) fail(
+            if (dcScan) "DC refinement before the first DC scan"
+            else s"AC scan before DC scan for component ${comp.id}")
+        } else {
+          if (fullScanned(ci)) fail(s"component ${comp.id} scanned twice")
+          fullScanned(ci) = true
+        }
+      }
+      val interleaved = ns > 1
+      val mcusX = if (interleaved) w / (8 * maxH) else bwArr(scanComps(0))
+      val totalMcus =
+        if (interleaved) mcusX * (h / (8 * maxV))
+        else bwArr(scanComps(0)) * bhArr(scanComps(0))
+      val br = new BitReader(bytes, sosOff + len, fail)
+      val preds = new Array[Int](ns)
+      var eobrun = 0
+      var rstSeq = 0
+
+      // baseline: full DC + AC block decode (T.81 F.2)
+      def decodeBlockFull(co: Array[Int], off: Int, si: Int,
+          comp: Component): Unit = {
+        val s = br.decodeSymbol(dcTables(comp.dcTable))
+        if (s > 11) fail(s"DC category $s out of range")
+        preds(si) += extend(br.bits(s), s)
+        co(off) = preds(si)
+        var k = 1
+        while (k < 64) {
+          val rs = br.decodeSymbol(acTables(comp.acTable))
+          val run = rs >> 4; val sa = rs & 0x0f
+          if (sa == 0) {
+            if (run == 15) k += 16 // ZRL
+            else if (run == 0) k = 64 // EOB
+            else fail(f"reserved baseline AC symbol 0x$rs%02X")
+          } else {
+            k += run
+            if (k > 63) fail("AC run overflows block")
+            co(off + k) = extend(br.bits(sa), sa)
+            k += 1
+          }
+        }
+      }
+      // progressive AC, first pass over the band (T.81 G.2: EOBn codes
+      // declare a run of all-zero-band blocks)
+      def acFirst(co: Array[Int], off: Int, comp: Component): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        var done = false
+        while (k <= se && !done) {
+          val rs = br.decodeSymbol(acTables(comp.acTable))
+          val r = rs >> 4; val sa = rs & 0x0f
+          if (sa != 0) {
+            k += r
+            if (k > se) fail("AC run overflows band")
+            co(off + k) = extend(br.bits(sa), sa) << al
+            k += 1
+          } else if (r == 15) k += 16
+          else {
+            eobrun = 1 << r
+            if (r > 0) eobrun += br.bits(r)
+            eobrun -= 1
+            done = true
+          }
+        }
+      }
+      // progressive AC refinement (T.81 G.2 / the jdphuff discipline):
+      // runs count zero-HISTORY positions; every already-nonzero
+      // coefficient passed over reads one correction bit; EOB-covered
+      // blocks still read correction bits for their nonzero history
+      def acRefine(co: Array[Int], off: Int, comp: Component): Unit = {
+        val p1 = 1 << al; val m1 = -(1 << al)
+        def correct(idx: Int): Unit = {
+          val cur = co(idx)
+          if (br.bit() == 1 && (cur & p1) == 0)
+            co(idx) = cur + (if (cur >= 0) p1 else m1)
+        }
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (k <= se && !done) {
+            val rs = br.decodeSymbol(acTables(comp.acTable))
+            var r = rs >> 4; val sa = rs & 0x0f
+            var newval = 0
+            if (sa != 0) {
+              if (sa != 1)
+                fail(f"AC refinement symbol 0x$rs%02X (size must be 1)")
+              newval = if (br.bit() == 1) p1 else m1
+            } else if (r != 15) {
+              eobrun = 1 << r
+              if (r > 0) eobrun += br.bits(r)
+              done = true // the tail loop below refines the rest
+            }
+            if (!done) {
+              // advance over nonzero history (correction bit each) and r
+              // zero-history positions; land on the newly-nonzero slot
+              var found = false
+              while (k <= se && !found) {
+                if (co(off + k) != 0) { correct(off + k); k += 1 }
+                else {
+                  r -= 1
+                  if (r < 0) found = true else k += 1
+                }
+              }
+              if (newval != 0) {
+                if (k > se) fail("AC refinement run overflows band")
+                co(off + k) = newval
+              }
+              k += 1
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) { if (co(off + k) != 0) correct(off + k); k += 1 }
+          eobrun -= 1
+        }
+      }
+      def handleBlock(ci: Int, si: Int, off: Int): Unit = {
+        val comp = comps(ci); val co = coefs(ci)
+        if (!progressive) decodeBlockFull(co, off, si, comp)
+        else if (dcScan) {
+          if (ah == 0) { // DC first pass at precision Al
+            val s = br.decodeSymbol(dcTables(comp.dcTable))
+            if (s > 11) fail(s"DC category $s out of range")
+            preds(si) += extend(br.bits(s), s)
+            co(off) = preds(si) << al
+          } else co(off) = co(off) | (br.bit() << al) // DC refinement bit
+        } else {
+          if (ah == 0) acFirst(co, off, comp) else acRefine(co, off, comp)
+        }
+      }
+
+      var mcu = 0
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.expectRestart(rstSeq & 7); rstSeq += 1
+          java.util.Arrays.fill(preds, 0); eobrun = 0
+        }
+        if (interleaved) {
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          var si = 0
+          while (si < ns) {
+            val ci = scanComps(si)
+            var vy = 0
+            while (vy < vs(ci)) {
+              var vx = 0
+              while (vx < hs(ci)) {
+                val bx = mx * hs(ci) + vx; val by = my * vs(ci) + vy
+                handleBlock(ci, si, (by * bwArr(ci) + bx) * 64)
+                vx += 1
+              }
+              vy += 1
+            }
+            si += 1
+          }
+        } else handleBlock(scanComps(0), 0, mcu * 64) // row-major blocks
+        mcu += 1
+      }
+      nScans += 1
+      skipToMarker(br.position)
+    }
+
+    // ---- marker walk: tables, frame header, and scans until EOI ----
+    var i = 2
+    var eoiSeen = false
+    while (!eoiSeen) {
+      if (i + 1 >= bytes.length) fail("ran out of segments before EOI")
       if (u8(i) != 0xff) fail(f"expected marker at offset $i, got 0x${u8(i)}%02X")
       var m = u8(i + 1); var mi = i + 1
       while (m == 0xff) { mi += 1; m = u8(mi) } // 0xFF fill bytes
       i = mi + 1
       m match {
-        case 0xd9 => fail("EOI before SOS")
+        case 0xd9 => eoiSeen = true
         case 0xdb => // DQT — may hold several tables
           val len = u16(i); var p = i + 2
           while (p < i + len) {
@@ -574,7 +1226,9 @@ object JpegKernel {
             p += 17 + nv
           }
           i += len
-        case 0xc0 => // SOF0 — the supported frame type
+        case sofM if sofM == 0xc0 || sofM == 0xc2 => // SOF0 / SOF2
+          if (comps != null) fail("multiple frame headers")
+          progressive = sofM == 0xc2
           val len = u16(i)
           if (u8(i + 2) != 8) fail(s"precision ${u8(i + 2)} (want 8)")
           h = u16(i + 3); w = u16(i + 5)
@@ -596,120 +1250,101 @@ object JpegKernel {
                 "4:4:4, 4:2:0, grayscale)")
             if (c.tq > 3) fail(s"quant table id ${c.tq}")
           }
+          hs = comps.map(c => c.hv >> 4); vs = comps.map(c => c.hv & 0x0f)
+          maxH = hs.max; maxV = vs.max
+          if (w % (8 * maxH) != 0 || h % (8 * maxV) != 0)
+            fail(s"dims ${w}x$h not divisible by the ${8 * maxH}x${8 * maxV} " +
+              "MCU (no edge padding)")
+          pw = Array.tabulate(nf)(c => w * hs(c) / maxH)
+          ph = Array.tabulate(nf)(c => h * vs(c) / maxV)
+          bwArr = pw.map(_ / 8); bhArr = ph.map(_ / 8)
+          coefs = Array.tabulate(nf)(c => new Array[Int](bwArr(c) * bhArr(c) * 64))
+          dcSeen = new Array[Boolean](nf)
+          fullScanned = new Array[Boolean](nf)
           i += len
         case sof if sof >= 0xc1 && sof <= 0xcf && sof != 0xc4 && sof != 0xc8 && sof != 0xcc =>
-          fail(f"SOF 0x$sof%02X (progressive/extended) unsupported — baseline SOF0 only")
-        case 0xdd => // DRI
+          fail(f"SOF 0x$sof%02X unsupported — baseline SOF0 and progressive " +
+            "SOF2 only (no arithmetic coding, lossless, hierarchical, or " +
+            "extended frames)")
+        case 0xdd => // DRI — restart interval in MCUs (round 14: supported)
           val len = u16(i)
-          if (u16(i + 2) != 0) fail("restart intervals unsupported")
+          restartInterval = u16(i + 2)
           i += len
-        case 0xda => // SOS
-          if (comps == null) fail("SOS before SOF0")
-          val len = u16(i)
-          val ns = u8(i + 2)
-          if (ns != comps.length) fail(s"scan components $ns != frame ${comps.length}")
-          var c = 0
-          while (c < ns) {
-            val cs = u8(i + 3 + 2 * c); val tdTa = u8(i + 4 + 2 * c)
-            comps.find(_.id == cs) match {
-              case Some(comp) =>
-                comp.dcTable = tdTa >> 4; comp.acTable = tdTa & 0x0f
-              case None => fail(s"scan names unknown component $cs")
-            }
-            c += 1
-          }
-          sosAt = i + len
+        case 0xda => i = decodeScan(i) // SOS
+        case 0x01 =>
+          fail(s"standalone TEM marker at offset $i in the header stream")
+        case rst if rst >= 0xd0 && rst <= 0xd8 =>
+          // RSTn / nested SOI carry no length field — parsing one as a
+          // length-bearing segment would read arbitrary bytes as a size
+          fail(f"standalone marker 0xFF$rst%02X at offset $i in the header stream")
         case _ => // APPn, COM, others with a length field: skip
           i += u16(i)
       }
     }
-    comps.foreach { c =>
-      if (!qtSeen(c.tq)) fail(s"component ${c.id} references missing quant table ${c.tq}")
-      if (dcTables(c.dcTable) == null) fail(s"missing DC Huffman table ${c.dcTable}")
-      if (acTables(c.acTable) == null) fail(s"missing AC Huffman table ${c.acTable}")
+    if (comps == null) fail("no frame header before EOI")
+    if (nScans == 0) fail("no scan before EOI")
+    if (!progressive) comps.indices.foreach { ci =>
+      if (!fullScanned(ci)) fail(s"component ${comps(ci).id} never scanned")
+    } else comps.indices.foreach { ci =>
+      if (!dcSeen(ci)) fail(s"component ${comps(ci).id} has no DC scan")
     }
-    // entropy decode — general interleaved MCU structure: the MCU is
-    // 8·maxH × 8·maxV image pixels; each component contributes h_i·v_i
-    // blocks per MCU into its own (possibly subsampled) plane, which is
-    // replication-upsampled at reconstruction (the standard fast chroma
-    // upsample). 4:4:4 is the all-1×1 special case; 4:2:0 is Y=2×2,
-    // C=1×1.
+
+    // ---- reconstruction: AAN-scaled dequantize + fast IDCT ----
     val nc = comps.length
-    val hs = comps.map(c => c.hv >> 4)
-    val vs = comps.map(c => c.hv & 0x0f)
-    val maxH = hs.max; val maxV = vs.max
-    if (w % (8 * maxH) != 0 || h % (8 * maxV) != 0)
-      fail(s"dims ${w}x$h not divisible by the ${8 * maxH}x${8 * maxV} MCU " +
-        "(no edge padding)")
-    val pw = Array.tabulate(nc)(c => w * hs(c) / maxH)
-    val ph = Array.tabulate(nc)(c => h * vs(c) / maxV)
     val planes = Array.tabulate(nc)(c => new Array[Int](pw(c) * ph(c)))
-    val br = new BitReader(bytes, sosAt, fail)
-    val pred = new Array[Int](nc)
-    val zz = new Array[Int](64)
-    val coef = new Array[Double](64)
-    var my = 0
-    while (my < h / (8 * maxV)) {
-      var mx = 0
-      while (mx < w / (8 * maxH)) {
-        var c = 0
-        while (c < nc) {
-          val comp = comps(c)
-          var vy = 0
-          while (vy < vs(c)) {
-            var vx = 0
-            while (vx < hs(c)) {
-              java.util.Arrays.fill(zz, 0)
-              // DC
-              val s = br.decodeSymbol(dcTables(comp.dcTable))
-              if (s > 11) fail(s"DC category $s out of range")
-              pred(c) += extend(br.bits(s), s)
-              zz(0) = pred(c)
-              // AC
-              var k = 1
-              var eob = false
-              while (k < 64 && !eob) {
-                val rs = br.decodeSymbol(acTables(comp.acTable))
-                val run = rs >> 4; val sa = rs & 0x0f
-                if (sa == 0) {
-                  if (run == 15) k += 16 // ZRL
-                  else eob = true // EOB (run must be 0 in baseline)
-                } else {
-                  k += run
-                  if (k > 63) fail("AC run overflows block")
-                  zz(k) = extend(br.bits(sa), sa)
-                  k += 1
-                }
-              }
-              // dequantize into natural order + IDCT
-              val qt = qts(comp.tq)
-              var j = 0
-              while (j < 64) {
-                coef(Zigzag(j)) = zz(j).toDouble * qt(Zigzag(j))
-                j += 1
-              }
-              val sp = idct(coef)
-              val ox = (mx * hs(c) + vx) * 8
-              val oy = (my * vs(c) + vy) * 8
-              var yy = 0
-              while (yy < 8) {
-                var xx = 0
-                while (xx < 8) {
-                  val v = Math.round(sp(yy * 8 + xx)).toInt + 128
-                  planes(c)((oy + yy) * pw(c) + ox + xx) = clamp(v)
-                  xx += 1
-                }
-                yy += 1
-              }
-              vx += 1
-            }
-            vy += 1
-          }
-          c += 1
-        }
-        mx += 1
+    val ws = new Array[Double](64)
+    var rc = 0
+    while (rc < nc) {
+      val qt = qts(comps(rc).tq)
+      // per-zigzag-slot scale: quantizer × AanScale(u)·AanScale(v)/8,
+      // folded once per component so each block pays only the butterfly
+      val dq = new Array[Double](64)
+      var k = 0
+      while (k < 64) {
+        val nat = Zigzag(k)
+        dq(k) = qt(nat) * AanScale(nat & 7) * AanScale(nat >> 3) / 8.0
+        k += 1
       }
-      my += 1
+      val co = coefs(rc)
+      val plane = planes(rc)
+      val bwC = bwArr(rc); val pwC = pw(rc)
+      val nBlk = bwArr(rc) * bhArr(rc)
+      var blk = 0
+      while (blk < nBlk) {
+        val off = blk * 64
+        var acNz = false
+        k = 1
+        while (k < 64 && !acNz) { if (co(off + k) != 0) acNz = true; k += 1 }
+        val ox = (blk % bwC) * 8; val oy = (blk / bwC) * 8
+        if (!acNz) {
+          // DC-only block (every flat-fixture block): the IDCT is a
+          // constant fill — identical to the butterfly's output, which
+          // would only add zeros to this value
+          val v = clamp(Math.round(co(off) * dq(0)).toInt + 128)
+          var yy = 0
+          while (yy < 8) {
+            java.util.Arrays.fill(plane, (oy + yy) * pwC + ox,
+              (oy + yy) * pwC + ox + 8, v)
+            yy += 1
+          }
+        } else {
+          k = 0
+          while (k < 64) { ws(Zigzag(k)) = co(off + k) * dq(k); k += 1 }
+          idctAan(ws)
+          var yy = 0
+          while (yy < 8) {
+            var xx = 0
+            while (xx < 8) {
+              plane((oy + yy) * pwC + ox + xx) =
+                clamp(Math.round(ws(yy * 8 + xx)).toInt + 128)
+              xx += 1
+            }
+            yy += 1
+          }
+        }
+        blk += 1
+      }
+      rc += 1
     }
     // color reconstruction with replication upsample of subsampled planes
     def sample(c: Int, x: Int, y: Int): Int =

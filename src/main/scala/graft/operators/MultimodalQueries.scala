@@ -128,9 +128,11 @@ object MultimodalQueries {
     * the decoder still runs the real general machinery: marker walk,
     * DQT/DHT parse, canonical Huffman decode, DC prediction across the
     * four MCUs, dequant, full IDCT, color reconstruction. */
-  def textToJpegRow(id: Long, t: String): MediaBatchProcessor.MediaRow = {
-    requireAscii(id, t)
-    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  /** The shared 16×16 flat-block raster model every JPEG fixture uses:
+    * block bi (row-major, offset by `blockBase`) takes RGB from text
+    * bytes (3bi, 3bi+1, 3bi+2) mod n — SILENCE for empty text. */
+  private def flatBlockRaster(bytes: Array[Byte],
+      blockBase: Int): Array[Byte] = {
     val n = bytes.length
     def tb(i: Int): Int = if (n == 0) 0 else bytes(i % n) & 0xff
     val raster = new Array[Byte](16 * 16 * 3)
@@ -138,7 +140,7 @@ object MultimodalQueries {
     while (y < 16) {
       var x = 0
       while (x < 16) {
-        val bi = (y / 8) * 2 + x / 8
+        val bi = blockBase + (y / 8) * 2 + x / 8
         val p = (y * 16 + x) * 3
         raster(p) = tb(3 * bi).toByte
         raster(p + 1) = tb(3 * bi + 1).toByte
@@ -147,9 +149,32 @@ object MultimodalQueries {
       }
       y += 1
     }
+    raster
+  }
+
+  def textToJpegRow(id: Long, t: String): MediaBatchProcessor.MediaRow = {
+    requireAscii(id, t)
+    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     MediaBatchProcessor.MediaRow(id,
-      JpegKernel.encodeJpeg(
-        MediaBatchProcessor.PpmImage(16, 16, 255, raster)), "image/jpeg")
+      JpegKernel.encodeJpeg(MediaBatchProcessor.PpmImage(16, 16, 255,
+        flatBlockRaster(bytes, 0))), "image/jpeg")
+  }
+
+  /** `mm_jpeg_progressive`'s payload builder (round 14): the SAME
+    * 16×16 flat-block raster as [[textToJpegRow]] through the
+    * PROGRESSIVE (SOF2) encoder — 8 scans: DC at Al=1, DC refinement,
+    * per-component AC first pass (pure EOB runs on flat blocks → the
+    * decoder's EOBn>1 path), per-component AC refinement. Progressive
+    * reorders the same quantized coefficients, so the decoded pixels —
+    * and therefore the oracle — are IDENTICAL to the baseline fixture's
+    * (MediaBatchSpec pins the equality on non-flat rasters too). */
+  def textToJpegProgressiveRow(id: Long,
+      t: String): MediaBatchProcessor.MediaRow = {
+    requireAscii(id, t)
+    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    MediaBatchProcessor.MediaRow(id,
+      JpegKernel.encodeJpegProgressive(MediaBatchProcessor.PpmImage(16, 16,
+        255, flatBlockRaster(bytes, 0))), "image/jpeg")
   }
 
   /** `mm_video_frames`' payload builder: a 4-frame MJPEG stream, each
@@ -160,27 +185,33 @@ object MultimodalQueries {
   def textToMjpegRow(id: Long, t: String): MediaBatchProcessor.MediaRow = {
     requireAscii(id, t)
     val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = bytes.length
-    def tb(i: Int): Int = if (n == 0) 0 else bytes(i % n) & 0xff
     val out = new java.io.ByteArrayOutputStream()
     var f = 0
     while (f < 4) {
-      val raster = new Array[Byte](16 * 16 * 3)
-      var y = 0
-      while (y < 16) {
-        var x = 0
-        while (x < 16) {
-          val bi = 4 * f + (y / 8) * 2 + x / 8
-          val p = (y * 16 + x) * 3
-          raster(p) = tb(3 * bi).toByte
-          raster(p + 1) = tb(3 * bi + 1).toByte
-          raster(p + 2) = tb(3 * bi + 2).toByte
-          x += 1
-        }
-        y += 1
-      }
-      val frame = JpegKernel.encodeJpeg(
-        MediaBatchProcessor.PpmImage(16, 16, 255, raster))
+      val frame = JpegKernel.encodeJpeg(MediaBatchProcessor.PpmImage(16, 16,
+        255, flatBlockRaster(bytes, 4 * f)))
+      out.write(frame, 0, frame.length)
+      f += 1
+    }
+    MediaBatchProcessor.MediaRow(id, out.toByteArray, "video/x-motion-jpeg")
+  }
+
+  /** `mm_video_frames_dri`'s payload builder (round 14): the SAME
+    * 4-frame MJPEG content as [[textToMjpegRow]], but every frame
+    * carries a DRI restart interval of 2 MCUs — an RST marker splits
+    * each frame's entropy data mid-stream (DC predictors reset, marker
+    * sequence checked), the standard camera/MJPEG resync structure.
+    * Same decoded pixels, so the oracle is mm_video_frames' verbatim;
+    * the frame SPLITTER must additionally pass RSTn markers inside
+    * entropy data without mistaking them for boundaries. */
+  def textToMjpegDriRow(id: Long, t: String): MediaBatchProcessor.MediaRow = {
+    requireAscii(id, t)
+    val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < 4) {
+      val frame = JpegKernel.encodeJpegDri(MediaBatchProcessor.PpmImage(16,
+        16, 255, flatBlockRaster(bytes, 4 * f)), restartInterval = 2)
       out.write(frame, 0, frame.length)
       f += 1
     }
@@ -441,6 +472,24 @@ object MultimodalQueries {
         .map { case (id, t) => textToJpegRow(id, t) }
       MediaBatchProcessor.decodeJpegBatched(media).toDF()
     },
+    // REAL PROGRESSIVE JPEG decode (round 14 — the dominant web-scraped
+    // encoding, previously a documented loud failure): the payload is a
+    // conforming SOF2 stream (8 scans: DC successive approximation +
+    // refinement, per-component AC spectral bands + refinement, EOBn
+    // run codes) and the decoder accumulates every scan into the
+    // coefficient buffers before one shared reconstruction. Progressive
+    // reorders the same quantized coefficients as baseline, so the
+    // flat-block fixture stays LOSSLESS and the oracle is
+    // mm_jpeg_decode's integer model verbatim — a wrong scan-
+    // accumulation order, EOB-run miscount, or refinement-bit slip
+    // diverges every mean and hash bit.
+    "mm_jpeg_progressive" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => textToJpegProgressiveRow(id, t) }
+      MediaBatchProcessor.decodeJpegBatched(media).toDF()
+    },
     // REAL 4:2:0 JPEG decode (round 13) — the DOMINANT real-world JPEG
     // layout: the payload's Y component samples at 2×2 (four Y blocks
     // per MCU) with half-resolution chroma, and the decoder walks the
@@ -469,6 +518,21 @@ object MultimodalQueries {
       val media = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToMjpegRow(id, t) }
+      MediaBatchProcessor.decodeVideoFramesBatched(media).toDF()
+    },
+    // MJPEG with RESTART INTERVALS (round 14): same 4-frame content as
+    // mm_video_frames, but every frame carries DRI=2 and an RSTn marker
+    // mid-entropy — the standard IP-camera output. The splitter must
+    // pass restart markers without mistaking them for frame boundaries
+    // and the decoder must resync (marker sequence checked, DC
+    // predictors reset). Same decoded pixels → mm_video_frames' oracle
+    // verbatim; a splitter that broke on RSTn would change the row
+    // count, a resync error every mean after the marker.
+    "mm_video_frames_dri" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => textToMjpegDriRow(id, t) }
       MediaBatchProcessor.decodeVideoFramesBatched(media).toDF()
     },
     // Perceptual near-dup over REAL decoded JPEG pixels (round 13) —
@@ -565,7 +629,7 @@ object MultimodalQueries {
         .select("doc_id", "win_no", "win_offset", "win_len", "win_md5")
     })
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "mm_feature_extract" -> {
       val feats = (0 to 7).map(i =>
         s"('0x' || substr(md5(substr(text, ${i * 16 + 1}, 16)), 1, 8))::BIGINT AS f$i")
@@ -1049,4 +1113,11 @@ object MultimodalQueries {
         | SELECT doc_id, text,
         |  unnest([w * 48 for w in range(0, (strlen(text) - 1) // 48 + 1)]) AS x
         | FROM documents WHERE doc_id % 3 = 1) t""".stripMargin)
+
+  // progressive scans and restart intervals reorder/resync the SAME
+  // quantized coefficients — decoded pixels are identical, so the round-
+  // 14 queries share the existing integer oracle models verbatim
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "mm_jpeg_progressive" -> baseOracles("mm_jpeg_decode"),
+    "mm_video_frames_dri" -> baseOracles("mm_video_frames"))
 }

@@ -485,4 +485,105 @@ class MediaBatchSpec extends SparkTestBase {
     assert(rows.exists(_.getLong(df.columns.indexOf("sum_ch0")) < 0L),
       "no negative-sum channel anywhere — sign decode not exercised")
   }
+
+  // ------------------------------------------------------------------
+  // round 14: AAN fast IDCT, progressive (SOF2), DRI/RSTn restarts
+  // ------------------------------------------------------------------
+
+  test("AAN factorized IDCT agrees with the reference O(64^2) IDCT on " +
+      "seeded random coefficient blocks: rounded pixels identical, real " +
+      "outputs within 1e-9") {
+    val rnd = new scala.util.Random(20260815L)
+    for (_ <- 0 until 200) {
+      // dequantized coefficient magnitudes as the decoder sees them
+      val coefNat = Array.fill(64)((rnd.nextInt(201) - 100) * 8.0)
+      val ref = JpegKernel.idctRef(coefNat)
+      val ws = new Array[Double](64)
+      for (nat <- 0 until 64)
+        ws(nat) = coefNat(nat) *
+          JpegKernel.AanScale(nat & 7) * JpegKernel.AanScale(nat >> 3) / 8.0
+      JpegKernel.idctAan(ws)
+      for (p <- 0 until 64) {
+        assert(math.abs(ref(p) - ws(p)) < 1e-9,
+          s"slot $p: ref ${ref(p)} vs aan ${ws(p)}")
+        assert(Math.round(ref(p)) == Math.round(ws(p)),
+          s"slot $p rounds differently: ${ref(p)} vs ${ws(p)}")
+      }
+    }
+  }
+
+  test("progressive JPEG (SOF2) decodes to EXACTLY the baseline pixels of " +
+      "the same raster: successive approximation + spectral selection are " +
+      "a reordering of the same quantized coefficients") {
+    // non-flat 32x32: 16 blocks/component drive EOBRUN > 1, ZRL runs,
+    // negative coefficients, and refinement correction bits
+    val noisy = PpmImage(32, 32, 255,
+      Array.tabulate(32 * 32 * 3)(i => ((i * 131 + 17) % 251).toByte))
+    val base = JpegKernel.decodeJpeg(JpegKernel.encodeJpeg(noisy))
+    val prog = JpegKernel.decodeJpeg(JpegKernel.encodeJpegProgressive(noisy))
+    assert(prog.width == 32 && prog.height == 32)
+    assert(java.util.Arrays.equals(prog.pixels, base.pixels),
+      "progressive decode != baseline decode of the same raster")
+    // flat blocks: the oracle-fixture case — all-zero AC bands make the
+    // AC scans pure EOB runs (EOB4 codes), still pixel-exact
+    val vals = Array((200, 30, 90), (12, 250, 7), (128, 128, 128), (255, 0, 255))
+    val px = new Array[Byte](16 * 16 * 3)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val (r, g, b) = vals((y / 8) * 2 + x / 8)
+      val p = (y * 16 + x) * 3
+      px(p) = r.toByte; px(p + 1) = g.toByte; px(p + 2) = b.toByte
+    }
+    val flat = PpmImage(16, 16, 255, px)
+    assert(java.util.Arrays.equals(
+      JpegKernel.decodeJpeg(JpegKernel.encodeJpegProgressive(flat)).pixels,
+      JpegKernel.decodeJpeg(JpegKernel.encodeJpeg(flat)).pixels))
+    // truncating a progressive stream fails loudly
+    val pj = JpegKernel.encodeJpegProgressive(noisy)
+    intercept[IllegalArgumentException](
+      JpegKernel.decodeJpeg(pj.take(pj.length / 2)))
+  }
+
+  test("restart intervals (DRI/RSTn): baseline and progressive streams " +
+      "with restarts decode to the no-restart pixels; a broken marker " +
+      "sequence fails loudly") {
+    val noisy = PpmImage(32, 32, 255,
+      Array.tabulate(32 * 32 * 3)(i => ((i * 197 + 43) % 251).toByte))
+    val plain = JpegKernel.decodeJpeg(JpegKernel.encodeJpeg(noisy))
+    // baseline with Ri=3 (16 MCUs -> 5 restart markers)
+    val dri = JpegKernel.encodeJpegDri(noisy, 3)
+    assert(java.util.Arrays.equals(JpegKernel.decodeJpeg(dri).pixels,
+      plain.pixels), "DRI baseline decode != plain baseline decode")
+    // progressive with Ri=3: EOB runs flushed at each restart
+    val pdri = JpegKernel.encodeJpegProgressive(noisy, restartInterval = 3)
+    assert(java.util.Arrays.equals(JpegKernel.decodeJpeg(pdri).pixels,
+      plain.pixels), "DRI progressive decode != plain baseline decode")
+    // corrupt the first restart marker's index: RSTn out of sequence
+    val broken = dri.clone()
+    val at = broken.indices.dropRight(1).find(i =>
+      (broken(i) & 0xff) == 0xff && (broken(i + 1) & 0xff) == 0xd0).get
+    broken(at + 1) = 0xd5.toByte
+    intercept[IllegalArgumentException](JpegKernel.decodeJpeg(broken))
+    // standalone markers in the header walk fail loudly (TEM, bare RST)
+    intercept[IllegalArgumentException](JpegKernel.decodeJpeg(
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0x01)))
+    intercept[IllegalArgumentException](JpegKernel.decodeJpeg(
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd3.toByte)))
+    intercept[IllegalArgumentException](JpegKernel.splitMjpeg(
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0x01)))
+  }
+
+  test("splitMjpeg passes RSTn restart markers inside entropy data and " +
+      "still finds exact frame boundaries") {
+    val a = PpmImage(16, 16, 255, Array.fill(768)(60.toByte))
+    val noisy = PpmImage(16, 16, 255,
+      Array.tabulate(768)(i => ((i * 89 + 7) % 251).toByte))
+    val stream = (JpegKernel.encodeJpegDri(a, 2) ++
+      JpegKernel.encodeJpegDri(noisy, 1) ++
+      JpegKernel.encodeJpeg(a)).toArray
+    val frames = JpegKernel.splitMjpeg(stream)
+    assert(frames.length == 3, s"got ${frames.length} frames")
+    val plain = JpegKernel.decodeJpeg(JpegKernel.encodeJpeg(noisy))
+    assert(java.util.Arrays.equals(
+      JpegKernel.decodeJpeg(frames(1)).pixels, plain.pixels))
+  }
 }
