@@ -140,16 +140,10 @@ object BottomK {
   def key(s: String): Long =
     key(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  def key(utf8: Array[Byte]): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(utf8)
-    // first 15 hex chars = 60 bits: 7 full bytes + the high nibble of
-    // the 8th
-    var acc = 0L
-    var i = 0
-    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
-    (acc << 4) | ((d(7) & 0xf0L) >> 4)
-  }
+  def key(utf8: Array[Byte]): Long =
+    // first 15 hex chars = 60 bits — the shared fused kernel (reused
+    // thread-local MessageDigest instead of getInstance per row)
+    HashImpl.md5Prefix(utf8, 15)
 
   /** Column-API entry: `bottom_k(col, k)` aggregate. */
   def bottom_k(c: Column, k: Int): Column =

@@ -19,7 +19,7 @@ object Curation {
     * can never straddle a train/test boundary (split-leak-safe), which
     * is why content beats doc-id as the split key. */
   def hashBucket(text: Column, buckets: Int = 100): Column =
-    conv(substring(md5(text), 1, 8), 16, 10).cast("long") % buckets
+    graft.functions.HashFunctions.md5_prefix64(text, 8) % buckets
 
   /** train/val/test assignment by content-hash percentile */
   def split(text: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
@@ -187,7 +187,12 @@ object Curation {
       bands: Int = 16, num: Int = 1, den: Int = 3): DataFrame = {
     def sets(df: DataFrame) = df.select(col(idCol).as("doc_id"),
       array_distinct(TextAnalysis.wordNgrams(col(textCol), k)).as("shs"))
-    val tSets = sets(train)
+    // The train-side shingle sets feed BOTH the banding pass and the
+    // exact-Jaccard verify join; materialize them once (round 14, guide
+    // §5 localCheckpoint) instead of re-shingling the corpus per use.
+    // The benchmark side is metadata-sized — recomputing it is cheaper
+    // than a checkpoint job.
+    val tSets = Layout.spread(sets(train)).localCheckpoint()
     val bSets = sets(benchmark)
     val tBand = Dedup.bandedMinhash(tSets, numHashes, bands)
     val bBand = Dedup.bandedMinhash(bSets, numHashes, bands)
@@ -373,7 +378,7 @@ object Curation {
         explode(functions.split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .withColumn("bucket",
-        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % buckets)
+        graft.functions.HashFunctions.md5_prefix64(col("w"), 8) % buckets)
     val counts = toks.groupBy("bucket").agg(
       count(lit(1)).as("cr"),
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))

@@ -107,6 +107,11 @@ object Dedup {
     * verification. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, dfCap: Int = 40, num: Int = 3, den: Int = 8): DataFrame = {
+    // ROUND-14 NOTE: both an eager localCheckpoint and a round-robin
+    // spread of these shingle sets were tried and REVERTED — the rows
+    // are WIDE (one string array per doc), so materializing or
+    // exchanging them costs more than re-running the narrow shingling
+    // scan per use (measured 20-35% and ~2× slower respectively).
     val sets = shingleSets(docs, idCol, textCol, n)
     val sh = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -133,6 +138,8 @@ object Dedup {
     * keep-the-superset policy would drop. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, dfCap: Int = 40, num: Int = 9, den: Int = 10): DataFrame = {
+    // same wide-row lesson as jaccardPairs (see there) — no spread,
+    // no checkpoint
     val sets = shingleSets(docs, idCol, textCol, n)
     val sh = sets.select(col("doc_id"), explode(col("shs")).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -199,6 +206,8 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 16,
       bucketCap: Int = 1000, num: Int = 3, den: Int = 8): DataFrame = {
+    // same wide-row lesson as jaccardPairs (see there); the banded
+    // self-join sides already share their (band, sigh) exchange
     val sets = shingleSets(docs, idCol, textCol, n)
     val banded = capBuckets(bandedMinhash(sets, numHashes, bands),
       Seq("band", "sigh"), bucketCap)

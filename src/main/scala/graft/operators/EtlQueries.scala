@@ -133,17 +133,23 @@ object EtlQueries {
     // broadcast-anti or merge-anti pass — no edge ever materializes the
     // join, only its counts.
     "etl_fk_orphans" -> { (s, dir) =>
+      // Round 14 (guide §1.2 "don't compute things twice"): each edge
+      // used to scan its child TWICE — a stats aggregate plus a
+      // separate anti-join orphan count (lineitem alone: 6 scans across
+      // its 3 edges). The parent key is a PRIMARY key (unique), so a
+      // LEFT join preserves child row count exactly and the orphan
+      // count is sum(fk IS NOT NULL AND no match) in the SAME aggregate
+      // — one scan + one join per edge, identical three numbers.
       def edge(name: String, child: DataFrame, fk: String,
           parent: DataFrame, pk: String, pinMerge: Boolean): DataFrame = {
         val p0 = parent.select(col(pk).as("__pk"))
         val p = if (pinMerge) p0.hint("merge") else broadcast(p0)
-        val base = child.select(col(fk).as("__fk"))
-        val stats = base.agg(count(lit(1)).as("n_child"),
-          countDistinct(col("__fk")).as("n_child_keys"))
-        val orph = base.where(col("__fk").isNotNull)
-          .join(p, col("__fk") === col("__pk"), "left_anti")
-          .agg(count(lit(1)).as("n_orphans"))
-        stats.crossJoin(broadcast(orph))
+        child.select(col(fk).as("__fk"))
+          .join(p, col("__fk") === col("__pk"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            countDistinct(col("__fk")).as("n_child_keys"),
+            sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
+              .otherwise(0L)).as("n_orphans"))
           .select(lit(name).as("fk"), col("n_child"),
             col("n_child_keys"), col("n_orphans"))
       }
@@ -526,8 +532,8 @@ object EtlQueries {
       Tables(s, dir, "events")
         .where(col("value").isNotNull)
         .select(
-          (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 2 === 0).as("is_a"),
+          (graft.functions.HashFunctions
+            .md5_prefix64(col("user_id").cast("string"), 8) % 2 === 0).as("is_a"),
           expr("cast(floor(value * 100 + 0.5d) as bigint)").as("cents"))
         .agg(
           sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
@@ -620,7 +626,7 @@ object EtlQueries {
       val M = 2305843009213693951L // 2^61 - 1
       def ck(name: String, d: DataFrame,
           canon: org.apache.spark.sql.Column): DataFrame =
-        d.select(conv(substring(md5(canon), 1, 10), 16, 10)
+        d.select(graft.functions.HashFunctions.md5_prefix64(canon, 10)
             .cast(DecimalType(38, 0)).as("h"))
           .agg(count(lit(1)).as("n_rows"),
             (sum(col("h")) % M).cast("long").as("checksum"))

@@ -60,6 +60,8 @@ object HybridQueries {
     def toks(df: DataFrame, id: String) = df
       .select(col("doc_id").as(id),
         explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+    // round 14: a shared repartition(doc_id) exchange was tried and
+    // REVERTED — see text_bm25 (raw token shuffle loses to partial aggs)
     val ctoks = toks(corpusDocs, "doc_id").filter(length(col("w")) > 0)
     val dl = ctoks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val corp = dl.agg(sum("dl").as("total_toks"), count(lit(1)).as("n_docs"))

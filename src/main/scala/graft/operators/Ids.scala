@@ -79,8 +79,17 @@ object Ids {
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val idx = weights.indices
+    // Materialize the input ONCE (round 14, guide §2.4/§5): a
+    // RangePartitioning exchange executes its child lineage TWICE — once
+    // for the boundary-sampling job, once for the shuffle map stage — so
+    // a caller with an expensive child (text_ppl_buckets' bigramNll,
+    // cur_pipeline_packed's curation chain, the ECDF aggregates) paid
+    // its whole pipeline twice per running sum. The eager localCheckpoint
+    // pins the (narrow: orderBy + weight + carried columns) rows to
+    // blocks; sampling and the map stage replay blocks, not lineage.
+    val src = df.localCheckpoint()
     val ranged = idx.foldLeft(
-        df.repartitionByRange(np, orderBy: _*)
+        src.repartitionByRange(np, orderBy: _*)
           .withColumn("_pid", spark_partition_id())) { (d, i) =>
       d.withColumn(s"_w$i", coalesce(weights(i)._1.cast("long"), lit(0L)))
     }
@@ -140,7 +149,8 @@ object Ids {
     val np =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df.repartitionByRange(np, orderBy: _*)
+    // same input-once materialization as cumulativeSums (see there)
+    val ranged = df.localCheckpoint().repartitionByRange(np, orderBy: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_v", value.cast("long"))
     val wLocal = Window.partitionBy("_pid").orderBy(orderBy: _*)

@@ -13,6 +13,23 @@ import org.apache.spark.sql.functions._
   * the corpus and scanning ~1/√P of it per dimension. */
 object Layout {
 
+  /** Scale-adaptive scan spreading (optimization guide §2.5, input
+    * skew): a single small file — the driver-fixture shape: one parquet
+    * file, ONE row group — yields a one-task scan, so a heavy per-row
+    * kernel downstream (JPEG encode/decode, a ×B explode) serializes on
+    * one core no matter how many the session has. When the scan plans
+    * FEWER partitions than the session's shuffle parallelism,
+    * round-robin repartition up to it; when the input already has at
+    * least that many splits (any real corpus), this is the identity —
+    * no exchange is added, so the 100 TB plan is unchanged. The
+    * repartition carries only the columns the caller selected
+    * (project-before-exchange, guide §2.3). */
+  def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val np = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    if (df.rdd.getNumPartitions >= np) df else df.repartition(np)
+  }
+
   /** Morton z-value: interleave the low `bits` bits of two non-negative
     * integer columns (`a` on even positions, `b` on odd). A closed-form
     * sum of shift/mask terms — whole-stage-codegen'd, no UDF, and

@@ -248,11 +248,21 @@ object MultimodalQueries {
         MediaBatchProcessor.PpmImage(16, 16, 255, raster)), "image/jpeg")
   }
 
+  /** The shared documents source for every mm query, scan-spread
+    * (round 14, guide §2.5): the fixture is ONE single-row-group parquet
+    * file, so the scan is one task and every payload builder + codec
+    * kernel — the heaviest per-row work on the board — ran on ONE core
+    * regardless of session size. [[Layout.spread]] round-robins the
+    * tiny (doc_id, text) rows across the session's parallelism first;
+    * on a real multi-split corpus it is the identity. */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    Layout.spread(Tables(s, dir, "documents"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary ingest + metadata extraction — the oracle-checkable slice
     // (byte length and media-type routing are exact integer/string logic).
     "mm_binary_meta" -> { (s, dir) =>
-      withMedia(Tables(s, dir, "documents")).select(
+      withMedia(docsSpread(s, dir)).select(
         col("doc_id"),
         col("meta.media_type").as("media_type"),
         col("meta.byte_len").as("byte_len"),
@@ -266,7 +276,7 @@ object MultimodalQueries {
     // is the byte-exact tier of media dedup (perceptual hashing needs
     // the decode kernel this container stubs).
     "mm_dedup_bytes" -> { (s, dir) =>
-      withMedia(Tables(s, dir, "documents"))
+      withMedia(docsSpread(s, dir))
         .groupBy(md5(col("payload")).as("payload_md5"))
         .agg(min("doc_id").as("keep_id"),
           count(lit(1)).as("n_copies"),
@@ -281,10 +291,10 @@ object MultimodalQueries {
     // so the driver's row-sort comparator can order cells; the schema,
     // batching and partition shape are what this query exercises.
     "mm_feature_extract" -> { (s, dir) =>
-      val feats = (0 to 7).map(i => expr(
-        s"cast(conv(substr(md5(substr(payload, ${i * 16 + 1}, 16)), 1, 8), 16, 10) as bigint)")
+      val feats = (0 to 7).map(i => graft.functions.HashFunctions
+        .md5_prefix64(expr(s"substr(payload, ${i * 16 + 1}, 16)"), 8)
         .as(s"f$i"))
-      withMedia(Tables(s, dir, "documents"))
+      withMedia(docsSpread(s, dir))
         .filter(col("meta.media_type") === "image/png")
         .select(col("doc_id") +: feats: _*)
     },
@@ -304,13 +314,12 @@ object MultimodalQueries {
     // Emitted as an AUDIT: every candidate with its distance and the
     // ≤16 near-dup verdict, so threshold tuning reads one table.
     "mm_phash_near_dup" -> { (s, dir) =>
-      val m = withMedia(Tables(s, dir, "documents"))
-      def block(q: Int) = expr(
-        s"""cast(conv(substr(md5(substr(payload,
+      val m = withMedia(docsSpread(s, dir))
+      def block(q: Int) = graft.functions.HashFunctions.md5_prefix64(expr(
+        s"""substr(payload,
            |  1 + ($q * octet_length(payload)) div 4,
            |  ((${q + 1} * octet_length(payload)) div 4)
-           |    - (($q * octet_length(payload)) div 4))), 1, 4),
-           |  16, 10) as bigint)""".stripMargin)
+           |    - (($q * octet_length(payload)) div 4))""".stripMargin), 4)
       val sig = m.select(col("doc_id"), block(0).as("b0"), block(1).as("b1"),
         block(2).as("b2"), block(3).as("b3"))
       val bands = sig.select(col("doc_id"),
@@ -350,7 +359,7 @@ object MultimodalQueries {
     // this path has no stub left.)
     "mm_ppm_decode" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables(s, dir, "documents")
+      val media = docsSpread(s, dir)
         .select(col("doc_id"),
           expr("""encode(concat('P6\n8 8\n255\n',
             | substr(repeat(text, cast(192 div octet_length(text) as int) + 1),
@@ -372,7 +381,7 @@ object MultimodalQueries {
     // the chunk-walking parser. Narrow mapPartitions, no shuffle.
     "mm_wav_decode" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables(s, dir, "documents")
+      val media = docsSpread(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToWavRow(id, t) }
       MediaBatchProcessor.decodeWavBatched(media).toDF()
@@ -387,7 +396,7 @@ object MultimodalQueries {
     // inside the task.
     "mm_wav_features" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables(s, dir, "documents")
+      val media = docsSpread(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToWavRow(id, t) }
       MediaBatchProcessor.wavWindowsBatched(media).toDF()
@@ -405,7 +414,7 @@ object MultimodalQueries {
     // every mean and hash bit would diverge. Narrow mapPartitions.
     "mm_png_decode" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables(s, dir, "documents")
+      val media = docsSpread(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToPngRow(id, t) }
       MediaBatchProcessor.decodePngBatched(media).toDF()
@@ -423,7 +432,7 @@ object MultimodalQueries {
     // 100 TB), merge-pinned self-join, integer Hamming verify ≤ 8.
     "mm_phash_png" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables(s, dir, "documents")
+      val media = docsSpread(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToPngRow(id, t) }
       val sig = MediaBatchProcessor.decodePngBatched(media).toDF()
@@ -467,7 +476,7 @@ object MultimodalQueries {
     // included — is oracle-exact. Narrow mapPartitions, no shuffle.
     "mm_jpeg_decode" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables(s, dir, "documents")
+      val media = docsSpread(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToJpegRow(id, t) }
       MediaBatchProcessor.decodeJpegBatched(media).toDF()
@@ -485,7 +494,7 @@ object MultimodalQueries {
     // diverges every mean and hash bit.
     "mm_jpeg_progressive" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables(s, dir, "documents")
+      val media = docsSpread(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToJpegProgressiveRow(id, t) }
       MediaBatchProcessor.decodeJpegBatched(media).toDF()
@@ -500,7 +509,7 @@ object MultimodalQueries {
     // broken upsample diverges all of them.
     "mm_jpeg420_decode" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables(s, dir, "documents")
+      val media = docsSpread(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToJpeg420Row(id, t) }
       MediaBatchProcessor.decodeJpegBatched(media).toDF()
@@ -515,7 +524,7 @@ object MultimodalQueries {
     // Frame count and dimensions come from the bytes. One doc → 4 rows.
     "mm_video_frames" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables(s, dir, "documents")
+      val media = docsSpread(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToMjpegRow(id, t) }
       MediaBatchProcessor.decodeVideoFramesBatched(media).toDF()
@@ -530,7 +539,7 @@ object MultimodalQueries {
     // count, a resync error every mean after the marker.
     "mm_video_frames_dri" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables(s, dir, "documents")
+      val media = docsSpread(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToMjpegDriRow(id, t) }
       MediaBatchProcessor.decodeVideoFramesBatched(media).toDF()
@@ -543,7 +552,7 @@ object MultimodalQueries {
     // Never all-pairs; the sketch join carries 8-byte band values.
     "mm_phash_jpeg" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables(s, dir, "documents")
+      val media = docsSpread(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToJpegRow(id, t) }
       val sig = MediaBatchProcessor.decodeJpegBatched(media).toDF()
@@ -588,7 +597,7 @@ object MultimodalQueries {
     // is decode+resize-exact. Narrow mapPartitions, no shuffle.
     "mm_resize_real" -> { (s, dir) =>
       import s.implicits._
-      val media = Tables(s, dir, "documents")
+      val media = docsSpread(s, dir)
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToPngRowSized(id, t, 16, 16) }
       MediaBatchProcessor.resizePngBatched(media, factor = 2).toDF()
@@ -597,7 +606,7 @@ object MultimodalQueries {
     // the mapping (frame index → byte offsets) is the real plumbing a
     // frame sampler needs; the frame "content" is the raw slice hash.
     "mm_frame_sample" -> { (s, dir) =>
-      withMedia(Tables(s, dir, "documents"))
+      withMedia(docsSpread(s, dir))
         .filter(col("meta.media_type") === "video/mp4")
         .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
           posexplode(expr(
@@ -615,7 +624,7 @@ object MultimodalQueries {
     // arithmetic stays OUT of the lambda (hop math only) so the payload
     // is not re-sliced per element beyond the one substr each.
     "mm_audio_windows" -> { (s, dir) =>
-      withMedia(Tables(s, dir, "documents"))
+      withMedia(docsSpread(s, dir))
         .filter(col("meta.media_type") === "audio/wav")
         .select(col("doc_id"), col("payload"), col("meta.byte_len").as("byte_len"),
           posexplode(expr(

@@ -36,23 +36,22 @@ object Stats {
   def bootstrapCi(df: DataFrame, idCol: String, centsCol: String,
       replicas: Int = 64): DataFrame = {
     require(replicas >= 2, s"need >= 2 replicas for a CI, got $replicas")
-    val rep = df
-      .select(col(idCol).as("__id"), col(centsCol).as("cents"))
-      .select(col("__id"), col("cents"),
-        explode(expr(s"sequence(0, ${replicas - 1})")).as("b"))
-      .select(col("b"), col("cents"),
-        expr("""cast(conv(substring(md5(concat(
-              |  cast(__id as string), ':', cast(b as string))), 1, 8),
-              |  16, 10) as bigint)""".stripMargin).as("u"))
-      .withColumn("w",
-        when(col("u") < 1580030168L, 0L)
-          .when(col("u") < 3160060337L, 1L)
-          .when(col("u") < 3950075421L, 2L)
-          .when(col("u") < 4213413783L, 3L)
-          .when(col("u") < 4279248373L, 4L)
-          .when(col("u") < 4292415291L, 5L)
-          .when(col("u") < 4294609777L, 6L)
-          .otherwise(7L))
+    // Round-14 (guide §1 bisect): the md5→substring→conv `u` column was
+    // ~80% of this operator's wall time. The fused BootstrapWeights
+    // kernel computes the SAME per-(row, replica) weights — u =
+    // conv(substring(md5(concat(id, ':', b)), 1, 8), 16, 10) bucketed by
+    // the same Poisson thresholds — from digest bytes in one pass per
+    // row (HashExpressionsSpec pins bit-equality to the composed form);
+    // the oracle SQL is unchanged.
+    // Scan-spread (guide §2.5): the ×B per-row digest kernel below is
+    // the heavy stage; on a one-split input (the single-row-group
+    // fixture file) it would serialize on one core. Identity on any
+    // input that already has session-parallelism splits.
+    val rep = Layout.spread(df
+        .select(col(idCol).cast("string").as("__ids"), col(centsCol).as("cents")))
+      .select(col("cents"), posexplode(
+        graft.functions.HashFunctions.bootstrap_weights(col("__ids"), replicas))
+        .as(Seq("b", "w")))
       .groupBy("b").agg(
         sum("w").as("nb"), sum(col("w") * col("cents")).as("sb"),
         count(lit(1)).as("ns"), sum("cents").as("sc"))
@@ -96,8 +95,8 @@ object Stats {
 
   /** The (reg, rho) register table for one corpus (≤ 256 rows). */
   def hllRegisters(df: DataFrame, key: Column): DataFrame =
-    df.select(conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-        .cast("long").as("u"))
+    df.select(graft.functions.HashFunctions
+        .md5_prefix64(key.cast("string"), 8).as("u"))
       .selectExpr("u div 16777216 as reg", "u % 16777216 as w")
       .selectExpr("reg",
         "case when w = 0 then 25L else 25L - length(bin(w)) end as rho")
@@ -151,8 +150,8 @@ object Stats {
     * uniform of "j:key" mod width — the engine-portable integer hashing
     * every sketch in the library uses, so a SQL oracle reproduces it. */
   def cmsCell(key: Column, j: Column, width: Int = 1024): Column =
-    conv(substring(md5(concat(j.cast("string"), lit(":"),
-      key.cast("string"))), 1, 8), 16, 10).cast("long") % width
+    graft.functions.HashFunctions.md5_prefix64(
+      concat(j.cast("string"), lit(":"), key.cast("string")), 8) % width
 
   /** Build the (j, cell, cnt) sketch table over `key`: one narrow ×d
     * explode + one d·w-key partial-aggregated shuffle. Works unchanged

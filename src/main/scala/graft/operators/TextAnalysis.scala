@@ -165,18 +165,31 @@ object TextAnalysis {
   // hand-computed spans on a synthetic corpus.
   // -------------------------------------------------------------------
 
-  /** Every k-token window (start position + md5 of the space-joined
-    * tokens) that occurs in >= `minDocs` DISTINCT documents. Two
-    * hash-keyed shuffles (window groupBy + join back), never all-pairs;
-    * the 16-byte md5 key is the engine-portable choice — at 100 TB swap
-    * to xxhash64 (8 bytes), the shape is unchanged. */
+  /** Every k-token window (start position + the space-joined window
+    * itself as the key) that occurs in >= `minDocs` DISTINCT documents.
+    * Two window-keyed shuffles (groupBy + join back), never all-pairs.
+    * Round 14: the key was md5(win); since the hash never leaves this
+    * function (callers consume only doc_id/start), the RAW window string
+    * is strictly better — no per-window digest, SHORTER shuffle keys
+    * than the 32-char hex (k-token windows average ~18 chars), and
+    * collision-free by construction. At 100 TB swap to xxhash64
+    * (8 bytes) if key width dominates shuffle bytes — shape unchanged. */
   def dupWindows(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minDocs: Int = 2): DataFrame = {
     require(k >= 1, s"window size must be >= 1, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val wins = docs
-      .select(col(idCol).as("doc_id"),
-        split(lower(trim(col(textCol))), "\\s+").as("toks"))
+    // window ONCE (round 14, guide §2.4): the wh-keyed exchange is
+    // shared by the distinct-doc aggregate and the join probe
+    // (ReuseExchange), so the corpus is windowed once and the join adds
+    // no exchange; the key is high-cardinality (windows are mostly
+    // unique), so the raw-row shuffle carries no hot-key skew — the
+    // trade that made the same pattern LOSE on zipf token keys
+    // (text_tfidf_top_term note). Spread first: single-split fixture
+    // scans otherwise window the corpus on one core.
+    val wins = Layout.spread(docs
+        .select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"),
+        split(lower(trim(col("__t"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"),
         posexplode(expr(
@@ -184,7 +197,8 @@ object TextAnalysis {
              | i -> concat_ws(' ', slice(toks, i + 1, $k)))""".stripMargin))
           .as(Seq("start", "win")))
       .select(col("doc_id"), col("start").cast("long").as("start"),
-        md5(col("win")).as("wh"))
+        col("win").as("wh"))
+      .repartition(col("wh"))
     val dup = wins.groupBy("wh")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs).select("wh")

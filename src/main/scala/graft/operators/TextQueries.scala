@@ -27,18 +27,27 @@ object TextQueries {
     * `(doc_id, n_bigrams, qnll_sum, avg_qnll)`. */
   private def bigramNll(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val toks = docs
+    // Round 14 (guide §2.4): tokenize ONCE — the spread exchange is
+    // shared by the unigram and bigram explodes (ReuseExchange), and
+    // `bgRep` pins one hash exchange on the bigram key that BOTH the
+    // count aggregate and the scoring probe reuse, so the corpus is
+    // re-tokenized zero times and the c2 join adds no exchange. The
+    // spread also un-serializes the explode itself on the single-split
+    // fixture scan (Layout.spread scaladoc).
+    val src = Layout.spread(docs.select(col("doc_id"), col("text")))
+    val toks = src
       .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w1"))
       .filter(length(col("w1")) > 0)
     val uni = toks.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vsz = uni.agg(count(lit(1)).as("vsz"))
-    val bg = docs.select(col("doc_id"),
+    val bg = src.select(col("doc_id"),
       explode(TextAnalysis.wordBigrams(col("text"))).as("bigram"))
-    val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val bgRep = bg.repartition(col("bigram"))
+    val c2 = bgRep.groupBy("bigram").agg(count(lit(1)).as("c2"))
     // c2/uni are per-distinct-bigram/-unigram — vocabulary-sized tables
     // that grow with the corpus; merge hints forbid the broadcast a
     // plan-time misestimate might pick (see text_ngram_novelty)
-    val scored = bg
+    val scored = bgRep
       .join(c2.hint("merge"), "bigram")
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .join(uni.hint("merge"), "w1")
@@ -337,6 +346,9 @@ object TextQueries {
     // on both engines (the text_bigram_lm ln-quantization pattern).
     "text_bm25" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
+      // round 14: a shared repartition(doc_id) exchange was tried and
+      // REVERTED — shipping the raw token stream loses to letting dl/tf
+      // partial-aggregate before their own shuffles (guide §2.3)
       val toks = docs.select(col("doc_id"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
         .filter(length(col("w")) > 0)
@@ -411,9 +423,16 @@ object TextQueries {
     // integers; docs under 5 tokens have no shingles and are absent
     // on both engines.
     "text_ngram_novelty" -> { (s, dir) =>
-      val sh = Tables(s, dir, "documents")
+      // shingle ONCE (round 14, guide §2.4): the hash exchange on the
+      // shingle key is shared by the min-owner aggregate and the join
+      // probe (ReuseExchange), so the corpus is shingled once and the
+      // join adds no exchange; spread un-serializes the explode on the
+      // single-split fixture scan
+      val sh = Layout.spread(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           explode(array_distinct(TextAnalysis.wordNgrams(col("text"), 5))).as("s"))
+        .repartition(col("s"))
       val first = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
       // first has one row per DISTINCT 5-gram — corpus-sized, never
       // broadcastable (the 100× run OOM'd the driver when the plan-time
@@ -429,6 +448,11 @@ object TextQueries {
     // both engines, so the compare stays exact without rounding. Shape:
     // explode → (doc, term) tf → term df join → per-doc top-1 window.
     "text_tfidf_top_term" -> { (s, dir) =>
+      // NOTE (round 14): a shared repartition(tok) exchange for tf/df
+      // was tried and REVERTED — it ships the raw zipf-skewed token
+      // stream (hot stopword keys, no partial aggregation) and measured
+      // 2×+ slower than letting each aggregate partial-reduce before
+      // its own shuffle (guide §2.3 "aggregate before you shuffle").
       val toks = Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
@@ -452,6 +476,8 @@ object TextQueries {
     // compare stays exact. Shape: explode → token df → join back → one
     // doc-keyed aggregation.
     "text_rarity" -> { (s, dir) =>
+      // round 14: repartition(tok) reuse tried and REVERTED — see
+      // text_tfidf_top_term (raw skewed shuffle loses to partial aggs)
       val toks = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(expr(
           "filter(array_distinct(split(lower(text), '\\\\s+')), x -> length(x) > 0)")).as("tok"))
