@@ -67,17 +67,47 @@ object CoreQueries {
           sum(money(col("o_totalprice"))).cast(DoubleType).as("total"))
         .filter(col("n") > 100)
     },
+    // ROUND 14 (guide §2.3 aggregate-before-shuffle): CUBE/ROLLUP over
+    // 2 low-cardinality columns used to Expand the RAW scan (4×/3× the
+    // row count through the aggregate). Both sums are algebraic (count
+    // re-sums; the DECIMAL money sum re-sums exactly before the one
+    // double cast), so every grouping set is derived from the BASE
+    // (col1, col2) aggregate instead — the base's exchange is shared by
+    // all branches (ReuseExchange), so the corpus is scanned and
+    // partially aggregated ONCE and the grouping-set math runs on
+    // |distinct(col1 × col2)| rows. The fixture grouping columns are
+    // never NULL; with NULL data the union is STILL row-identical to
+    // CUBE/ROLLUP because these queries do not emit grouping_id.
     "agg_rollup" -> { (s, dir) =>
-      Tables(s, dir, "orders")
-        .rollup("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-          sum(money(col("o_totalprice"))).cast(DoubleType).as("total"))
+      val base = Tables(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("__n"), sum(money(col("o_totalprice"))).as("__t"))
+      def roll(keep: Seq[String]) =
+        Seq("o_orderstatus", "o_orderpriority").foldLeft(
+          base.groupBy(keep.map(col): _*)
+            .agg(sum("__n").as("n"), sum("__t").as("__t2"))) { (d, c) =>
+          if (keep.contains(c)) d else d.withColumn(c, lit(null).cast("string"))
+        }.select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+          col("__t2").cast(DoubleType).as("total"))
+      roll(Seq("o_orderstatus", "o_orderpriority"))
+        .unionAll(roll(Seq("o_orderstatus")))
+        .unionAll(roll(Seq.empty))
     },
     "agg_cube" -> { (s, dir) =>
-      Tables(s, dir, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"),
-          sum(money(col("l_quantity"))).cast(DoubleType).as("qty"))
+      val base = Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("__n"), sum(money(col("l_quantity"))).as("__q"))
+      def roll(keep: Seq[String]) =
+        Seq("l_returnflag", "l_linestatus").foldLeft(
+          base.groupBy(keep.map(col): _*)
+            .agg(sum("__n").as("n"), sum("__q").as("__q2"))) { (d, c) =>
+          if (keep.contains(c)) d else d.withColumn(c, lit(null).cast("string"))
+        }.select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          col("__q2").cast(DoubleType).as("qty"))
+      roll(Seq("l_returnflag", "l_linestatus"))
+        .unionAll(roll(Seq("l_returnflag")))
+        .unionAll(roll(Seq("l_linestatus")))
+        .unionAll(roll(Seq.empty))
     },
     "agg_distinct" -> { (s, dir) =>
       Tables(s, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()

@@ -287,8 +287,15 @@ object Dedup {
     // vertex can never change its label, and near-dup graphs are sparse
     // (most of a corpus is in no pair), so the per-round shuffle domain
     // is |edge endpoints|, not |corpus|. Singletons reattach at the end.
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
+    // Round 14: seed labels at min(id, min neighbor) — the same ONE
+    // aggregate the old `distinct` cost (groupBy on src), but it
+    // pre-runs the first propagate half-round for free, typically
+    // saving a full loop round (2 joins + checkpoint + action). Any
+    // monotone head start converges to the SAME fixpoint (labels are
+    // min-reachable-id), so results are unchanged.
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min("dst").as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("cluster_id"))
       .localCheckpoint(false)
     var prevSum = labelSum(labels)
     var converged = false
