@@ -248,13 +248,18 @@ object MultimodalQueries {
         MediaBatchProcessor.PpmImage(16, 16, 255, raster)), "image/jpeg")
   }
 
-  /** The shared documents source for every mm query, scan-spread
+  /** The documents source for the CODEC-heavy mm queries, scan-spread
     * (round 14, guide §2.5): the fixture is ONE single-row-group parquet
-    * file, so the scan is one task and every payload builder + codec
-    * kernel — the heaviest per-row work on the board — ran on ONE core
+    * file, so the scan is one task and the JPEG/PNG encode+decode
+    * kernels — the heaviest per-row work on the board — ran on ONE core
     * regardless of session size. [[Layout.spread]] round-robins the
     * tiny (doc_id, text) rows across the session's parallelism first;
-    * on a real multi-split corpus it is the identity. */
+    * on a real multi-split corpus it is the identity. Applied ONLY to
+    * the real-codec paths (jpeg/png/resize/phash tiers): the final
+    * bench showed the exchange costs ~0.1–0.3 s, a net LOSS for the
+    * cheap byte-slice/metadata queries (mm_wav_*, mm_dedup_bytes,
+    * mm_frame_sample, … 0.13 s → 0.41 s), which therefore read the
+    * plain scan. */
   private def docsSpread(s: SparkSession, dir: String): DataFrame =
     Layout.spread(Tables(s, dir, "documents"))
 
@@ -262,7 +267,7 @@ object MultimodalQueries {
     // Binary ingest + metadata extraction — the oracle-checkable slice
     // (byte length and media-type routing are exact integer/string logic).
     "mm_binary_meta" -> { (s, dir) =>
-      withMedia(docsSpread(s, dir)).select(
+      withMedia(Tables(s, dir, "documents")).select(
         col("doc_id"),
         col("meta.media_type").as("media_type"),
         col("meta.byte_len").as("byte_len"),
@@ -276,7 +281,7 @@ object MultimodalQueries {
     // is the byte-exact tier of media dedup (perceptual hashing needs
     // the decode kernel this container stubs).
     "mm_dedup_bytes" -> { (s, dir) =>
-      withMedia(docsSpread(s, dir))
+      withMedia(Tables(s, dir, "documents"))
         .groupBy(md5(col("payload")).as("payload_md5"))
         .agg(min("doc_id").as("keep_id"),
           count(lit(1)).as("n_copies"),
@@ -294,7 +299,7 @@ object MultimodalQueries {
       val feats = (0 to 7).map(i => graft.functions.HashFunctions
         .md5_prefix64(expr(s"substr(payload, ${i * 16 + 1}, 16)"), 8)
         .as(s"f$i"))
-      withMedia(docsSpread(s, dir))
+      withMedia(Tables(s, dir, "documents"))
         .filter(col("meta.media_type") === "image/png")
         .select(col("doc_id") +: feats: _*)
     },
@@ -314,7 +319,7 @@ object MultimodalQueries {
     // Emitted as an AUDIT: every candidate with its distance and the
     // ≤16 near-dup verdict, so threshold tuning reads one table.
     "mm_phash_near_dup" -> { (s, dir) =>
-      val m = withMedia(docsSpread(s, dir))
+      val m = withMedia(Tables(s, dir, "documents"))
       def block(q: Int) = graft.functions.HashFunctions.md5_prefix64(expr(
         s"""substr(payload,
            |  1 + ($q * octet_length(payload)) div 4,
@@ -359,7 +364,7 @@ object MultimodalQueries {
     // this path has no stub left.)
     "mm_ppm_decode" -> { (s, dir) =>
       import s.implicits._
-      val media = docsSpread(s, dir)
+      val media = Tables(s, dir, "documents")
         .select(col("doc_id"),
           expr("""encode(concat('P6\n8 8\n255\n',
             | substr(repeat(text, cast(192 div octet_length(text) as int) + 1),
@@ -381,7 +386,7 @@ object MultimodalQueries {
     // the chunk-walking parser. Narrow mapPartitions, no shuffle.
     "mm_wav_decode" -> { (s, dir) =>
       import s.implicits._
-      val media = docsSpread(s, dir)
+      val media = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToWavRow(id, t) }
       MediaBatchProcessor.decodeWavBatched(media).toDF()
@@ -396,7 +401,7 @@ object MultimodalQueries {
     // inside the task.
     "mm_wav_features" -> { (s, dir) =>
       import s.implicits._
-      val media = docsSpread(s, dir)
+      val media = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToWavRow(id, t) }
       MediaBatchProcessor.wavWindowsBatched(media).toDF()
@@ -432,7 +437,7 @@ object MultimodalQueries {
     // 100 TB), merge-pinned self-join, integer Hamming verify ≤ 8.
     "mm_phash_png" -> { (s, dir) =>
       import s.implicits._
-      val media = docsSpread(s, dir)
+      val media = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => textToPngRow(id, t) }
       val sig = MediaBatchProcessor.decodePngBatched(media).toDF()
@@ -606,7 +611,7 @@ object MultimodalQueries {
     // the mapping (frame index → byte offsets) is the real plumbing a
     // frame sampler needs; the frame "content" is the raw slice hash.
     "mm_frame_sample" -> { (s, dir) =>
-      withMedia(docsSpread(s, dir))
+      withMedia(Tables(s, dir, "documents"))
         .filter(col("meta.media_type") === "video/mp4")
         .select(col("doc_id"), col("meta.byte_len").as("byte_len"),
           posexplode(expr(
@@ -624,7 +629,7 @@ object MultimodalQueries {
     // arithmetic stays OUT of the lambda (hop math only) so the payload
     // is not re-sliced per element beyond the one substr each.
     "mm_audio_windows" -> { (s, dir) =>
-      withMedia(docsSpread(s, dir))
+      withMedia(Tables(s, dir, "documents"))
         .filter(col("meta.media_type") === "audio/wav")
         .select(col("doc_id"), col("payload"), col("meta.byte_len").as("byte_len"),
           posexplode(expr(
