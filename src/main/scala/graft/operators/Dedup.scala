@@ -287,15 +287,19 @@ object Dedup {
     // vertex can never change its label, and near-dup graphs are sparse
     // (most of a corpus is in no pair), so the per-round shuffle domain
     // is |edge endpoints|, not |corpus|. Singletons reattach at the end.
-    // Round 14: seed labels at min(id, min neighbor) — the same ONE
-    // aggregate the old `distinct` cost (groupBy on src), but it
-    // pre-runs the first propagate half-round for free, typically
-    // saving a full loop round (2 joins + checkpoint + action). Any
-    // monotone head start converges to the SAME fixpoint (labels are
-    // min-reachable-id), so results are unchanged.
-    var labels = sym.groupBy(col("src").as("id"))
-      .agg(min("dst").as("__mn"))
-      .select(col("id"), least(col("id"), col("__mn")).as("cluster_id"))
+    // Round 15 REVERT of the round-14 min(id, min neighbor) seeding:
+    // the head-start argument was sound (same min-reachable-id
+    // fixpoint, oracle green) but the measurement was not — the seeded
+    // form ran dedup_semantic 15–29% SLOWER in every window, r14's
+    // loaded ones and round 15's same-window cross-binary probe
+    // (5.34 s old vs 6.90 s seeded, min-of-3). Mechanism: the seed's
+    // min-aggregate feeds the convergence probe a DIFFERENT trajectory
+    // — the pre-run half-round doesn't reduce the measured round count
+    // on the near-dup fixtures (components are mostly pairs; the jump
+    // round already collapses them), so the extra aggregate work per
+    // seed buys nothing. Plain distinct() seeding restored.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint(false)
     var prevSum = labelSum(labels)
     var converged = false

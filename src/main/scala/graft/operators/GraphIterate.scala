@@ -105,28 +105,24 @@ object GraphIterate {
     // measured per-round cost; at real graph scale re-deriving the
     // edge list per round would dominate everything.)
     val adj = adj0.repartition(col("nbr")).localCheckpoint(false)
-    // Probe FUSED into the round's own aggregates (round 14, guide
-    // §2.4): the previous label rides the vote table as a null-vote
-    // tagged row instead of a separate prev left-join, removing one
-    // node-keyed shuffle + join stage per round. A prev row never
-    // inflates a vote count (count(vote) skips its null) and a
-    // prev-only group (c = 0) is excluded from the argmax, so the
-    // fixpoint trajectory is bit-identical to the joined form.
+    // Round 15 REVERT of the round-14 probe fusion (prev label riding
+    // the vote table as a null-vote tagged row): same-window
+    // cross-binary probes showed the fused form ~2× SLOWER on the
+    // sibling fixpoints (pagerank 4.51→8.58 s, sssp 1.40→3.24 s,
+    // min-of-3, fresh JVMs, quiet box) — pushing the prev rows through
+    // the per-round aggregate costs more than the node-sized left-join
+    // it replaced, because the join side is a tiny checkpointed table
+    // while the union inflates the aggregate's input AND disables the
+    // single-pass partial aggregation shape. The separate prev
+    // left-join is restored; the probe still rides the round's one job
+    // via observe().
     def step(labels: DataFrame): DataFrame =
       adj.join(labels.select(col("node").as("lnode"), col("community")),
           col("nbr") === col("lnode"))
-        .select(col("node"), col("community"), lit(1L).as("vote"))
-        .unionAll(labels.select(col("node"), col("community"),
-          lit(null).cast("long").as("vote")))
-        .groupBy("node", "community")
-        .agg(count(col("vote")).as("c"),
-          max(when(col("vote").isNull, 1L)).as("isPrev"))
+        .groupBy("node", "community").agg(count(lit(1)).as("c"))
         .groupBy("node")
-        .agg(max(when(col("c") > 0,
-          struct(col("c"), (-col("community")).as("nc")))).as("m"),
-          max(when(col("isPrev") === 1L, col("community"))).as("prev"))
-        .where(col("m").isNotNull)
-        .select(col("node"), (-col("m.nc")).as("community"), col("prev"))
+        .agg(max(struct(col("c"), (-col("community")).as("nc"))).as("m"))
+        .select(col("node"), (-col("m.nc")).as("community"))
     var labels = adj.select("node").distinct()
       .withColumn("community", col("node"))
       .localCheckpoint(false)
@@ -135,6 +131,8 @@ object GraphIterate {
     while (!done && rounds < maxRounds) {
       val obs = Observation()
       val next = step(labels)
+        .join(labels.select(col("node"), col("community").as("prev")),
+          Seq("node"), "left")
         .observe(obs, sum(when(col("community") =!= col("prev"), 1L)
           .otherwise(0L)).as("changed"))
         .select("node", "community")
@@ -175,17 +173,16 @@ object GraphIterate {
     var done = false
     while (!done && rounds < maxRounds) {
       val obs = Observation()
-      // probe FUSED into the min-aggregate (round 14): the previous
-      // distance is already a union branch, so tagging it recovers
-      // `prev` in the same groupBy instead of a second dist join —
-      // one node-keyed shuffle per round, not two
+      // Round 15 REVERT of the round-14 probe fusion (prev distance
+      // tagged into the min-aggregate): measured 1.40→3.24 s slower
+      // (same-window cross-binary, min-of-3) — see labelPropFixpoint's
+      // revert comment for the mechanism. The prev left-join returns.
       val relaxed = adj.join(dist, "node")
-        .select(col("nbr").as("node"), (col("dist") + 1L).as("dist"),
-          lit(null).cast("long").as("isPrev"))
-      val next = dist.select(col("node"), col("dist"), lit(1L).as("isPrev"))
-        .unionAll(relaxed)
-        .groupBy("node").agg(min("dist").as("dist"),
-          max(when(col("isPrev") === 1L, col("dist"))).as("prev"))
+        .select(col("nbr").as("node"), (col("dist") + 1L).as("dist"))
+      val next = dist.unionAll(relaxed)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .join(dist.select(col("node"), col("dist").as("prev")),
+          Seq("node"), "left")
         .observe(obs, sum(when(col("prev").isNull ||
           col("dist") < col("prev"), 1L).otherwise(0L)).as("improved"))
         .select("node", "dist")
@@ -219,32 +216,23 @@ object GraphIterate {
     // Static across rounds — materialize once, partitioned on the
     // per-round join key (see labelPropFixpoint's comment).
     val edges = edges0.repartition(col("src")).localCheckpoint(false)
-    // Probe FUSED into the contribution aggregate (round 14, guide
-    // §2.4): the previous rank rides the union as a null-contribution
-    // tagged row, so each round is one edge join + ONE node-keyed
-    // aggregate — the separate prev left-join (a third node-sized
-    // shuffle + join stage per round, ×18 rounds on the fixture) is
-    // gone. Prev rows are excluded from in_q (sum skips null) and from
-    // the output set (count(c_q) == 0 ⇒ no in-edge ⇒ dropped, exactly
-    // the joined form's step-output set), so the trajectory — and the
-    // DuckDB-oracle hash — is bit-identical.
+    // Round 15 REVERT of the round-14 probe fusion (prev rank riding
+    // the contribution union as a null-contribution tagged row):
+    // same-window cross-binary probes measured the fused form 4.51→
+    // 8.58 s (min-of-3, fresh JVMs, quiet box) — see
+    // labelPropFixpoint's revert comment for the mechanism. The
+    // separate prev left-join (node-sized, against a checkpointed
+    // table) returns; the probe still rides the round's one job.
     def step(ranks: DataFrame): DataFrame =
       edges.join(ranks, col("src") === col("node"))
-        .select(col("dst").as("node"),
-          expr("cast((cast(r_q as decimal(38,0)) * w) div outw as decimal(38,0))")
-            .as("c_q"),
-          lit(null).cast("long").as("prev"))
-        .unionAll(ranks.select(col("node"),
-          lit(null).cast(DecimalType(38, 0)).as("c_q"), col("r_q").as("prev")))
-        .groupBy("node")
-        .agg(sum("c_q").as("in_q"), count(col("c_q")).as("nc"),
-          max("prev").as("prev"))
-        .where(col("nc") > 0)
+        .select(col("dst"),
+          expr("(cast(r_q as decimal(38,0)) * w) div outw").as("c_q"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c_q").cast(DecimalType(38, 0))).as("in_q"))
         .select(col("node"),
           (lit(150000L) +
             expr("(cast(850000 as decimal(38,0)) * in_q) div 1000000"))
-            .as("r_q"),
-          col("prev"))
+            .as("r_q"))
     var ranks = edges.select(col("src").as("node")).distinct()
       .withColumn("r_q", lit(1000000L))
       .localCheckpoint(false)
@@ -253,6 +241,8 @@ object GraphIterate {
     while (!done && rounds < maxRounds) {
       val obs = Observation()
       val next = step(ranks)
+        .join(ranks.select(col("node"), col("r_q").as("prev")),
+          Seq("node"), "left")
         .observe(obs, sum(abs(col("r_q") - col("prev"))).as("delta"))
         .select("node", "r_q")
         .localCheckpoint(true) // eager: see labelPropFixpoint's comment

@@ -65,6 +65,50 @@ object Ids {
     * to an extra output column carrying that weight's grand total
     * (constant across rows, broadcast from the offsets table — no
     * second scan of `df`). */
+  /** Is `df`'s lineage worth materializing ONCE before the range
+    * exchange (which executes its child twice: boundary sampling +
+    * shuffle map)? Round-15 rule, measured at both ends in round 14:
+    * a bare scan (+ project/filter, even a single aggregate over a
+    * scan) re-executes cheaper than the extra checkpoint job costs
+    * (ids_contiguous 0.50→1.12 s, o2 0.73→1.64 s, stat_ks_drift
+    * 0.60→0.91 s under the unconditional checkpoint), while any plan
+    * carrying a join, window, generator, sort, repartition or a
+    * second aggregate pays its whole pipeline twice without it
+    * (text_ppl_buckets 5.47→2.87 min checkpointed). The same
+    * trade holds at scale: re-running a scan is a second sequential
+    * read, but checkpointing a scan-shaped input writes AND reads
+    * every row once each — never cheaper. Callers with an expensive
+    * opaque projection the plan can't reveal can still opt in by
+    * passing an already-checkpointed frame (LogicalRDD children count
+    * as trivial and are never re-checkpointed). */
+  private[operators] def worthMaterializing(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.{logical => lg}
+    var aggs = 0
+    var heavy = false
+    df.queryExecution.optimizedPlan.foreach {
+      case _: lg.Join | _: lg.Window | _: lg.Generate | _: lg.Sort |
+           _: lg.RepartitionOperation => heavy = true
+      case _: lg.Aggregate => aggs += 1
+      case _ => ()
+    }
+    heavy || aggs >= 2
+  }
+
+  /** Materialize the (narrow) input once iff its lineage is expensive —
+    * see [[worthMaterializing]]. `localCheckpoint` rather than
+    * `persist`: a `persist` here would register every per-call frame in
+    * the session's CacheManager with no unpersist point (this scaffold
+    * returns a derived frame, the input goes out of scope), leaking
+    * blocks and plan-match work across a long session. The guide-§5
+    * trade is real — localCheckpoint truncates lineage onto
+    * executor-local storage, so an executor loss during the two
+    * downstream stages forces a job restart instead of a recompute —
+    * and is accepted here because the window is two stages wide and
+    * the alternative is executing the whole child pipeline twice per
+    * call. */
+  private def inputOnce(df: DataFrame): DataFrame =
+    if (worthMaterializing(df)) df.localCheckpoint() else df
+
   def cumulativeSums(df: DataFrame, orderBy: Seq[Column],
       weights: Seq[(Column, String)], numPartitions: Int = 0,
       totals: Map[String, String] = Map.empty): DataFrame = {
@@ -87,7 +131,9 @@ object Ids {
     // its whole pipeline twice per running sum. The eager localCheckpoint
     // pins the (narrow: orderBy + weight + carried columns) rows to
     // blocks; sampling and the map stage replay blocks, not lineage.
-    val src = df.localCheckpoint()
+    // Round 15: SELECTIVE — bare-scan callers measured 1.5-2.2× slower
+    // under the unconditional form (see worthMaterializing).
+    val src = inputOnce(df)
     val ranged = idx.foldLeft(
         src.repartitionByRange(np, orderBy: _*)
           .withColumn("_pid", spark_partition_id())) { (d, i) =>
@@ -149,8 +195,8 @@ object Ids {
     val np =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // same input-once materialization as cumulativeSums (see there)
-    val ranged = df.localCheckpoint().repartitionByRange(np, orderBy: _*)
+    // same selective input-once materialization as cumulativeSums
+    val ranged = inputOnce(df).repartitionByRange(np, orderBy: _*)
       .withColumn("_pid", spark_partition_id())
       .withColumn("_v", value.cast("long"))
     val wLocal = Window.partitionBy("_pid").orderBy(orderBy: _*)

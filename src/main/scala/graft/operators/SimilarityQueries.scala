@@ -45,6 +45,23 @@ object SimilarityQueries {
   private val stageCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
+  /** The corpus-wide nprobe-2 assignment `(vec_id, centroid,
+    * probe_rank)`, memoized per (session, fixture) exactly like
+    * [[sharedStages]] — round 15: `ivf_assign_capped` and
+    * `dedup_semantic_probe2` each re-ran this one window pass
+    * (corpus-keyed shuffle + rank) per call. Same 100 TB rationale as
+    * the single-probe stage: the index's assignment is built once and
+    * served to every search; the frame is narrow (two ids + a rank,
+    * no floats). */
+  private val assign2Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def sharedAssign2(s: SparkSession, dir: String): DataFrame =
+    StageCaches.memo(assign2Cache, s, dir) {
+      Similarity.ivfAssignN(vecs(s, dir), sharedStages(s, dir)._1, nprobe = 2)
+        .persist()
+    } { df => df.unpersist(blocking = true) }
+
   private[graft] def sharedStages(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     // stopped-session eviction + memoization rules live in StageCaches
     StageCaches.memo(stageCache, s, dir) {
@@ -100,11 +117,13 @@ object SimilarityQueries {
   /** Unpersist and forget this session's shared stages — the teardown
     * twin of [[sharedStages]] (blocking, so callers can assert the
     * cache blocks are gone). Entry point: [[Similarity.releaseStages]]. */
-  private[graft] def releaseStages(s: SparkSession): Unit =
+  private[graft] def releaseStages(s: SparkSession): Unit = {
+    StageCaches.release(assign2Cache, s)(_.unpersist(blocking = true))
     StageCaches.release(stageCache, s) { case (cent, assign) =>
       cent.unpersist(blocking = true)
       assign.unpersist(blocking = true)
     }
+  }
 
   private def querySide(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 10)
@@ -208,8 +227,7 @@ object SimilarityQueries {
     // `spilled` flag makes serve-time recall accounting explicit
     // (a spilled vector is found via nprobe ≥ 2, not its home bucket).
     "ivf_assign_capped" -> { (s, dir) =>
-      val two = Similarity.ivfAssignN(vecs(s, dir), sharedStages(s, dir)._1,
-        nprobe = 2)
+      val two = sharedAssign2(s, dir)
       val first = two.filter(col("probe_rank") === 1)
         .select("vec_id", "centroid")
       val second = two.filter(col("probe_rank") === 2)
@@ -248,14 +266,13 @@ object SimilarityQueries {
     // nearest centroids instead of exactly the nearest — the deployable
     // form of the measured recall dial (RecallProbe: 0.23 → 0.62 of
     // true cosine≥0.3 pairs on the 10× corpus for ~2× candidate cost;
-    // PERF.md round-9). Reuses the shared persisted centroid stage; the
-    // probe-2 assignment is one broadcast-argmin pass; duplicate pairs
-    // from doubly-shared buckets are redundant CC edges (harmless).
-    // Same output contract as dedup_semantic.
+    // PERF.md round-9). Reuses the shared persisted nprobe-2 assignment
+    // stage (sharedAssign2 — round 15; previously a fresh broadcast-
+    // argmin pass per call); duplicate pairs from doubly-shared buckets
+    // are redundant CC edges (harmless). Same output contract as
+    // dedup_semantic.
     "dedup_semantic_probe2" -> { (s, dir) =>
-      val assign2 = Similarity
-        .ivfAssignN(vecs(s, dir), sharedStages(s, dir)._1, nprobe = 2)
-        .select("vec_id", "centroid")
+      val assign2 = sharedAssign2(s, dir).select("vec_id", "centroid")
       Dedup.semanticClustersAssigned(vecs(s, dir), assign2, tau = 0.3)
     },
     // IVF search: probe only the query's centroid bucket, exact top-3
