@@ -270,19 +270,46 @@ object Dedup {
     * Input: `vertices` with column `id`; `edges` with columns
     * (`a_id`, `b_id`). Output: (`id`, `cluster_id`). */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    connectedComponentsCounted(vertices, edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the executed round count (including
+    * the final confirming round) — the observable DedupSpec pins so
+    * convergence stays probe-driven and round-count optimizations are
+    * assertable rather than assumed. */
+  private[graft] def connectedComponentsCounted(vertices: DataFrame,
+      edges: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist()
     // Convergence probe: labels only ever decrease (least), so the label
-    // sum is strictly monotone while anything changes — one cheap
-    // aggregate per round doubles as the action that materializes the
-    // lazy checkpoint, keeping the loop at ONE job per round.
+    // sum is strictly monotone while anything changes. The per-round sum
+    // rides the jump's own eager-checkpoint job via observe() (round
+    // 15 — the separate labelSum traversal was one extra aggregate job
+    // per round); the seed's sum is the one explicit aggregate left.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val s = df.agg(sum(col("cluster_id").cast(DecimalType(38, 0))).as("s"))
         .first().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s // no edges at all
     }
+    // observe()-delivered decimal sum, with the same fail-loudly rules
+    // as GraphIterate.requireLongMetric: a NULL sum (zero rows) is a
+    // legitimate 0; a missing or non-decimal metric means the
+    // CollectMetrics node was lost and silently faking convergence
+    // would return wrong clusters.
+    def requireDecimalMetric(obs: org.apache.spark.sql.Observation,
+        key: String): java.math.BigDecimal =
+      obs.get.get(key) match {
+        case Some(d: java.math.BigDecimal) => d
+        case Some(null) => java.math.BigDecimal.ZERO
+        case Some(other) => throw new IllegalStateException(
+          s"observe() metric '$key' delivered as ${other.getClass.getName} " +
+            s"($other), expected java.math.BigDecimal — the convergence " +
+            "probe cannot be trusted")
+        case None => throw new IllegalStateException(
+          s"observe() metric '$key' missing from ${obs.get.keySet} — the " +
+            "CollectMetrics node was lost; refusing to fake convergence")
+      }
     // Iterate only over vertices that appear in an edge: a pair-free
     // vertex can never change its label, and near-dup graphs are sparse
     // (most of a corpus is in no pair), so the per-round shuffle domain
@@ -305,38 +332,54 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("cluster_id").as("nl")), "dst")
-        .groupBy(col("src").as("id")).agg(min("nl").as("nbr_min"))
-      // lazy-checkpoint the propagated labels so the jump's self-join
-      // reads ONE materialization instead of recomputing the edge join
-      // in both branches
-      val propagated = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+      // UNION-propagate (round 15): the per-vertex neighbor-min rides
+      // ONE min-aggregate fed by the edge-join contributions unioned
+      // with the current labels — replacing the previous round shape's
+      // separate nbr-min aggregate THEN node-keyed left join (one whole
+      // node-sized shuffle+join stage gone per round; both forms
+      // partial-aggregate map-side, so the shuffled volume is the
+      // same). Measured on the dedup_semantic sf0.1 graph (3241 pairs,
+      // 7 rounds, same-session k=3): join+agg+join 9.5 s → this form +
+      // the observe probe 3.9–4.5 s, labels exceptAll-identical both
+      // directions. Round count is propagation-bound, not jump-bound —
+      // 2 and 3 jumps per round measured the SAME 7 rounds at strictly
+      // higher cost, so multi-hop jumping is deliberately NOT used.
+      val propagated = labels.unionAll(
+          sym.join(labels.select(col("id").as("dst"),
+            col("cluster_id").as("nl")), "dst")
+            .select(col("src").as("id"), col("nl").as("cluster_id")))
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        // lazy-checkpoint so the jump's self-join reads ONE
+        // materialization instead of recomputing the edge join in
+        // both branches
         .localCheckpoint(false)
       // pointer jump: follow the label one more hop (its own current
       // label), halving every label path — labels only decrease, so
       // the convergence probe stays monotone
+      val obs = org.apache.spark.sql.Observation()
       val updated = propagated.alias("p")
         .join(propagated.select(col("id").as("cluster_id"),
           col("cluster_id").as("jump")).alias("j"), Seq("cluster_id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("jump"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint(false)
-      val newSum = labelSum(updated)
+        .observe(obs, sum(col("cluster_id").cast(DecimalType(38, 0))).as("s"))
+        // EAGER: the checkpoint's own action is the round's one job and
+        // the observation completes with it (GraphIterate's pattern —
+        // a lazy checkpoint + separate aggregate action would lose the
+        // metric and pay an extra per-round traversal)
+        .localCheckpoint(true)
+      val newSum = requireDecimalMetric(obs, "s")
       labels = updated
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       i += 1
     }
     sym.unpersist()
-    vertices.select(col("id"))
+    (vertices.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"),
-        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+        coalesce(col("cluster_id"), col("id")).as("cluster_id")), i)
   }
 
   /** SemDeDup-style semantic dedup (public recipe: k-means-cluster the

@@ -107,9 +107,15 @@ class DedupSpec extends SparkTestBase {
     import spark.implicits._
     val verts = (0L until 200L).toDF("id")
     val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val labels = Dedup.connectedComponents(verts, edges)
+    val (labels, rounds) = Dedup.connectedComponentsCounted(verts, edges)
     assert(labels.filter(col("cluster_id") =!= 0L).count() == 0)
     assert(labels.count() == 200)
+    // round-count pin (round 15): propagate+jump collapses a diameter-d
+    // path in O(log d) rounds — 10 on this 200-chain when it landed.
+    // The bound guards the loop's convergence SHAPE: pure edge
+    // propagation would blow straight past it (199 rounds), and a
+    // broken probe would stop at 1.
+    assert(rounds > 1 && rounds <= 12, s"expected O(log d) rounds, got $rounds")
   }
 
   test("semanticClusters bucketCap: an oversized bucket skips pairing, " +
