@@ -191,7 +191,13 @@ object Curation {
     // exact-Jaccard verify join; materialize them once (round 14, guide
     // §5 localCheckpoint) instead of re-shingling the corpus per use.
     // The benchmark side is metadata-sized — recomputing it is cheaper
-    // than a checkpoint job.
+    // than a checkpoint job. §5 trade, named: localCheckpoint truncates
+    // lineage onto executor-local blocks, so a cluster executor loss
+    // between the two consumers aborts instead of recomputing — here
+    // the window is two downstream stages and re-running the whole
+    // operator is the recovery path; a persist() would keep lineage
+    // but leak a CacheManager entry (no unpersist point survives this
+    // function).
     val tSets = Layout.spread(sets(train)).localCheckpoint()
     val bSets = sets(benchmark)
     val tBand = Dedup.bandedMinhash(tSets, numHashes, bands)

@@ -37,6 +37,20 @@ import org.apache.spark.sql.types.DecimalType
   * transient, freed by Spark's ContextCleaner when the frames are
   * collected — nothing here registers in the shared [[StageCaches]].
   *
+  * Fault-tolerance trade (guide §5, named explicitly): localCheckpoint
+  * truncates lineage onto executor-local storage, so on a CLUSTER an
+  * executor loss mid-loop aborts the job instead of recomputing — the
+  * round state would have to be rebuilt from round 0. The alternatives
+  * are a reliable `checkpoint` to a checkpoint dir (adds a distributed
+  * write per round — the right call for long multi-hour fixpoints) or
+  * `persist(MEMORY_AND_DISK)` (keeps lineage, but the lineage GROWS
+  * per round, which is the O(rounds²) re-planning problem checkpointing
+  * exists to cut, and CacheManager entries leak without an explicit
+  * unpersist point). For these node-sized states recomputing a lost
+  * round is cheap and restarts are rare; production deployments of the
+  * multi-hour variants should pass a checkpoint dir and swap the two
+  * calls — the loop structure is unchanged.
+  *
   * Each operator returns (result, rounds) — rounds is the number of
   * iteration steps executed INCLUDING the final confirming/accepted
   * round, so callers (and GraphSpec) can assert convergence really was
