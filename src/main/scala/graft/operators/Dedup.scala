@@ -339,9 +339,11 @@ object Dedup {
       // node-sized shuffle+join stage gone per round; both forms
       // partial-aggregate map-side, so the shuffled volume is the
       // same). Measured on the dedup_semantic sf0.1 graph (3241 pairs,
-      // 7 rounds, same-session k=3): join+agg+join 9.5 s → this form +
-      // the observe probe 3.9–4.5 s, labels exceptAll-identical both
-      // directions. Round count is propagation-bound, not jump-bound —
+      // 7 rounds): interleaved same-session old/new A/B — old
+      // 7.0/4.4/4.0/3.2/4.0, this form + the observe probe
+      // 4.2/4.0/2.6/3.1/4.3 (wins or ties every pairing, ~10–20% on
+      // the CC portion); labels exceptAll-identical both directions.
+      // Round count is propagation-bound, not jump-bound —
       // 2 and 3 jumps per round measured the SAME 7 rounds at strictly
       // higher cost, so multi-hop jumping is deliberately NOT used.
       val propagated = labels.unionAll(
